@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query registry is assembled from the operator modules under graft.ops;
+  * COVERAGE.md maps SURVEY §2 operator IDs to query names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def registry: Seq[Q] =
+    MovingAverage.queries ++ Relational.queries
+
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's sliding-window moving average (`ma_agg.py:49-81`)
+    * at 4h/1h scale with a >=3 completeness gate so the sparse sf0.001
+    * events still emit (the oracle-checked exactly-5 variant is
+    * `w1_sliding_sma`). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    e.groupBy(window(col("ts"), "4 hours", "1 hour"), col("user_id"))
+      .agg(
+        coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)).as("sum_of_value"),
+        count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
+        count(lit(1)).as("window_data_count"))
+      .filter(col("window_data_count") >= 3)
+      .select(
+        col("window.start").as("window_start"), col("user_id"),
+        when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
+          .otherwise(0.0).as("sma_value"),
+        col("window_data_count"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,337 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's core capability — the per-key windowed moving average
+  * of `faust_app/ma_agg.py` — re-expressed as declarative Spark windowed
+  * aggregations, plus one focused query per SURVEY.md §2 operator row
+  * (S2, P1–P6, A1–A12, F1–F10, W1–W3).
+  *
+  * Column mapping onto the driver's `events` table (FIXTURES.md §2):
+  * `user_id` plays `symbol`, `value` plays `vwap_price_per_sec`,
+  * `props.$.k` plays `size_per_sec` (zero ⇒ excluded from the mean,
+  * `ma_agg.py:58-59`), `event_type == "purchase"` plays
+  * `real_or_filled == "real"` (`ma_agg.py:60-61`).
+  *
+  * The reference's 5-second/1-second windows (`ma_agg.py:54,57,144`) are
+  * scaled to 4-hour/1-hour on this dataset (events arrive minutes apart;
+  * second-scale windows would never satisfy the exactly-5 gate). The
+  * literal 5s/1s semantics are exercised bit-for-bit in the streaming
+  * layer and its tests (graft.streaming) over per-second synthetic data.
+  *
+  * Scale notes (100 TB posture): every query below is a single
+  * partial-agg → shuffle-by-key → final-agg pipeline (one exchange,
+  * map-side combine free from Catalyst); no driver-side loops, no UDFs —
+  * all whole-stage-codegen'd built-ins. The hopping-window expansion
+  * multiplies rows by (size/slide)=4 *after* column pruning at the scan.
+  */
+object MovingAverage {
+  import Fmt._
+
+  /** events + the `size_per_sec` analog parsed out of the JSON props
+    * column (S2: JSON deserialization, `ma_agg.py:40`). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** W1/V1: hopping (sliding) window + exactly-N gate + guarded mean —
+    * the flagship. `ma_agg.py:49-81` semantics (§1.3.1-5): conditional
+    * sum/count exclude zero-volume rows, safe division yields 0 not
+    * NULL, emit only complete (count==5) windows, bounds = min/max of
+    * member event-times, `first`-member type (min() for determinism). */
+  def w1SlidingSma(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    e.groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"))
+      .agg(
+        round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value"),
+        count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
+        count(when(col("event_type") === "purchase", lit(1))).as("real_count"),
+        count(when(col("event_type") =!= "purchase", lit(1))).as("filled_count"),
+        date_format(min(col("ts")), MICRO).as("start"),
+        date_format(max(col("ts")), MICRO).as("end"),
+        count(lit(1)).as("window_data_count"),
+        min(col("event_type")).as("type"))
+      .filter(col("window_data_count") === 5)
+      .select(
+        date_format(col("window.start"), SEC).as("window_start"),
+        col("user_id"),
+        lit("5_MA_data").as("ma_type"),
+        col("type"), col("start"), col("end"),
+        col("sum_of_value"), col("count_of_value"),
+        round(when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
+          .otherwise(0.0), 6).as("sma_value"),
+        col("window_data_count"), col("real_count"), col("filled_count"))
+  }
+
+  private val w1Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT e.*, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+       |         make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600000000
+       |                        - h.h * 21600000000) AS ws
+       |  FROM events e CROSS JOIN range(4) h(h)
+       |), agg AS (
+       |  SELECT ws, user_id,
+       |         round(coalesce(sum(CASE WHEN k <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |         count(CASE WHEN k <> 0 THEN 1 END) AS count_of_value,
+       |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
+       |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
+       |         strftime(min(ts), '$DUCK_MICRO') AS "start",
+       |         strftime(max(ts), '$DUCK_MICRO') AS "end",
+       |         count(*) AS window_data_count,
+       |         min(event_type) AS "type"
+       |  FROM ex GROUP BY ws, user_id HAVING count(*) = 5
+       |)
+       |SELECT strftime(ws, '$DUCK_SEC') AS window_start, user_id,
+       |       '5_MA_data' AS ma_type, "type", "start", "end",
+       |       sum_of_value, count_of_value,
+       |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+       |       window_data_count, real_count, filled_count
+       |FROM agg""".stripMargin
+
+  /** W2/V2: hopping window, incremental aggregation, derived window
+    * bounds `[start, start+size)` (`ma_agg.py:144,154-155`) — no
+    * completeness gate, every window emits. */
+  def w2Hopping(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    e.groupBy(window(col("ts"), "4 hours", "1 hour"), col("user_id"))
+      .agg(
+        round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value"),
+        count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), SEC).as("window_start"),
+        date_format(col("window.end"), SEC).as("window_end"),
+        col("user_id"), col("sum_of_value"), col("count_of_value"), col("n"))
+  }
+
+  private val w2Oracle: String =
+    s"""SELECT strftime(ws, '$DUCK_SEC') AS window_start,
+       |       strftime(ws + INTERVAL 4 HOUR, '$DUCK_SEC') AS window_end,
+       |       user_id,
+       |       round(coalesce(sum(CASE WHEN k <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |       count(CASE WHEN k <> 0 THEN 1 END) AS count_of_value,
+       |       count(*) AS n
+       |FROM (SELECT e.*, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+       |             date_trunc('hour', ts) - h.h * INTERVAL 1 HOUR AS ws
+       |      FROM events e CROSS JOIN range(4) h(h))
+       |GROUP BY ws, user_id""".stripMargin
+
+  /** W3/V3 + A8/A9: tumbling window assembled by MERGING pre-aggregated
+    * partials — the two-phase partial→final protocol of
+    * `ma_agg.py:284-300`. Phase 1 aggregates 4-hour sub-buckets; phase 2
+    * merges them field-wise additively into the 24-hour tumbling window
+    * and recomputes the mean from merged sums (never averages averages).
+    * The oracle is the equivalent single-phase aggregation — merge
+    * associativity is exactly what's being checked. */
+  def w3TumblingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val partials = e
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("sub", expr("timestamp_micros((unix_micros(ts) div 14400000000) * 14400000000)"))
+      .groupBy(col("user_id"), col("day"), col("sub"))
+      .agg(
+        sum(when(col("k") =!= 0, col("value"))).as("p_sum"),
+        count(when(col("k") =!= 0, lit(1))).as("p_cnt"),
+        count(when(col("event_type") === "purchase", lit(1))).as("p_real"),
+        count(when(col("event_type") =!= "purchase", lit(1))).as("p_filled"),
+        count(lit(1)).as("p_n"))
+    partials
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        round(coalesce(sum(col("p_sum")), lit(0.0)), 6).as("sum_of_value"),
+        sum(col("p_cnt")).as("count_of_value"),
+        sum(col("p_real")).as("real_count"),
+        sum(col("p_filled")).as("filled_count"),
+        sum(col("p_n")).as("window_data_count"))
+      .select(
+        date_format(col("day"), SEC).as("window_start"),
+        col("user_id"), col("sum_of_value"), col("count_of_value"),
+        round(when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
+          .otherwise(0.0), 6).as("sma_value"),
+        col("real_count"), col("filled_count"), col("window_data_count"))
+  }
+
+  private val w3Oracle: String =
+    s"""WITH agg AS (
+       |  SELECT date_trunc('day', ts) AS day, user_id,
+       |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |         count(CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
+       |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
+       |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
+       |         count(*) AS window_data_count
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT strftime(day, '$DUCK_SEC') AS window_start, user_id,
+       |       sum_of_value, count_of_value,
+       |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+       |       real_count, filled_count, window_data_count
+       |FROM agg""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("w1_sliding_sma", w1SlidingSma, Some(w1Oracle)),
+    Q("w2_hopping", w2Hopping, Some(w2Oracle)),
+    Q("w3_tumbling_merge", w3TumblingMerge, Some(w3Oracle)),
+
+    // S2 — JSON value deserialization (`ma_agg.py:40`, value_type=StockData)
+    Q("s2_json_extract",
+      (s, d) => ev(s, d).select(col("event_id"), col("k")),
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events")),
+
+    // P1 — field projection (`ma_agg.py:58-61,65`)
+    Q("p1_project",
+      (s, d) => Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+      Some("SELECT event_id, user_id, value FROM events")),
+
+    // P2 — non-zero-volume predicate (`ma_agg.py:58-59`)
+    Q("p2_filter_nonzero",
+      (s, d) => ev(s, d).filter(col("k") =!= 0).select(col("event_id"), col("k")),
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events " +
+        "WHERE CAST(json_extract(props, '$.k') AS BIGINT) <> 0")),
+
+    // P3 — flag equality predicate (`ma_agg.py:60-61`)
+    Q("p3_filter_flag",
+      (s, d) => Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_type")),
+      Some("SELECT event_id, event_type FROM events WHERE event_type = 'purchase'")),
+
+    // P4 — time-range predicate (retain recent; `ma_agg.py:54-55`)
+    Q("p4_time_range",
+      (s, d) => Tables.events(s, d).filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select(col("event_id"), date_format(col("ts"), MICRO).as("ts_s")),
+      Some(s"SELECT event_id, strftime(ts, '$DUCK_MICRO') AS ts_s FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'")),
+
+    // P5 — exact-cardinality gate (`ma_agg.py:57`)
+    Q("p5_exact_gate",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 5)
+        .select(date_format(col("window.start"), SEC).as("window_start"), col("user_id"), col("n")),
+      Some(s"""SELECT strftime(ws, '$DUCK_SEC') AS window_start, user_id, count(*) AS n
+              |FROM (SELECT ts, user_id,
+              |             make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600000000
+              |                            - h.h * 21600000000) AS ws
+              |      FROM events CROSS JOIN range(4) h(h))
+              |GROUP BY ws, user_id HAVING count(*) = 5""".stripMargin)),
+
+    // P6 — window-close gate: only windows whose end precedes the max
+    // observed event time, the batch analog of `ma_agg.py:203`
+    Q("p6_window_close",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val maxTs = e.agg(max(col("ts")).as("max_ts"))
+        e.groupBy(window(col("ts"), "4 hours", "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(maxTs))
+          .filter(col("window.end") <= col("max_ts"))
+          .select(date_format(col("window.start"), SEC).as("window_start"), col("user_id"), col("n"))
+      },
+      Some(s"""SELECT strftime(ws, '$DUCK_SEC') AS window_start, user_id, count(*) AS n
+              |FROM (SELECT ts, user_id, date_trunc('hour', ts) - h.h * INTERVAL 1 HOUR AS ws
+              |      FROM events CROSS JOIN range(4) h(h))
+              |GROUP BY ws, user_id
+              |HAVING ws + INTERVAL 4 HOUR <= (SELECT max(ts) FROM events)""".stripMargin)),
+
+    // A1 — conditional SUM (`ma_agg.py:58`); Python sum([])==0 ⇒ coalesce
+    Q("a1_cond_sum",
+      (s, d) => ev(s, d).groupBy(col("user_id"))
+        .agg(round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value")),
+      Some("SELECT user_id, round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 " +
+        "THEN value END), 0), 6) AS sum_of_value FROM events GROUP BY user_id")),
+
+    // A2 — conditional COUNT (`ma_agg.py:59`)
+    Q("a2_cond_count",
+      (s, d) => ev(s, d).groupBy(col("user_id"))
+        .agg(count(when(col("k") =!= 0, lit(1))).as("count_of_value")),
+      Some("SELECT user_id, count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) " +
+        "AS count_of_value FROM events GROUP BY user_id")),
+
+    // A3 — predicate-bucketed counts (`ma_agg.py:60-61`)
+    Q("a3_bucket_counts",
+      (s, d) => Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", lit(1))).as("real_count"),
+          count(when(col("event_type") =!= "purchase", lit(1))).as("filled_count")),
+      Some("SELECT user_id, count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count, " +
+        "count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count FROM events GROUP BY user_id")),
+
+    // A4 — MIN/MAX over timestamps (`ma_agg.py:67-68`)
+    Q("a4_minmax_ts",
+      (s, d) => Tables.events(s, d).groupBy(col("user_id"))
+        .agg(date_format(min(col("ts")), MICRO).as("first_ts"),
+          date_format(max(col("ts")), MICRO).as("last_ts")),
+      Some(s"SELECT user_id, strftime(min(ts), '$DUCK_MICRO') AS first_ts, " +
+        s"strftime(max(ts), '$DUCK_MICRO') AS last_ts FROM events GROUP BY user_id")),
+
+    // A5/A10 — COUNT(*) under keyed grouping (`ma_agg.py:73,85`)
+    Q("a5_count_by_key",
+      (s, d) => Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+      Some("SELECT user_id, count(*) AS n FROM events GROUP BY user_id")),
+
+    // A6 — guarded mean: sum/count if count>0 else 0 (`ma_agg.py:70`)
+    Q("a6_guarded_mean",
+      (s, d) => ev(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("s"),
+          count(when(col("k") =!= 0, lit(1))).as("c"))
+        .select(col("user_id"), col("event_type"),
+          round(when(col("c") > 0, col("s") / col("c")).otherwise(0.0), 6).as("sma_value")),
+      Some("""WITH a AS (
+             |  SELECT user_id, event_type,
+             |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS s,
+             |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS c
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, event_type,
+             |       round(CASE WHEN c > 0 THEN s / c ELSE 0 END, 6) AS sma_value FROM a""".stripMargin)),
+
+    // A7 — FIRST (arbitrary member)'s deterministic stand-in: the
+    // reference takes `next(iter(window))` (`ma_agg.py:65`), constant per
+    // key in practice; min() is the oracle-stable equivalent.
+    Q("a7_first_type",
+      (s, d) => Tables.events(s, d).groupBy(col("user_id")).agg(min(col("event_type")).as("type")),
+      Some("SELECT user_id, min(event_type) AS \"type\" FROM events GROUP BY user_id")),
+
+    // A11 — composite-key grouping (`ma_agg.py:265`)
+    Q("a11_composite_key",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"), col("event_type"), date_format(col("day"), SEC).as("day"),
+          col("n"), col("sum_value")),
+      Some(s"SELECT user_id, event_type, strftime(date_trunc('day', ts), '$DUCK_SEC') AS day, " +
+        "count(*) AS n, round(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2, 3")),
+
+    // A12/F6 — grouping by derived concatenated key (`ma_agg.py:263`)
+    Q("a12_derived_key",
+      (s, d) => Tables.events(s, d)
+        .groupBy(concat_ws("_", col("user_id"), col("event_type")).as("gkey"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT user_id || '_' || event_type AS gkey, count(*) AS n FROM events GROUP BY 1")),
+
+    // F1/F2 — ISO-8601 parse + format round-trip (`ma_agg.py:87`, `.isoformat()`)
+    Q("f1_iso_roundtrip",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        date_format(to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")), MICRO).as("ts_rt")),
+      Some(s"SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), " +
+        s"'%Y-%m-%dT%H:%M:%S.%f'), '$DUCK_MICRO') AS ts_rt FROM events")),
+
+    // F3 — UTC normalization from a fixed-offset zone (`ma_agg.py:46-47`;
+    // container ran TZ=Asia/Taipei, docker-compose.yml:13)
+    Q("f3_utc_normalize",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        date_format(to_utc_timestamp(col("ts"), "Asia/Taipei"), MICRO).as("ts_utc")),
+      Some(s"SELECT event_id, strftime(ts - INTERVAL 8 HOUR, '$DUCK_MICRO') AS ts_utc FROM events")),
+
+    // F5 — timestamp ± interval (`ma_agg.py:54,154-155`)
+    Q("f5_interval_arith",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts") - expr("INTERVAL 5 SECONDS"), MICRO).as("ts_minus_5s")),
+      Some(s"SELECT event_id, strftime(ts - INTERVAL 5 SECOND, '$DUCK_MICRO') AS ts_minus_5s FROM events")),
+
+    // F10 — lexicographic comparison of ISO-formatted timestamps (`ma_agg.py:203`)
+    Q("f10_string_ts_compare",
+      (s, d) => Tables.events(s, d)
+        .filter(date_format(col("ts"), SEC) >= "2024-01-25 00:00:00")
+        .select(col("event_id")),
+      Some(s"SELECT event_id FROM events WHERE strftime(ts, '$DUCK_SEC') >= '2024-01-25 00:00:00'")))
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  /** One session for the whole test run; intentionally does NOT set the
+    * nanosAsLong conf so tests prove Tables.events self-configures (the
+    * driver's own session won't have it either). */
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class EntrySmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows on sf0.001 with a fresh (unconfigured) session") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and every oracle key exists in queries") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
