@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` (and `embeddings`)
+  * tables: exact hash-dedup, MinHash+LSH, SimHash, exact n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup = one shuffle on a 64-bit content hash (never on the
+  *    full text — the shuffle carries 8 bytes + doc_id per row);
+  *  - MinHash/LSH and SimHash banding turn the O(N²) pair problem into
+  *    an equi-join on (band, signature) — the only shuffle key is a
+  *    16-byte band key, and candidate verification happens only inside
+  *    buckets. This is the path that survives 1000 executors; the exact
+  *    Jaccard / exact cosine queries exist as correctness oracles at
+  *    test SF (their self-joins are O(N²) and deliberately NOT the
+  *    scale path).
+  */
+object Dedup {
+  import Fmt._
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val words: Column = split(col("text"), " ")
+
+  /** DD1 — exact dedup: group on a content hash, keep the smallest
+    * doc_id per group. The oracle groups on raw text (hash-free) —
+    * agreement proves the hash grouping loses nothing at this SF. */
+  def dd1Exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_doc_id"), col("n_dups"))
+
+  private val dd1Oracle =
+    "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+
+  /** Word-3-gram shingle set per doc (deduplicated). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
+            i => concat_ws(" ", slice(words, i, lit(3)))))).as("s"))
+
+  /** DD4 — exact n-gram Jaccard near-dup pairs (threshold 0.5): join on
+    * common shingles, |A∩B| / (|A|+|B|−|A∩B|). */
+  def dd4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  private val dd4Oracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+      |                 i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da, db,
+      |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin
+
+  private val NUM_PERM = 32
+  private val BANDS = 8 // 8 bands x 4 rows
+
+  /** DD2 — MinHash + LSH candidate pairs. Per doc: 32 min-hashes (one
+    * per seeded permutation), banded 8×4; docs sharing any band bucket
+    * become candidates; candidates are kept when the signature-estimated
+    * Jaccard ≥ 0.5. Spark-specific xxhash64 ⇒ rows-only check; the
+    * ScalaTest spec asserts it finds exactly the dd4 exact-Jaccard pairs
+    * on this corpus. */
+  def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    // signature: one min() per seeded permutation — plain aggregates, so
+    // Spark partial-aggregates map-side before the single shuffle on doc_id
+    val minCols = (0 until NUM_PERM).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NUM_PERM).map(i => col(s"h$i")): _*).as("sig"))
+    // band keys: structural hash of each 4-slice of the signature
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+        b => xxhash64(slice(col("sig"), b * (NUM_PERM / BANDS) + 1, lit(NUM_PERM / BANDS)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val l = banded.as("l"); val r = banded.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        col("l.sig").as("siga"), col("r.sig").as("sigb"))
+      .dropDuplicates("da", "db")
+    cand
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NUM_PERM, 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("est_jaccard"))
+  }
+
+  /** DD3 — SimHash near-dup pairs: 64-bit simhash from word hashes
+    * (bit j of each word hash votes ±1), banded into 8×8-bit chunks —
+    * by pigeonhole, any pair within Hamming distance 7 shares at least
+    * one intact chunk, so banding loses nothing up to the threshold.
+    * Docs sharing a chunk are candidates; kept when Hamming ≤ 7 (short
+    * docs flip several low-margin bits per edited word, so the radius
+    * is wider than the classic 64-bit/3-bit setup).
+    * Engine-specific hash ⇒ rows-only check + ScalaTest. */
+  def dd3SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val whash = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    // per (doc, bit): sum of ±1 votes (partial-aggregated map-side),
+    // then assemble the 64-bit fingerprint
+    val sim = whash
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 63), b -> CAST(shiftright(h, b) & 1 AS INT) * 2 - 1)")))
+      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "vote")
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 7), i -> shiftright(simhash, i * 8) & 255)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val l = chunked.as("l"); val r = chunked.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .dropDuplicates("da", "db")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 7)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** DD5 — embedding-cosine near-dup pairs (exact, threshold 0.45):
+    * the correctness oracle for the LSH-bucketed scale path (sim2). */
+  def dd5EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
+  }
+
+  private val dd5Oracle =
+    """SELECT a.vec_id AS va, b.vec_id AS vb,
+      |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
+    Q("dd2_minhash_lsh", dd2MinHashLsh, None),
+    Q("dd3_simhash", dd3SimHash, None),
+    Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
+    Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)))
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One decoded-media record: metadata is real, `features` comes from the
+  * stubbed decoder. */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    fake_width: Int,
+    fake_height: Int,
+    features: Array[Double])
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as an
+  * opaque `binary` column plus typed metadata, with decode /
+  * feature-extract running batched per partition.
+  *
+  * There is no media in the synthetic corpus and no codec libraries in
+  * this environment, so the payload is the utf-8 bytes of `text` and
+  * the decoder is a DETERMINISTIC FAKE (clearly marked below). What IS
+  * real — and what the tests pin down — is the Spark-side plumbing a
+  * production decode needs: binary column handling, schema of the
+  * decoded struct, per-partition batch iteration (the shape a JNI/
+  * subprocess codec wants), and partition-parallel execution with no
+  * driver-side collection.
+  *
+  * Scale notes: decode is a narrow per-partition map — zero shuffle;
+  * at 100 TB you size `spark.sql.files.maxPartitionBytes` so one batch
+  * of decoded frames fits in executor memory, and the same code runs
+  * unchanged.
+  */
+object Multimodal {
+
+  /** documents + the opaque binary payload column. */
+  def withBinary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("media", col("text").cast("binary"))
+
+  /** MM1 — typed metadata over the binary column (oracle-checked:
+    * byte length via built-in expressions both sides). */
+  def mm1BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    withBinary(spark, dir).select(
+      col("doc_id"),
+      length(col("media")).cast("long").as("n_bytes"),
+      xxhash64(col("media")).as("content_hash"))
+
+  private val mm1Oracle =
+    // content_hash is Spark-specific; the oracle checks the byte-length
+    // metadata — hash equality is covered by dd1 + the ScalaTest spec.
+    "SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes FROM documents"
+
+  /** MM1 oracle-checkable projection (no engine-specific hash). */
+  def mm1Meta(spark: SparkSession, dir: String): DataFrame =
+    withBinary(spark, dir).select(
+      col("doc_id"), length(col("media")).cast("long").as("n_bytes"))
+
+  /** ========================= STUB =========================
+    * Fake "decode": a real implementation would hand `batch` (an
+    * Iterator of (doc_id, bytes)) to an image/audio codec in chunks.
+    * This deterministic stand-in derives 8 "features" and fake
+    * dimensions from the bytes so tests have stable expectations.
+    * The batching shape, schema, and distribution are the real thing.
+    */
+  private def fakeDecodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[MediaFeatures] =
+    batch.map { case (id, bytes) =>
+      val n = bytes.length
+      val feats = Array.tabulate(8) { i =>
+        var acc = 0L
+        var j = i
+        while (j < n) { acc = acc * 31 + (bytes(j) & 0xFF); j += 8 }
+        (acc & 0xFFFFFF).toDouble / 0xFFFFFF
+      }
+      MediaFeatures(id, n.toLong, fake_width = (n % 640) + 1, fake_height = (n % 480) + 1, feats)
+    }
+
+  /** MM2 — per-partition batched decode + feature extraction. */
+  def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src: Dataset[(Long, Array[Byte])] = withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    src.mapPartitions(fakeDecodeBatch)
+      .select(col("doc_id"), col("n_bytes"), col("fake_width"), col("fake_height"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 8), 6).as("f7"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
+    Q("mm2_decode_features", mm2DecodeFeatures, None))
+}

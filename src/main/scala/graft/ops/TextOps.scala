@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table: language ID (stopword-marker heuristic),
+  * quality scoring, token counting (whitespace + regex lexer), and
+  * document fingerprinting (normalize-sort-dedupe key + rolling hash).
+  *
+  * Scale notes: every operator is a narrow map over one string column —
+  * no shuffle at all except the fingerprint-collision groupBy, which
+  * shuffles only (hash, doc_id) after map-side projection. All built-in
+  * expressions, whole-stage codegen'd, linear in corpus size.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val words: Column = split(col("text"), " ")
+
+  /** marker-stopword hit count for one language */
+  private def hits(markers: Seq[String]): Column =
+    size(filter(words, w => w.isin(markers.map(x => x: Any): _*)))
+
+  private val enM = Seq("the", "and", "of", "to", "in")
+  private val esM = Seq("el", "la", "de", "los", "que")
+  private val deM = Seq("der", "und", "das", "ist", "nicht")
+  private val frM = Seq("le", "et", "les", "des", "est")
+
+  /** TA1 — language ID by n-gram/stopword scoring with a deterministic
+    * priority tie-break (en > es > de > fr > und). */
+  def ta1LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("s_en", hits(enM)).withColumn("s_es", hits(esM))
+      .withColumn("s_de", hits(deM)).withColumn("s_fr", hits(frM))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, "und")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("lang_pred"))
+
+  private def duckHits(l: String): String =
+    s"len(list_filter(string_split(text, ' '), x -> list_contains($l, x)))"
+
+  private val ta1Oracle =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |         ${duckHits("['the','and','of','to','in']")} AS s_en,
+       |         ${duckHits("['el','la','de','los','que']")} AS s_es,
+       |         ${duckHits("['der','und','das','ist','nicht']")} AS s_de,
+       |         ${duckHits("['le','et','les','des','est']")} AS s_fr
+       |  FROM documents)
+       |SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |       CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+       |            WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+       |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+       |            WHEN s_de >= s_fr THEN 'de'
+       |            ELSE 'fr' END AS lang_pred
+       |FROM sc""".stripMargin
+
+  /** TA2 — quality scoring: length stats, mean word length, stopword
+    * ratio, composite score in [0,1]. */
+  def ta2Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("sum_word_len",
+        aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x))
+      .withColumn("stop_hits", hits(enM))
+      .select(col("doc_id"),
+        length(col("text")).as("len_chars"),
+        col("n_words"),
+        round(col("sum_word_len").cast("double") / col("n_words"), 6).as("avg_word_len"),
+        round(col("stop_hits").cast("double") / col("n_words"), 6).as("stopword_ratio"),
+        round(least(col("n_words").cast("double") / 100, lit(1.0)) *
+          (lit(1.0) - col("stop_hits").cast("double") / col("n_words")), 6).as("quality_score"))
+
+  private val ta2Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS len_chars,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_word_len,
+       |         ${duckHits("['the','and','of','to','in']")} AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, len_chars, n_words,
+       |       round(CAST(sum_word_len AS DOUBLE) / n_words, 6) AS avg_word_len,
+       |       round(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       |       round(least(CAST(n_words AS DOUBLE) / 100, 1.0) *
+       |             (1.0 - CAST(stop_hits AS DOUBLE) / n_words), 6) AS quality_score
+       |FROM t""".stripMargin
+
+  /** TA3 — token counting: whitespace tokens + a BPE-ish regex lexer
+    * (letter runs / digit runs / single other chars). */
+  def ta3TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+
+  private val ta3Oracle =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+      |FROM documents""".stripMargin
+
+  /** TA4 — fingerprinting: normalize → sort → dedupe words (key-collision
+    * fingerprint); docs sharing a key are near-identical bags of words. */
+  def ta4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fp", array_join(array_sort(array_distinct(words)), " "))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+      .select(col("keep_doc_id"), col("n_docs"), substring(col("fp"), 1, 64).as("fp_prefix"))
+
+  private val ta4Oracle =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+      |  FROM documents)
+      |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_docs, substr(fp, 1, 64) AS fp_prefix
+      |FROM f GROUP BY fp""".stripMargin
+
+  /** TA5 — rolling-hash fingerprint (xxhash64 over word 4-gram shingles,
+    * min-anchored winnowing). Engine-specific hash ⇒ no SQL oracle; the
+    * driver's rows-only check + ScalaTest cover it. */
+  def ta5RollingHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("w", words)
+      .withColumn("shingles",
+        transform(sequence(lit(0), greatest(size(col("w")) - 4, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(4))))))
+      .select(col("doc_id"),
+        array_min(col("shingles")).as("min_hash"),
+        xxhash64(col("text")).as("full_hash"))
+
+  val queries: Seq[Q] = Seq(
+    Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
+    Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
+    Q("ta3_token_count", ta3TokenCount, Some(ta3Oracle)),
+    Q("ta4_fingerprint", ta4Fingerprint, Some(ta4Oracle)),
+    Q("ta5_rolling_hash", ta5RollingHash, None))
+}
