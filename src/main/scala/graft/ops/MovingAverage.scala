@@ -328,6 +328,38 @@ object MovingAverage {
         date_format(col("ts") - expr("INTERVAL 5 SECONDS"), MICRO).as("ts_minus_5s")),
       Some(s"SELECT event_id, strftime(ts - INTERVAL 5 SECOND, '$DUCK_MICRO') AS ts_minus_5s FROM events")),
 
+    // A8/A9 (typed form) — the reference's zero/reduce/merge/finish
+    // protocol as an Aggregator registered via udaf; the oracle is the
+    // equivalent direct SQL, so Spark's partial-aggregation execution of
+    // the Aggregator (map-side reduce, shuffle, merge, finish) is what
+    // gets hash-checked.
+    Q("a9_typed_udaf",
+      (s, d) => {
+        val ma = udaf(new graft.functions.MaAggregator)
+        ev(s, d)
+          .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
+          .groupBy(col("user_id"))
+          .agg(ma(col("value"), col("k"), col("flag")).as("m"))
+          .select(col("user_id"),
+            round(col("m.sum_of_value"), 6).as("sum_of_value"),
+            col("m.count_of_value").as("count_of_value"),
+            round(col("m.sma_value"), 6).as("sma_value"),
+            col("m.real_count").as("real_count"),
+            col("m.filled_count").as("filled_count"),
+            col("m.n").as("n"))
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id,
+             |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+             |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
+             |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
+             |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
+             |         count(*) AS n
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, sum_of_value, count_of_value,
+             |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+             |       real_count, filled_count, n FROM a""".stripMargin)),
+
     // F10 — lexicographic comparison of ISO-formatted timestamps (`ma_agg.py:203`)
     Q("f10_string_ts_compare",
       (s, d) => Tables.events(s, d)
