@@ -1,26 +1,42 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>`/`array<double>` embedding columns,
-  * built from codegen'd higher-order functions (`zip_with`/`aggregate`)
-  * — no UDFs, so the expressions stay inside whole-stage codegen and
-  * Catalyst can prune/push around them.
+/** Vector math over `array<float>`/`array<double>` embedding columns.
+  *
+  * `dot` is the custom codegen'd [[DoubleDot]] Catalyst expression — the
+  * built-in `zip_with`/`aggregate` HOF formulation evaluates its lambdas
+  * interpreted, which dominated runtime on pairwise-cosine workloads.
   *
   * All math is done in DOUBLE with strict left-to-right accumulation,
-  * which is also how DuckDB's list functions accumulate — keeping the
-  * oracle comparison bit-exact.
+  * the same order as DuckDB's list functions — keeping the oracle
+  * comparison bit-exact.
+  *
+  * For pairwise work, precompute `norm2` once per vector and combine
+  * with one `dot` per pair (cosine = dot / (normA * normB)) instead of
+  * calling [[cosine]] per pair (3 dots).
   */
 object VectorFunctions {
 
-  /** Elementwise dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Registers `double_dot` in the active session's function registry
+    * (idempotent) so [[DoubleDot]] is reachable from the public Column
+    * API — Spark 4 hides direct Expression→Column construction. Also
+    * makes the function available to plain SQL text. */
+  private def ensureRegistered(): Unit =
+    SparkSession.active.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot", exprs => DoubleDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** Elementwise dot product in double precision (codegen'd). */
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("double_dot", a.cast("array<double>"), b.cast("array<double>"))
+  }
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0-vector guard returns 0.0 rather than NaN. */
+  /** Cosine similarity; 0-vector guard returns 0.0 rather than NaN.
+    * Prefer dot + precomputed norms for pairwise workloads. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm2(a) * norm2(b)

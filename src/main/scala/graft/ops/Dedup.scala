@@ -126,18 +126,20 @@ object Dedup {
     val whash = docs(spark, dir)
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    // per (doc, bit): sum of ±1 votes (partial-aggregated map-side),
-    // then assemble the 64-bit fingerprint
-    val sim = whash
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 63), b -> CAST(shiftright(h, b) & 1 AS INT) * 2 - 1)")))
-      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "vote")
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+    // collapse to (doc, word-hash, count) first — the vocabulary is far
+    // smaller than the token stream, so the 64 per-bit vote aggregates
+    // run over ~10× fewer rows; votes are weighted by occurrence count,
+    // which is exactly classic simhash semantics
+    val counted = whash.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    val voteCols = (0 until 64).map(b =>
+      sum(expr(s"cnt * (CAST(shiftright(h, $b) & 1 AS INT) * 2 - 1)")).as(s"v$b"))
+    val bitSum = (0 until 64)
+      .map(b => expr(s"CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    val sim = counted
       .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), bitSum.as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), i -> shiftright(simhash, i * 8) & 255)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
@@ -156,11 +158,14 @@ object Dedup {
     * the correctness oracle for the LSH-bucketed scale path (sim2). */
   def dd5EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
+    // norms once per vector (2N sqrts), one codegen'd dot per pair —
+    // same arithmetic order as the oracle's dot/(sqrt*sqrt)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos", round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
   }

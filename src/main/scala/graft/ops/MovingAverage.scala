@@ -43,22 +43,31 @@ object MovingAverage {
     * member event-times, `first`-member type (min() for determinism). */
   def w1SlidingSma(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
+    // the A7 'type' column is a string aggregate — a string in the agg
+    // buffer would force the whole windowed aggregation into
+    // SortAggregate (no hash agg, no codegen). Keep the hot windowed agg
+    // purely numeric (HashAggregate) and broadcast-join the tiny
+    // per-key type from a side aggregate over a 2-column scan.
+    val types = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(col("event_type")).as("type"))
     e.groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"))
       .agg(
         round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value"),
         count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
         count(when(col("event_type") === "purchase", lit(1))).as("real_count"),
         count(when(col("event_type") =!= "purchase", lit(1))).as("filled_count"),
-        date_format(min(col("ts")), MICRO).as("start"),
-        date_format(max(col("ts")), MICRO).as("end"),
-        count(lit(1)).as("window_data_count"),
-        min(col("event_type")).as("type"))
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        count(lit(1)).as("window_data_count"))
       .filter(col("window_data_count") === 5)
+      .join(broadcast(types), "user_id")
       .select(
         date_format(col("window.start"), SEC).as("window_start"),
         col("user_id"),
         lit("5_MA_data").as("ma_type"),
-        col("type"), col("start"), col("end"),
+        col("type"),
+        date_format(col("min_ts"), MICRO).as("start"),
+        date_format(col("max_ts"), MICRO).as("end"),
         col("sum_of_value"), col("count_of_value"),
         round(when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
           .otherwise(0.0), 6).as("sma_value"),
@@ -79,16 +88,15 @@ object MovingAverage {
        |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
        |         strftime(min(ts), '$DUCK_MICRO') AS "start",
        |         strftime(max(ts), '$DUCK_MICRO') AS "end",
-       |         count(*) AS window_data_count,
-       |         min(event_type) AS "type"
+       |         count(*) AS window_data_count
        |  FROM ex GROUP BY ws, user_id HAVING count(*) = 5
-       |)
-       |SELECT strftime(ws, '$DUCK_SEC') AS window_start, user_id,
-       |       '5_MA_data' AS ma_type, "type", "start", "end",
+       |), ty AS (SELECT user_id, min(event_type) AS "type" FROM events GROUP BY user_id)
+       |SELECT strftime(ws, '$DUCK_SEC') AS window_start, agg.user_id,
+       |       '5_MA_data' AS ma_type, ty."type", "start", "end",
        |       sum_of_value, count_of_value,
        |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
        |       window_data_count, real_count, filled_count
-       |FROM agg""".stripMargin
+       |FROM agg JOIN ty ON agg.user_id = ty.user_id""".stripMargin
 
   /** W2/V2: hopping window, incremental aggregation, derived window
     * bounds `[start, start+size)` (`ma_agg.py:144,154-155`) — no

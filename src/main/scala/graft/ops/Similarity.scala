@@ -34,11 +34,11 @@ object Similarity {
 
   /** SIM1 — brute-force cosine top-k per query vector. */
   def sim1BruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+    val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
     val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -90,15 +90,17 @@ object Similarity {
       bits.reduce(_ + _)
     }
     val e = vecs(spark, dir).withColumn("sig", signature(col("v")))
+      .withColumn("nrm", norm2(col("v")))
     // multi-probe masks: every signature perturbation within PROBE_RADIUS bits
     val masks = (0 until (1 << PLANES)).filter(m => Integer.bitCount(m) <= PROBE_RADIUS)
     val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
-      .select(col("qid"), col("qv"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"),
+        col("nrm").as("qnrm"))
+      .select(col("qid"), col("qv"), col("qnrm"),
         explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("probe"))
     val cand = e.join(broadcast(q), col("sig") === col("probe") && col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, MovingAverage, Relational, Similarity}
+
+/** Physical-plan assertions — the 100 TB posture, pinned so refactors
+  * can't silently regress it: filters and projections reach the parquet
+  * scan, dimension joins broadcast (no fact-table shuffle), single-pass
+  * aggregation, and the custom dot product stays inside codegen. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // collect() runs THIS Dataset's queryExecution (count() would build
+    // a new one), finalizing the AQE plan so codegen spans are visible;
+    // keep only the final-plan section (toString repeats the initial one)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q1: ship-date filter is pushed into the parquet scan") {
+    val p = plan(Relational.q1Pricing(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("p1: scan reads only the projected columns") {
+    val p = plan(Tables.events(spark, sf).select("event_id", "user_id", "value"))
+    assert(p.contains("ReadSchema: struct<event_id:bigint"), p)
+    assert(!p.contains("props"), "props must be pruned from the scan:\n" + p)
+  }
+
+  test("j1: both dimension joins are broadcast — no shuffle of the fact side") {
+    val p = plan(Relational.j1RevenuePerNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("a5: keyed count is one partial-agg -> exchange -> final-agg pass") {
+    val p = plan(MovingAverage.queries.find(_.name == "a5_count_by_key").get
+      .fn(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("w1: windowed agg is hash-based codegen; string min isolated to the broadcast side") {
+    val p = plan(MovingAverage.w1SlidingSma(spark, sf))
+    // the windowed (hot) aggregation must be a HashAggregate — a string
+    // agg buffer would demote it to SortAggregate
+    assert(!p.contains("SortAggregate(key=[window"), p)
+    assert(p.contains("HashAggregate(keys=[window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("*("), p) // *(n) = whole-stage-codegen span
+  }
+
+  test("sim1: query side broadcasts; candidates scan without shuffle") {
+    val p = plan(Similarity.sim1BruteTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dd5: custom double_dot expression participates in codegen") {
+    val df = Dedup.dd5EmbeddingCosine(spark, sf)
+    val p = plan(df)
+    assert(p.contains("double_dot") || p.contains("DoubleDot"), p)
+    assert(p.contains("*("), p) // *(n) = whole-stage-codegen span
+    // and the expression actually computes: known self-dot
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val r = spark.range(1).select(
+      VectorFunctions.dot(array(lit(1.0), lit(2.0), lit(3.0)),
+        array(lit(4.0), lit(5.0), lit(6.0))).as("d")).head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("dd1: shuffle key is the 8-byte hash, not the document text") {
+    val p = plan(Dedup.dd1Exact(spark, sf))
+    assert(p.contains("xxhash64"), p)
+    // text feeds the hash pre-shuffle; the exchange partitions on the
+    // hash value (named h or _groupingexpression depending on aliasing)
+    assert("Exchange hashpartitioning\\((h|_groupingexpression)".r.findAllIn(p).nonEmpty, p)
+  }
+}
