@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Operators beyond the reference's surface that a production engine at
+  * this seat needs: session windows, as-of (temporal) joins, and
+  * one-to-many generation — each expressed with built-ins per the
+  * preference order (no custom plan nodes required).
+  */
+object Extended {
+  import Fmt._
+
+  /** WS1 — session windows (gap-based): runs of per-user events with
+    * < 2h gaps. Spark's native `session_window` merges state in the
+    * aggregation layer — at scale this is one shuffle on the key, state
+    * merged incrementally (works identically under Structured
+    * Streaming). Boundary note: an event at exactly gap distance starts
+    * a new session in Spark but extends it in the lag-based oracle —
+    * unobservable at microsecond timestamps. */
+  def ws1SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        date_format(col("first_ts"), MICRO).as("session_start"),
+        date_format(col("last_ts"), MICRO).as("session_end"),
+        col("n"), col("sum_value"))
+
+  private val ws1Oracle =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id,
+       |       strftime(min(ts), '$DUCK_MICRO') AS session_start,
+       |       strftime(max(ts), '$DUCK_MICRO') AS session_end,
+       |       count(*) AS n, round(sum(value), 6) AS sum_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** AJ1 — as-of join: each event paired with the user's most recent
+    * order at event time (inner semantics; ties broken on orderkey).
+    * Composition path (a): equi-join on the key + time predicate, then
+    * keep the latest per event via row_number. Scale note: the
+    * expansion factor is bounded by orders-per-key; for unbounded
+    * history the union-sort-merge formulation (tag both sides, sort by
+    * (key, time), carry last order forward) avoids the expansion — at
+    * this cardinality the join form is cheaper and AQE handles skew. */
+  def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = e.join(o,
+      e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), MICRO).as("ts_s"),
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), SEC).as("order_date"))
+  }
+
+  private val aj1Oracle =
+    s"""SELECT event_id, user_id, ts_s, o_orderkey, o_totalprice, order_date FROM (
+       |  SELECT e.event_id, e.user_id,
+       |         strftime(e.ts, '$DUCK_MICRO') AS ts_s,
+       |         o.o_orderkey, o.o_totalprice,
+       |         strftime(o.o_orderdate, '$DUCK_SEC') AS order_date,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+       |  FROM events e JOIN orders o
+       |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+       |WHERE rn = 1""".stripMargin
+
+  /** MM3 — one-to-many generation (the UDTF shape): sample one "frame"
+    * per 64-byte block of the opaque media payload. The generator is
+    * `explode(sequence(...))` — codegen'd, no UDTF class needed; a real
+    * decoder would replace the arithmetic with frame timestamps. */
+  def mm3FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinary(spark, dir)
+      .withColumn("n_frames", ceil(length(col("media")) / lit(64.0)).cast("long"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 64).as("byte_offset"), col("n_frames"))
+
+  private val mm3Oracle =
+    // DuckDB 1.0 lacks lateral range(); expand via the scalar list form
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(ceil(octet_length(text::BLOB) / 64.0) AS BIGINT) AS n_frames,
+      |         unnest(range(CAST(ceil(octet_length(text::BLOB) / 64.0) AS BIGINT))) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset, n_frames FROM f""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
+    Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
+    Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)))
+}
