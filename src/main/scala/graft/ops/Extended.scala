@@ -104,8 +104,28 @@ object Extended {
       |  FROM documents)
       |SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset, n_frames FROM f""".stripMargin
 
+  /** A13 — salted two-phase aggregation: the standard remedy when one
+    * key dominates (a hot symbol at 100 TB would bottleneck a single
+    * reducer). Phase 1 aggregates on (key, salt) — hot keys spread over
+    * 16 reducers; phase 2 merges the 16 partials per key. Merge
+    * correctness is the A9 protocol; the oracle is the direct
+    * single-phase aggregation, so the rewrite is verified equivalent. */
+  def a13SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(col("value")).as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("ps")), 6).as("sum_value"), sum(col("pn")).as("n"))
+  }
+
+  private val a13Oracle =
+    """SELECT user_id, round(sum(value), 6) AS sum_value, count(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
-    Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)))
+    Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
+    Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)))
 }

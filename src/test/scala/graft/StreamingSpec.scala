@@ -137,6 +137,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed SMA update mode: complete window emits without watermark close (V1 cadence)") {
+    val input = MemoryStream[String](Encoders.STRING, spark)
+    val out = MaPipeline.windowedSma(MaPipeline.parse(input.toDF().select(col("value"))))
+    val q = out.writeStream.format("memory").queryName("sma_update")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        wire("D", 20, 10.0, 1), wire("D", 21, 20.0, 1), wire("D", 22, 30.0, 1),
+        wire("D", 23, 40.0, 1), wire("D", 24, 50.0, 1))
+      q.processAllAvailable()
+      // update mode: the complete window is visible NOW — no watermark
+      // advance needed (the reference's every-second re-emission model)
+      val rows = spark.table("sma_update")
+        .filter($"symbol" === "D" && $"window_data_count" === 5).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("sma_value") == 30.0)
+    } finally q.stop()
+  }
+
   test("serde round-trip: to_json ∘ from_json = id on the wire schema") {
     val js = wire("A", 7, 12.5, 3)
     val df = Seq(js).toDF("value")
