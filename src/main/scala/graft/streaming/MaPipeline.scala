@@ -32,9 +32,11 @@ import graft.model.Schemas
   */
 object MaPipeline {
 
-  /** S1 — Kafka source (untested here: no broker in this environment;
-    * the wiring mirrors `app.topic('kafka_per_sec_data')`,
-    * `ma_agg.py:40`). */
+  /** S1 — Kafka source. The wiring mirrors
+    * `app.topic('kafka_per_sec_data')` (`ma_agg.py:40`). Requires the
+    * spark-sql-kafka connector on the classpath (not shipped in this
+    * build environment — exercised via [[fromJsonFiles]]/MemoryStream,
+    * which feed the identical downstream pipeline through `parse`). */
   def fromKafka(spark: SparkSession, servers: String,
       topic: String = "kafka_per_sec_data"): DataFrame =
     spark.readStream.format("kafka")
@@ -42,6 +44,12 @@ object MaPipeline {
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
       .load()
+
+  /** S1 alternative runnable anywhere: stream JSON-lines files. Emits
+    * the same single `value: string` column as the Kafka source, so the
+    * downstream pipeline is byte-identical. */
+  def fromJsonFiles(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
 
   /** S2 — JSON bytes → typed columns with event-time `ts` parsed from
     * the ISO-8601 `current_time` (F1, `ma_agg.py:87`) and normalized to

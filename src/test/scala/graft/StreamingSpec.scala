@@ -95,10 +95,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("V1 state processor: timer-driven emission with eviction and gate") {
     val input = MemoryStream[StockTick](Encoders.product[StockTick], spark)
-    // short first fire so the test can trigger it; long re-arm so the
-    // query reaches quiescence and processAllAvailable returns
+    // short first fire; 3s re-arm so we can also observe the V1
+    // re-emission cadence (a complete window re-emits every fire)
     val out = V1StateProcessor(input.toDS(), windowMs = 60000L,
-      timerIntervalMs = 600000L, gateCount = 5, firstTimerDelayMs = 50L)
+      timerIntervalMs = 3000L, gateCount = 5, firstTimerDelayMs = 50L)
     val q = out.writeStream.format("memory").queryName("v1_state")
       .outputMode("update").start()
     try {
@@ -134,7 +134,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("count_of_vwap") == 4L)
       assert(r.getAs[Double]("sma_value") == 30.0)
       assert(r.getAs[Long]("filled_data_count") == 1L)
+      // W6/V1 duplicate-emission policy: the still-complete window
+      // re-emits on the next fire (`ma_agg.py:57,78`)
+      val deadline2 = System.currentTimeMillis() + 90000L
+      var n = rows.length
+      while (n < 2 && System.currentTimeMillis() < deadline2) {
+        Thread.sleep(1000)
+        n = spark.table("v1_state").filter($"symbol" === "A").collect().length
+      }
+      assert(n >= 2, "complete window must re-emit on subsequent timer fires")
     } finally q.stop()
+  }
+
+  test("file source end-to-end: JSON-lines dir -> parse -> window -> sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    try {
+      val lines = (10 to 14).map(s => wire("F", s, 100.0, 1)) :+ wire("Z", 59, 1.0, 1)
+      java.nio.file.Files.write(new java.io.File(dir, "batch1.json").toPath,
+        String.join("\n", lines: _*).getBytes)
+      val out = MaPipeline.windowedSma(MaPipeline.parse(
+        MaPipeline.fromJsonFiles(spark, dir.getAbsolutePath)))
+      val q = out.writeStream.format("memory").queryName("sma_file")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("sma_file")
+          .filter($"symbol" === "F" && $"window_data_count" === 5).collect()
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Double]("sma_value") == 100.0)
+      } finally q.stop()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("windowed SMA update mode: complete window emits without watermark close (V1 cadence)") {
