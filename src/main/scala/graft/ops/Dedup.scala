@@ -39,13 +39,17 @@ object Dedup {
   private val dd1Oracle =
     "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY text"
 
-  /** Word-3-gram shingle set per doc (deduplicated). */
+  /** Word-3-gram shingle set per doc (deduplicated), carried as an
+    * 8-byte xxhash64 — joins and shuffles move the hash, never the
+    * shingle text (a 2^-64-per-pair collision risk buys a ~3× smaller
+    * shuffle; the DuckDB oracle still joins on raw strings, so a
+    * collision would surface as a hash-mismatch). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-            i => concat_ws(" ", slice(words, i, lit(3)))))).as("s"))
+            i => xxhash64(concat_ws(" ", slice(words, i, lit(3))))))).as("s"))
 
   /** DD4 — exact n-gram Jaccard near-dup pairs (threshold 0.5): join on
     * common shingles, |A∩B| / (|A|+|B|−|A∩B|). */
@@ -88,9 +92,18 @@ object Dedup {
     * on this corpus. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // signature: one min() per seeded permutation — plain aggregates, so
-    // Spark partial-aggregates map-side before the single shuffle on doc_id
-    val minCols = (0 until NUM_PERM).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    // signature: one min() per permutation — plain aggregates, so Spark
+    // partial-aggregates map-side before the single shuffle on doc_id.
+    // Permutations are rotate-XOR bijections of the one base hash: one
+    // xxhash64 per shingle instead of 32 (ANSI mode forbids the classic
+    // overflowing multiply; rotations are overflow-free and adequate
+    // over already-avalanched 64-bit inputs).
+    def perm(i: Int) = {
+      val k = (i * 7 + 11) % 63 + 1
+      (shiftleft(col("s"), k).bitwiseOR(shiftrightunsigned(col("s"), 64 - k)))
+        .bitwiseXOR(lit(0x9E3779B97F4A7C15L * (2 * i + 1)))
+    }
+    val minCols = (0 until NUM_PERM).map(i => min(perm(i)).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until NUM_PERM).map(i => col(s"h$i")): _*).as("sig"))
@@ -144,14 +157,16 @@ object Dedup {
       posexplode(expr("transform(sequence(0, 7), i -> shiftright(simhash, i * 8) & 255)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val l = chunked.as("l"); val r = chunked.as("r")
+    // verify the Hamming threshold INSIDE the join condition: candidates
+    // failing it die during the join probe, so only true near-dups (a
+    // tiny set) ever reach the dedup shuffle — without this, a
+    // low-entropy corpus can make nearly every pair a band candidate
     l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
-        col("l.doc_id") < col("r.doc_id"))
+        col("l.doc_id") < col("r.doc_id") &&
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 7)
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
-        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .dropDuplicates("da", "db")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 7)
-      .select(col("da"), col("db"), col("hamming"))
   }
 
   /** DD5 — embedding-cosine near-dup pairs (exact, threshold 0.45):
