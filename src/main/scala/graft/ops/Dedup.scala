@@ -91,22 +91,15 @@ object Dedup {
     * ScalaTest spec asserts it finds exactly the dd4 exact-Jaccard pairs
     * on this corpus. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val sh = shingled(spark, dir)
-    // signature: one min() per permutation — plain aggregates, so Spark
-    // partial-aggregates map-side before the single shuffle on doc_id.
-    // Permutations are rotate-XOR bijections of the one base hash: one
-    // xxhash64 per shingle instead of 32 (ANSI mode forbids the classic
-    // overflowing multiply; rotations are overflow-free and adequate
-    // over already-avalanched 64-bit inputs).
-    def perm(i: Int) = {
-      val k = (i * 7 + 11) % 63 + 1
-      (shiftleft(col("s"), k).bitwiseOR(shiftrightunsigned(col("s"), 64 - k)))
-        .bitwiseXOR(lit(0x9E3779B97F4A7C15L * (2 * i + 1)))
-    }
-    val minCols = (0 until NUM_PERM).map(i => min(perm(i)).as(s"h$i"))
+    // signature via the MinHashSketch TypedImperativeAggregate: one
+    // expression with a primitive-array buffer (vs 32 generated min()
+    // columns whose codegen alone took ~10 s to JIT); partial buffers
+    // merge element-wise through ObjectHashAggregate before the single
+    // shuffle on doc_id
     val sigs = sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until NUM_PERM).map(i => col(s"h$i")): _*).as("sig"))
+      .agg(call_function("minhash_sketch", col("s")).as("sig"))
     // band keys: structural hash of each 4-slice of the signature
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(BANDS - 1)),

@@ -123,9 +123,40 @@ object Extended {
     """SELECT user_id, round(sum(value), 6) AS sum_value, count(*) AS n
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** SQL1 — the SQL-text interface (inherited surface, §2.12): the W2
+    * aggregation written as plain SQL over a registered view, including
+    * a library function (`ma_agg` UDAF) called from SQL. */
+  def sql1SqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
+      .createOrReplaceTempView("events_v")
+    spark.sql(
+      s"""SELECT user_id,
+         |       round(m.sum_of_value, 6) AS sum_of_value,
+         |       m.count_of_value AS count_of_value,
+         |       round(m.sma_value, 6) AS sma_value,
+         |       m.n AS n
+         |FROM (SELECT user_id, ma_agg(value, k, flag) AS m
+         |      FROM events_v GROUP BY user_id)""".stripMargin)
+  }
+
+  private val sql1Oracle =
+    """WITH a AS (
+      |  SELECT user_id,
+      |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+      |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
+      |         count(*) AS n
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, sum_of_value, count_of_value,
+      |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+      |       n FROM a""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
-    Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)))
+    Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)),
+    Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)))
 }
