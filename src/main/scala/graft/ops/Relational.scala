@@ -200,7 +200,53 @@ object Relational {
     """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over two grouping columns (all 4 grouping-set combinations). */
+  def cube1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 6).as("sum_price"), count(lit(1)).as("n"))
+
+  private val cube1Oracle =
+    """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 6) AS sum_price, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** lag/lead analytics: per-customer order-to-order price delta. */
+  def wf3LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") - coalesce(col("prev_price"), lit(0.0)), 6).as("delta_prev"),
+        round(coalesce(col("next_price"), lit(0.0)), 6).as("next_price"))
+  }
+
+  private val wf3Oracle =
+    """SELECT o_orderkey, o_custkey,
+      |       round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0), 6) AS delta_prev,
+      |       round(coalesce(lead(o_totalprice, 1) OVER w, 0), 6) AS next_price
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (no per-row subquery execution at any scale):
+    * orders above their customer's average order value. */
+  def sq1ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        |WHERE o_totalprice > (SELECT 1.1 * avg(o2.o_totalprice) FROM orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  private val sq1Oracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (SELECT 1.1 * avg(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("cube1", cube1, Some(cube1Oracle)),
+    Q("wf3_lag_lead", wf3LagLead, Some(wf3Oracle)),
+    Q("sq1_scalar_subquery", sq1ScalarSubquery, Some(sq1Oracle)),
     Q("q1_pricing_summary", q1Pricing, Some(q1Oracle)),
     Q("j1_revenue_per_nation", j1RevenuePerNation, Some(j1Oracle)),
     Q("j2_semi_join", j2SemiJoin, Some(j2Oracle)),

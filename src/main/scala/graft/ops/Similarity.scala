@@ -107,7 +107,76 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  private val IVF_K = 16 // centroids
+  private val IVF_ITERS = 3
+  private val IVF_PROBES = 4 // clusters probed per query
+
+  /** SIM3 — IVF (inverted-file) ANN: spherical k-means partitions the
+    * corpus into K cells; a query probes only its IVF_PROBES nearest
+    * cells and reranks exactly inside them. Training is Lloyd's
+    * iterations with deterministic init (first K vectors by id);
+    * centroid updates aggregate per (cell, dim) on the cluster — only
+    * the K×64 centroid matrix ever reaches the driver, which is model
+    * state, not data. At 100 TB the cell assignment is a write-time
+    * bucketing column; probes then prune to IVF_PROBES/K of the corpus. */
+  def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
+      .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
+      .select(col("vec_id"), col("v"), col("nrm"), col("u"))
+    e.cache()
+
+    // deterministic init: the first K vectors by id
+    var centroids: Array[Seq[Double]] = e.filter(col("vec_id") < IVF_K)
+      .orderBy(col("vec_id")).select(col("u")).collect()
+      .map(_.getSeq[Double](0))
+
+    def centroidCols = centroids.map(c => array(c.map(lit): _*))
+
+    for (_ <- 1 to IVF_ITERS) {
+      val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
+        .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
+      // per-(cell, dim) mean over the cluster; tiny K x 64 result
+      val sums = assigned
+        .select(col("cell"), posexplode(col("u")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0).toInt)
+      centroids = (0 until IVF_K).map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Double](DIM)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(arr.map(x => x * x).sum)
+            (if (n == 0) arr else arr.map(_ / n)).toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
+      .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
+    // queries probe their IVF_PROBES best cells
+    val q = assigned.filter(col("vec_id") < NQ)
+      .withColumn("probe", explode(expr(
+        // indices of the IVF_PROBES largest dots: sort (−dot, idx)
+        // structs lexicographically, take the head slice
+        s"""transform(slice(array_sort(transform(sequence(0, ${IVF_K - 1}),
+           |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
+           |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("probe"))
+    val cand = assigned.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
-    Q("sim2_ann_lsh", sim2LshTopK, None))
+    Q("sim2_ann_lsh", sim2LshTopK, None),
+    Q("sim3_ann_ivf", sim3AnnIvf, None))
 }

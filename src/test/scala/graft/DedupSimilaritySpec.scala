@@ -44,6 +44,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("sim3 ivf-ann achieves >=50% recall@5 of sim1 brute force") {
+    val brute = Similarity.sim1BruteTopK(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.sim3AnnIvf(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("mm2 decode stub is deterministic and partition-count-independent") {
     val a = Multimodal.mm2DecodeFeatures(spark, sf).collect().sortBy(_.getLong(0))
     val b = Multimodal.mm2DecodeFeatures(spark, sf).repartition(7).collect().sortBy(_.getLong(0))

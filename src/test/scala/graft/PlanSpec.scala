@@ -71,6 +71,20 @@ class PlanSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("partitioned layout: partition pruning reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    Tables.events(spark, sf).write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "value")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    // pruning means the non-matching partitions never appear as input
+    assert(df.count() ==
+      Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count())
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)

@@ -187,6 +187,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates within the watermark are dropped across batches") {
+    val input = MemoryStream[String](Encoders.STRING, spark)
+    val deduped = MaPipeline.parse(input.toDF().select(col("value")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("symbol", "current_time")
+      .select(col("symbol"), col("current_time"))
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(wire("E", 30, 1.0, 1), wire("E", 30, 1.0, 1), wire("E", 31, 2.0, 1))
+      q.processAllAvailable()
+      input.addData(wire("E", 30, 1.0, 1)) // duplicate arriving in a later batch
+      q.processAllAvailable()
+      val n = spark.table("stream_dedup").filter($"symbol" === "E").count()
+      assert(n == 2, s"expected 2 unique (symbol,ts) rows, got $n")
+    } finally q.stop()
+  }
+
   test("serde round-trip: to_json ∘ from_json = id on the wire schema") {
     val js = wire("A", 7, 12.5, 3)
     val df = Seq(js).toDF("value")
