@@ -86,7 +86,36 @@ object Multimodal {
         round(element_at(col("features"), 8), 6).as("f7"))
   }
 
+  /** ========================= STUB =========================
+    * Fake "resize": stride-samples the payload down to a fixed 32-byte
+    * thumbnail (a real implementation would scale pixels; the batch
+    * iteration, output schema, and determinism are the real thing). */
+  private def fakeResizeBatch(target: Int)(
+      batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Int, Array[Byte])] =
+    batch.map { case (id, bytes) =>
+      val n = bytes.length
+      val out = new Array[Byte](math.min(target, math.max(n, 1)))
+      val stride = math.max(1, n / out.length)
+      var i = 0
+      while (i < out.length) { out(i) = if (n == 0) 0 else bytes(math.min(i * stride, n - 1)); i += 1 }
+      (id, n, out.length, out)
+    }
+
+  /** MM4 — batched "resize" over the binary column (mapPartitions, the
+    * JVM analog of a vectorized decode UDF): media → fixed-size
+    * thumbnail bytes + before/after sizes. */
+  def mm4Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(fakeResizeBatch(32))
+      .toDF("doc_id", "orig_bytes", "thumb_bytes", "thumb")
+      .select(col("doc_id"), col("orig_bytes"), col("thumb_bytes"),
+        xxhash64(col("thumb")).as("thumb_hash"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
-    Q("mm2_decode_features", mm2DecodeFeatures, None))
+    Q("mm2_decode_features", mm2DecodeFeatures, None),
+    Q("mm4_resize", mm4Resize, None))
 }
