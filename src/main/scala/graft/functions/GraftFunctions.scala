@@ -21,6 +21,8 @@ object GraftFunctions {
       "double_dot", exprs => DoubleDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_sketch", exprs => MinHashSketch(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash_sketch", exprs => SimHashSketch(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("ma_agg", udaf(new MaAggregator))
   }
 }

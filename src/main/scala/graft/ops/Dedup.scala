@@ -133,19 +133,14 @@ object Dedup {
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     // collapse to (doc, word-hash, count) first — the vocabulary is far
-    // smaller than the token stream, so the 64 per-bit vote aggregates
-    // run over ~10× fewer rows; votes are weighted by occurrence count,
-    // which is exactly classic simhash semantics
+    // smaller than the token stream — then fold the 64 weighted bit
+    // votes in one SimHashSketch aggregate (primitive long[64] buffer;
+    // replaces 64 generated sum(CASE…) columns and their JIT cost)
+    graft.functions.GraftFunctions.registerAll(spark)
     val counted = whash.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
-    val voteCols = (0 until 64).map(b =>
-      sum(expr(s"cnt * (CAST(shiftright(h, $b) & 1 AS INT) * 2 - 1)")).as(s"v$b"))
-    val bitSum = (0 until 64)
-      .map(b => expr(s"CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END"))
-      .reduce(_ + _)
     val sim = counted
       .groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), bitSum.as("simhash"))
+      .agg(call_function("simhash_sketch", col("h"), col("cnt")).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), i -> shiftright(simhash, i * 8) & 255)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")

@@ -205,6 +205,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes without reprocessing (S4)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    def startQuery() = MaPipeline
+      .windowedSma(MaPipeline.parse(MaPipeline.fromJsonFiles(spark, srcDir.getAbsolutePath)),
+        size = "5 seconds", slide = "5 seconds", gate = None)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+    try {
+      // run 1: window 10..14 completes once Z@30 pushes the watermark
+      java.nio.file.Files.write(new java.io.File(srcDir, "f1.json").toPath,
+        ((10 to 14).map(s => wire("G", s, 10.0, 1)) :+ wire("Z", 30, 1.0, 1))
+          .mkString("\n").getBytes)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // run 2: fresh query instance, same checkpoint — must resume, not
+      // reprocess f1; Z@59 closes the 30..34 window holding run-2 data
+      java.nio.file.Files.write(new java.io.File(srcDir, "f2.json").toPath,
+        ((30 to 32).map(s => wire("G", s, 20.0, 1)) :+ wire("Z", 59, 1.0, 1))
+          .mkString("\n").getBytes)
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+      val out = spark.read.parquet(outDir).filter($"symbol" === "G")
+      val windows = out.select("start", "window_data_count").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // exactly one complete 10..14 window (no duplicate from restart)
+      // and one 30..32 partial from run 2
+      assert(windows == Set(("2024-01-01T00:00:10Z", 5L), ("2024-01-01T00:00:30Z", 3L)),
+        windows.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+  }
+
   test("serde round-trip: to_json ∘ from_json = id on the wire schema") {
     val js = wire("A", 7, 12.5, 3)
     val df = Seq(js).toDF("value")
