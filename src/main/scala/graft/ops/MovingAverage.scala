@@ -100,17 +100,36 @@ object MovingAverage {
 
   /** W2/V2: hopping window, incremental aggregation, derived window
     * bounds `[start, start+size)` (`ma_agg.py:144,154-155`) — no
-    * completeness gate, every window emits. */
+    * completeness gate, every window emits.
+    *
+    * Implementation is PANE-BASED (stream slicing): events first
+    * aggregate into non-overlapping 1-hour panes — one row per
+    * (key, pane), a massive reduction at event rates worth having —
+    * and each pane then merges into the 4 hopping windows it belongs
+    * to. The naive `window(ts, 4h, 1h)` groupBy expands every EVENT
+    * ×4 before aggregating (see w1, kept native as the idiomatic
+    * formulation); here only the already-aggregated panes expand.
+    * Merge correctness is the A9 additive protocol. */
   def w2Hopping(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-    e.groupBy(window(col("ts"), "4 hours", "1 hour"), col("user_id"))
+    val panes = e
+      .groupBy(window(col("ts"), "1 hour").as("pane"), col("user_id"))
       .agg(
-        round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value"),
-        count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
-        count(lit(1)).as("n"))
+        coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)).as("p_sum"),
+        count(when(col("k") =!= 0, lit(1))).as("p_cnt"),
+        count(lit(1)).as("p_n"))
+    panes
+      .select(col("user_id"), col("p_sum"), col("p_cnt"), col("p_n"),
+        explode(expr(
+          "transform(sequence(0, 3), i -> pane.start - i * INTERVAL 1 HOUR)")).as("ws"))
+      .groupBy(col("ws"), col("user_id"))
+      .agg(
+        round(sum(col("p_sum")), 6).as("sum_of_value"),
+        sum(col("p_cnt")).as("count_of_value"),
+        sum(col("p_n")).as("n"))
       .select(
-        date_format(col("window.start"), SEC).as("window_start"),
-        date_format(col("window.end"), SEC).as("window_end"),
+        date_format(col("ws"), SEC).as("window_start"),
+        date_format(col("ws") + expr("INTERVAL 4 HOURS"), SEC).as("window_end"),
         col("user_id"), col("sum_of_value"), col("count_of_value"), col("n"))
   }
 

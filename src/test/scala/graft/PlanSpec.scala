@@ -85,6 +85,19 @@ class PlanSpec extends AnyFunSuite {
         .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count())
   }
 
+  test("srt1: top-k is TakeOrdered (per-partition heaps), not a global sort") {
+    val p = plan(Relational.srt1TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("w2: hopping agg is pane-based — panes expand, not events") {
+    val p = plan(MovingAverage.w2Hopping(spark, sf))
+    // two aggregations (pane, then window) and the ×4 generate sits
+    // between them, operating on pane rows
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 aggs × partial/final
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
