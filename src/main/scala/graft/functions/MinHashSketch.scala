@@ -35,7 +35,10 @@ case class MinHashSketch(
     Array.fill(numPerms)(Long.MaxValue)
 
   @inline private def perm(h: Long, i: Int): Long = {
-    val k = (i * 7 + 11) % 63 + 1
+    // stride 5 is coprime with 63 ⇒ all 32 rotation amounts distinct
+    // (stride 7 would cycle after 9, leaving rotation-sharing perms
+    // correlated through their XOR constants)
+    val k = (i * 5 + 7) % 63 + 1
     (java.lang.Long.rotateLeft(h, k)) ^ (0x9E3779B97F4A7C15L * (2 * i + 1))
   }
 

@@ -54,7 +54,10 @@ object Dedup {
   /** DD4 — exact n-gram Jaccard near-dup pairs (threshold 0.5): join on
     * common shingles, |A∩B| / (|A|+|B|−|A∩B|). */
   def dd4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    // no cache: the plan is reused three times but each run of this
+    // query is one action, and a cache here would pin executor storage
+    // for the rest of a 60-query Verify/Bench session
+    val sh = shingled(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -63,7 +66,9 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      // truncating integer ratio (graft.ops.Exact): c/(union) terminates
+      // on round-half boundaries whenever the union size is 2^a·5^b
+      .withColumn("jaccard", Exact.intRatio(col("c"), col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), col("jaccard"))
   }
@@ -77,9 +82,9 @@ object Dedup {
       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT da, db,
-      |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |       floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 AS jaccard
       |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin
+      |WHERE floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 >= 0.5""".stripMargin
 
   private val NUM_PERM = 32
   private val BANDS = 8 // 8 bands x 4 rows
@@ -167,21 +172,25 @@ object Dedup {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
     val a = e.as("a"); val b = e.as("b")
+    // floor-scaled score (graft.ops.Exact): the raw cosines are
+    // bit-identical across engines, and floor of identical doubles is
+    // unambiguous where round() implementations can disagree
     a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))))
       .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
   }
 
   private val dd5Oracle =
     """SELECT a.vec_id AS va, b.vec_id AS vb,
-      |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |       floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 1000000) / 1000000 AS cos
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |WHERE floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45""".stripMargin
+      |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 1000000) / 1000000 >= 0.45""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),

@@ -24,7 +24,7 @@ object Extended {
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 6).as("sum_value"),
+        Exact.fromCents(sum(Exact.cents(col("value")))).as("sum_value"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .select(col("user_id"),
         date_format(col("first_ts"), MICRO).as("session_start"),
@@ -45,7 +45,8 @@ object Extended {
        |SELECT user_id,
        |       strftime(min(ts), '$DUCK_MICRO') AS session_start,
        |       strftime(max(ts), '$DUCK_MICRO') AS session_end,
-       |       count(*) AS n, round(sum(value), 6) AS sum_value
+       |       count(*) AS n,
+       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
        |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** AJ1 — as-of join: each event paired with the user's most recent
@@ -90,6 +91,9 @@ object Extended {
   def mm3FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withBinary(spark, dir)
       .withColumn("n_frames", ceil(length(col("media")) / lit(64.0)).cast("long"))
+      // empty media ⇒ 0 frames ⇒ no rows — without the guard,
+      // sequence(0, -1) would infer step -1 and emit [0, -1]
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
@@ -114,13 +118,15 @@ object Extended {
     val e = Tables.events(spark, dir)
     e.withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
       .groupBy(col("user_id"), col("salt"))
-      .agg(sum(col("value")).as("ps"), count(lit(1)).as("pn"))
+      .agg(sum(Exact.cents(col("value"))).as("p_cents"), count(lit(1)).as("pn"))
       .groupBy(col("user_id"))
-      .agg(round(sum(col("ps")), 6).as("sum_value"), sum(col("pn")).as("n"))
+      .agg(Exact.fromCents(sum(col("p_cents"))).as("sum_value"), sum(col("pn")).as("n"))
   }
 
   private val a13Oracle =
-    """SELECT user_id, round(sum(value), 6) AS sum_value, count(*) AS n
+    """SELECT user_id,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value,
+      |       count(*) AS n
       |FROM events GROUP BY user_id""".stripMargin
 
   /** SQL1 — the SQL-text interface (inherited surface, §2.12): the W2
@@ -133,10 +139,14 @@ object Extended {
       .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
       .createOrReplaceTempView("events_v")
     spark.sql(
+      // exact-cents convention (see graft.ops.Exact): re-derive integer
+      // cents from the UDAF's double sum, truncating scaled division
       s"""SELECT user_id,
-         |       round(m.sum_of_value, 6) AS sum_of_value,
+         |       CAST(CAST(round(m.sum_of_value * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_of_value,
          |       m.count_of_value AS count_of_value,
-         |       round(m.sma_value, 6) AS sma_value,
+         |       CASE WHEN m.count_of_value > 0
+         |            THEN floor(CAST(round(m.sum_of_value * 100) AS BIGINT) * 10000 / m.count_of_value) / 1000000
+         |            ELSE 0.0 END AS sma_value,
          |       m.n AS n
          |FROM (SELECT user_id, ma_agg(value, k, flag) AS m
          |      FROM events_v GROUP BY user_id)""".stripMargin)
@@ -145,12 +155,13 @@ object Extended {
   private val sql1Oracle =
     """WITH a AS (
       |  SELECT user_id,
-      |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+      |         coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS s_cents,
       |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
       |         count(*) AS n
       |  FROM events GROUP BY user_id)
-      |SELECT user_id, sum_of_value, count_of_value,
-      |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+      |SELECT user_id, CAST(s_cents AS DOUBLE) / 100 AS sum_of_value, count_of_value,
+      |       CASE WHEN count_of_value > 0
+      |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
       |       n FROM a""".stripMargin
 
   val queries: Seq[Q] = Seq(

@@ -15,11 +15,14 @@ import graft.Tables
   * `ma_agg.py:58-59`), `event_type == "purchase"` plays
   * `real_or_filled == "real"` (`ma_agg.py:60-61`).
   *
-  * The reference's 5-second/1-second windows (`ma_agg.py:54,57,144`) are
-  * scaled to 4-hour/1-hour on this dataset (events arrive minutes apart;
-  * second-scale windows would never satisfy the exactly-5 gate). The
-  * literal 5s/1s semantics are exercised bit-for-bit in the streaming
-  * layer and its tests (graft.streaming) over per-second synthetic data.
+  * The reference's 5-second/1-second windows (`ma_agg.py:54,57,144`)
+  * are rescaled on this dataset (events arrive minutes apart;
+  * second-scale windows would never satisfy the exactly-5 gate):
+  * 24-hour/6-hour for the exactly-5-gated queries (w1, p5 — the gate
+  * needs that much data per window to fire) and 4-hour/1-hour for the
+  * ungated hopping queries (w2, p6). The literal 5s/1s semantics are
+  * exercised bit-for-bit in the streaming layer and its tests
+  * (graft.streaming) over per-second synthetic data.
   *
   * Scale notes (100 TB posture): every query below is a single
   * partial-agg → shuffle-by-key → final-agg pipeline (one exchange,
@@ -50,9 +53,12 @@ object MovingAverage {
     // per-key type from a side aggregate over a 2-column scan.
     val types = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(min(col("event_type")).as("type"))
+    // sums aggregate as exact integer cents and the mean truncates in
+    // scaled-integer space (Exact.*) — bit-stable across engines at any
+    // SF, where float sums + round() are not
     e.groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"))
       .agg(
-        round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value"),
+        coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("s_cents"),
         count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
         count(when(col("event_type") === "purchase", lit(1))).as("real_count"),
         count(when(col("event_type") =!= "purchase", lit(1))).as("filled_count"),
@@ -68,9 +74,9 @@ object MovingAverage {
         col("type"),
         date_format(col("min_ts"), MICRO).as("start"),
         date_format(col("max_ts"), MICRO).as("end"),
-        col("sum_of_value"), col("count_of_value"),
-        round(when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
-          .otherwise(0.0), 6).as("sma_value"),
+        Exact.fromCents(col("s_cents")).as("sum_of_value"),
+        col("count_of_value"),
+        Exact.centsMean(col("s_cents"), col("count_of_value")).as("sma_value"),
         col("window_data_count"), col("real_count"), col("filled_count"))
   }
 
@@ -82,7 +88,7 @@ object MovingAverage {
        |  FROM events e CROSS JOIN range(4) h(h)
        |), agg AS (
        |  SELECT ws, user_id,
-       |         round(coalesce(sum(CASE WHEN k <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |         coalesce(sum(CASE WHEN k <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS s_cents,
        |         count(CASE WHEN k <> 0 THEN 1 END) AS count_of_value,
        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
        |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
@@ -93,8 +99,9 @@ object MovingAverage {
        |), ty AS (SELECT user_id, min(event_type) AS "type" FROM events GROUP BY user_id)
        |SELECT strftime(ws, '$DUCK_SEC') AS window_start, agg.user_id,
        |       '5_MA_data' AS ma_type, ty."type", "start", "end",
-       |       sum_of_value, count_of_value,
-       |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+       |       CAST(s_cents AS DOUBLE) / 100 AS sum_of_value, count_of_value,
+       |       CASE WHEN count_of_value > 0
+       |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
        |       window_data_count, real_count, filled_count
        |FROM agg JOIN ty ON agg.user_id = ty.user_id""".stripMargin
 
@@ -115,29 +122,30 @@ object MovingAverage {
     val panes = e
       .groupBy(window(col("ts"), "1 hour").as("pane"), col("user_id"))
       .agg(
-        coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)).as("p_sum"),
+        coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("p_cents"),
         count(when(col("k") =!= 0, lit(1))).as("p_cnt"),
         count(lit(1)).as("p_n"))
     panes
-      .select(col("user_id"), col("p_sum"), col("p_cnt"), col("p_n"),
+      .select(col("user_id"), col("p_cents"), col("p_cnt"), col("p_n"),
         explode(expr(
           "transform(sequence(0, 3), i -> pane.start - i * INTERVAL 1 HOUR)")).as("ws"))
       .groupBy(col("ws"), col("user_id"))
       .agg(
-        round(sum(col("p_sum")), 6).as("sum_of_value"),
+        sum(col("p_cents")).as("s_cents"),
         sum(col("p_cnt")).as("count_of_value"),
         sum(col("p_n")).as("n"))
       .select(
         date_format(col("ws"), SEC).as("window_start"),
         date_format(col("ws") + expr("INTERVAL 4 HOURS"), SEC).as("window_end"),
-        col("user_id"), col("sum_of_value"), col("count_of_value"), col("n"))
+        col("user_id"), Exact.fromCents(col("s_cents")).as("sum_of_value"),
+        col("count_of_value"), col("n"))
   }
 
   private val w2Oracle: String =
     s"""SELECT strftime(ws, '$DUCK_SEC') AS window_start,
        |       strftime(ws + INTERVAL 4 HOUR, '$DUCK_SEC') AS window_end,
        |       user_id,
-       |       round(coalesce(sum(CASE WHEN k <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |       CAST(coalesce(sum(CASE WHEN k <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100 AS sum_of_value,
        |       count(CASE WHEN k <> 0 THEN 1 END) AS count_of_value,
        |       count(*) AS n
        |FROM (SELECT e.*, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
@@ -159,7 +167,7 @@ object MovingAverage {
       .withColumn("sub", expr("timestamp_micros((unix_micros(ts) div 14400000000) * 14400000000)"))
       .groupBy(col("user_id"), col("day"), col("sub"))
       .agg(
-        sum(when(col("k") =!= 0, col("value"))).as("p_sum"),
+        sum(when(col("k") =!= 0, Exact.cents(col("value")))).as("p_cents"),
         count(when(col("k") =!= 0, lit(1))).as("p_cnt"),
         count(when(col("event_type") === "purchase", lit(1))).as("p_real"),
         count(when(col("event_type") =!= "purchase", lit(1))).as("p_filled"),
@@ -167,23 +175,23 @@ object MovingAverage {
     partials
       .groupBy(col("user_id"), col("day"))
       .agg(
-        round(coalesce(sum(col("p_sum")), lit(0.0)), 6).as("sum_of_value"),
+        coalesce(sum(col("p_cents")), lit(0L)).as("s_cents"),
         sum(col("p_cnt")).as("count_of_value"),
         sum(col("p_real")).as("real_count"),
         sum(col("p_filled")).as("filled_count"),
         sum(col("p_n")).as("window_data_count"))
       .select(
         date_format(col("day"), SEC).as("window_start"),
-        col("user_id"), col("sum_of_value"), col("count_of_value"),
-        round(when(col("count_of_value") > 0, col("sum_of_value") / col("count_of_value"))
-          .otherwise(0.0), 6).as("sma_value"),
+        col("user_id"), Exact.fromCents(col("s_cents")).as("sum_of_value"),
+        col("count_of_value"),
+        Exact.centsMean(col("s_cents"), col("count_of_value")).as("sma_value"),
         col("real_count"), col("filled_count"), col("window_data_count"))
   }
 
   private val w3Oracle: String =
     s"""WITH agg AS (
        |  SELECT date_trunc('day', ts) AS day, user_id,
-       |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+       |         coalesce(sum(CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS s_cents,
        |         count(CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
        |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
@@ -191,8 +199,9 @@ object MovingAverage {
        |  FROM events GROUP BY 1, 2
        |)
        |SELECT strftime(day, '$DUCK_SEC') AS window_start, user_id,
-       |       sum_of_value, count_of_value,
-       |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+       |       CAST(s_cents AS DOUBLE) / 100 AS sum_of_value, count_of_value,
+       |       CASE WHEN count_of_value > 0
+       |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
        |       real_count, filled_count, window_data_count
        |FROM agg""".stripMargin
 
@@ -264,9 +273,10 @@ object MovingAverage {
     // A1 — conditional SUM (`ma_agg.py:58`); Python sum([])==0 ⇒ coalesce
     Q("a1_cond_sum",
       (s, d) => ev(s, d).groupBy(col("user_id"))
-        .agg(round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("sum_of_value")),
-      Some("SELECT user_id, round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 " +
-        "THEN value END), 0), 6) AS sum_of_value FROM events GROUP BY user_id")),
+        .agg(Exact.fromCents(coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)))
+          .as("sum_of_value")),
+      Some("SELECT user_id, CAST(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 " +
+        "THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100 AS sum_of_value FROM events GROUP BY user_id")),
 
     // A2 — conditional COUNT (`ma_agg.py:59`)
     Q("a2_cond_count",
@@ -299,17 +309,18 @@ object MovingAverage {
     // A6 — guarded mean: sum/count if count>0 else 0 (`ma_agg.py:70`)
     Q("a6_guarded_mean",
       (s, d) => ev(s, d).groupBy(col("user_id"), col("event_type"))
-        .agg(round(coalesce(sum(when(col("k") =!= 0, col("value"))), lit(0.0)), 6).as("s"),
+        .agg(coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("s_cents"),
           count(when(col("k") =!= 0, lit(1))).as("c"))
         .select(col("user_id"), col("event_type"),
-          round(when(col("c") > 0, col("s") / col("c")).otherwise(0.0), 6).as("sma_value")),
+          Exact.centsMean(col("s_cents"), col("c")).as("sma_value")),
       Some("""WITH a AS (
              |  SELECT user_id, event_type,
-             |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS s,
+             |         coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS s_cents,
              |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS c
              |  FROM events GROUP BY 1, 2)
              |SELECT user_id, event_type,
-             |       round(CASE WHEN c > 0 THEN s / c ELSE 0 END, 6) AS sma_value FROM a""".stripMargin)),
+             |       CASE WHEN c > 0 THEN floor(s_cents * 10000 / c) / 1000000 ELSE 0 END AS sma_value
+             |FROM a""".stripMargin)),
 
     // A7 — FIRST (arbitrary member)'s deterministic stand-in: the
     // reference takes `next(iter(window))` (`ma_agg.py:65`), constant per
@@ -322,11 +333,13 @@ object MovingAverage {
     Q("a11_composite_key",
       (s, d) => Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          Exact.fromCents(sum(Exact.cents(col("value")))).as("sum_value"))
         .select(col("user_id"), col("event_type"), date_format(col("day"), SEC).as("day"),
           col("n"), col("sum_value")),
       Some(s"SELECT user_id, event_type, strftime(date_trunc('day', ts), '$DUCK_SEC') AS day, " +
-        "count(*) AS n, round(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2, 3")),
+        "count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value " +
+        "FROM events GROUP BY 1, 2, 3")),
 
     // A12/F6 — grouping by derived concatenated key (`ma_agg.py:263`)
     Q("a12_derived_key",
@@ -367,24 +380,30 @@ object MovingAverage {
           .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
           .groupBy(col("user_id"))
           .agg(ma(col("value"), col("k"), col("flag")).as("m"))
+          // the compared columns re-derive exact cents from the UDAF's
+          // double sum (error ≪ 0.5 cents) then use the Exact.* rules —
+          // float division + round() is boundary-fragile when the count
+          // is a power of two
           .select(col("user_id"),
-            round(col("m.sum_of_value"), 6).as("sum_of_value"),
+            Exact.fromCents(Exact.cents(col("m.sum_of_value"))).as("sum_of_value"),
             col("m.count_of_value").as("count_of_value"),
-            round(col("m.sma_value"), 6).as("sma_value"),
+            Exact.centsMean(Exact.cents(col("m.sum_of_value")), col("m.count_of_value"))
+              .as("sma_value"),
             col("m.real_count").as("real_count"),
             col("m.filled_count").as("filled_count"),
             col("m.n").as("n"))
       },
       Some("""WITH a AS (
              |  SELECT user_id,
-             |         round(coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN value END), 0), 6) AS sum_of_value,
+             |         coalesce(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS s_cents,
              |         count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) <> 0 THEN 1 END) AS count_of_value,
              |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
              |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
              |         count(*) AS n
              |  FROM events GROUP BY user_id)
-             |SELECT user_id, sum_of_value, count_of_value,
-             |       round(CASE WHEN count_of_value > 0 THEN sum_of_value / count_of_value ELSE 0 END, 6) AS sma_value,
+             |SELECT user_id, CAST(s_cents AS DOUBLE) / 100 AS sum_of_value, count_of_value,
+             |       CASE WHEN count_of_value > 0
+             |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
              |       real_count, filled_count, n FROM a""".stripMargin)),
 
     // F10 — lexicographic comparison of ISO-formatted timestamps (`ma_agg.py:203`)

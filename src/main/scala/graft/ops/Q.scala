@@ -22,3 +22,46 @@ object Fmt {
   val DUCK_SEC = "%Y-%m-%d %H:%M:%S"
   val DUCK_MICRO = "%Y-%m-%d %H:%M:%S.%f"
 }
+
+/** Exact cross-engine arithmetic for compared columns.
+  *
+  * Floating aggregation is bit-identical across engines only by luck:
+  * summation order differs (≈1e-12 relative error — fatal once |sum|
+  * passes 1e9 where the double ulp crosses the round-6 step), and even
+  * on IDENTICAL inputs the two engines' round() implementations can
+  * disagree when a quotient's exact decimal terminates at the boundary
+  * digit (systematic for power-of-two counts). Three rules fix every
+  * case:
+  *
+  *  1. sums of ≤2-decimal inputs aggregate as integer CENTS — exact,
+  *     order-independent, bit-identical;
+  *  2. mean-type columns divide in scaled integer space and truncate
+  *     (`floor`), never `round` — floor of identical doubles is
+  *     unambiguous;
+  *  3. irrational-valued scores (cosines) floor-scale at 1e-6 instead
+  *     of rounding, for the same reason.
+  *
+  * DuckDB mirrors: `CAST(round(x*100) AS BIGINT)`,
+  * `floor(sum_cents * 10000 / c) / 1000000`, `floor(x*1000000)/1000000`.
+  */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** exact integer cents of an (at most) 2-decimal double column */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** cents sum back to a value column (exact multiples of 0.01) */
+  def fromCents(sumCents: Column): Column = sumCents.cast("double") / 100
+
+  /** truncating mean of a cents sum over a count, at 1e-6 granularity */
+  def centsMean(sumCents: Column, cnt: Column): Column =
+    when(cnt > 0, floor(sumCents * 10000 / cnt) / 1e6).otherwise(0.0)
+
+  /** truncating ratio of two integer columns at 1e-6 granularity */
+  def intRatio(num: Column, den: Column): Column =
+    when(den > 0, floor(num * 1000000L / den) / 1e6).otherwise(0.0)
+
+  /** floor-scale an already-identical double (e.g. a cosine) at 1e-6 */
+  def floorE6(c: Column): Column = floor(c * 1000000L) / 1e6
+}

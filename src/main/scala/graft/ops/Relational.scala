@@ -20,34 +20,62 @@ import graft.Tables
 object Relational {
   import Fmt._
 
-  /** TPC-H Q1-shaped pricing summary over lineitem. */
-  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1-shaped pricing summary over lineitem.
+    *
+    * Monetary aggregation runs in EXACT integer cents (quantities are
+    * integral, prices/discounts/taxes 2-decimal): at sf0.1 these sums
+    * pass 1e10 where a double's ulp exceeds the round-6 step, so float
+    * sums are not comparable across engines at all. The multiplicative
+    * sums expand to cents×(100−d)×(100+t) integer products — exact and
+    * overflow-safe through ~sf1 (≤1e18); means truncate in scaled
+    * integer space (graft.ops.Exact conventions). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Exact.cents(col("l_extendedprice"))
+    val dC = Exact.cents(col("l_discount"))   // 0..10
+    val tC = Exact.cents(col("l_tax"))        // 0..10
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
+        sum(cents).as("price_cents"),
+        sum(cents * (lit(100L) - dC)).as("disc_e4"),
+        sum(cents * (lit(100L) - dC) * (lit(100L) + tC)).as("charge_e6"),
+        sum(dC).as("disc_cents"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty_sum").cast("double").as("sum_qty"),
+        (col("price_cents").cast("double") / 100).as("sum_base_price"),
+        (col("disc_e4").cast("double") / 10000).as("sum_disc_price"),
+        (col("charge_e6").cast("double") / 1000000).as("sum_charge"),
+        Exact.intRatio(col("qty_sum"), col("count_order")).as("avg_qty"),
+        Exact.centsMean(col("price_cents"), col("count_order")).as("avg_price"),
+        Exact.centsMean(col("disc_cents"), col("count_order")).as("avg_disc"),
+        col("count_order"))
+  }
 
   private val q1Oracle =
-    """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 6) AS sum_qty,
-      |       round(sum(l_extendedprice), 6) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-      |       round(avg(l_quantity), 6) AS avg_qty,
-      |       round(avg(l_extendedprice), 6) AS avg_price,
-      |       round(avg(l_discount), 6) AS avg_disc,
-      |       count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    """WITH a AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS disc_e4,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS charge_e6,
+      |         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+      |         count(*) AS count_order
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(qty_sum AS DOUBLE) AS sum_qty,
+      |       CAST(price_cents AS DOUBLE) / 100 AS sum_base_price,
+      |       CAST(disc_e4 AS DOUBLE) / 10000 AS sum_disc_price,
+      |       CAST(charge_e6 AS DOUBLE) / 1000000 AS sum_charge,
+      |       floor(qty_sum * 1000000 / count_order) / 1000000 AS avg_qty,
+      |       floor(price_cents * 10000 / count_order) / 1000000 AS avg_price,
+      |       floor(disc_cents * 10000 / count_order) / 1000000 AS avg_disc,
+      |       count_order
+      |FROM a""".stripMargin
 
   /** Fact ⋈ broadcast(dim) ⋈ broadcast(dim): revenue per nation. */
   def j1RevenuePerNation(spark: SparkSession, dir: String): DataFrame = {
@@ -57,11 +85,14 @@ object Relational {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 6).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(Exact.fromCents(sum(Exact.cents(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
   }
 
   private val j1Oracle =
-    """SELECT n_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+      |       count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |            JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
@@ -113,21 +144,27 @@ object Relational {
     * CURRENT ROW). */
   def wf2RangeMa(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
-      .rangeBetween(-4L * 3600, 0L)
-    e.withColumn("ts_sec", unix_timestamp(col("ts")))
-      .withColumn("ma", round(avg(col("value")).over(w), 6))
+    // order on MICROSECOND-exact epoch — whole-second truncation would
+    // disagree with the oracle's fractional-second frame membership for
+    // pairs straddling the 4h boundary by less than a second
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-4L * 3600 * 1000000L, 0L)
+    e.withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("s_cents", sum(Exact.cents(col("value"))).over(w))
       .withColumn("n_in_frame", count(lit(1)).over(w))
-      .select(col("event_id"), col("user_id"), col("ma"), col("n_in_frame"))
+      .select(col("event_id"), col("user_id"),
+        Exact.centsMean(col("s_cents"), col("n_in_frame")).as("ma"),
+        col("n_in_frame"))
   }
 
   private val wf2Oracle =
     """SELECT event_id, user_id,
-      |       round(avg(value) OVER w, 6) AS ma,
+      |       floor(sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000
+      |             / (count(*) OVER w)) / 1000000 AS ma,
       |       count(*) OVER w AS n_in_frame
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-      |             RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW)""".stripMargin
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 14400000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Sort + limit (top-k): TakeOrdered physical plan, deterministic via
     * full tie-break. */
@@ -204,10 +241,13 @@ object Relational {
   def cube1(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 6).as("sum_price"), count(lit(1)).as("n"))
+      .agg(Exact.fromCents(sum(Exact.cents(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
 
   private val cube1Oracle =
-    """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 6) AS sum_price, count(*) AS n
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
+      |       count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   /** lag/lead analytics: per-customer order-to-order price delta. */

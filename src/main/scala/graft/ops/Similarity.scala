@@ -38,7 +38,10 @@ object Similarity {
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      // floor-scaled score: unambiguous on bit-identical doubles (see
+      // graft.ops.Exact) — rank ties then break deterministically on id
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -49,9 +52,9 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQ),
        |scored AS (
        |  SELECT q.qid, e.vec_id,
-       |         round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+       |         floor(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
        |               (sqrt(list_dot_product(q.qv, q.qv)) *
-       |                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+       |                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) * 1000000) / 1000000 AS cos
        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
        |SELECT qid, vec_id, cos, rank FROM (
        |  SELECT qid, vec_id, cos,
@@ -154,6 +157,10 @@ object Similarity {
       }.toArray
     }
 
+    // training is done: release the cached vectors (the final query
+    // below recomputes the scan once; keeping the cache would pin
+    // storage for the rest of the session)
+    e.unpersist()
     val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
       .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
     // queries probe their IVF_PROBES best cells

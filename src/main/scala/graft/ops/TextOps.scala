@@ -66,30 +66,33 @@ object TextOps {
     * ratio, composite score in [0,1]. */
   def ta2Quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("n_words", size(words))
+      .withColumn("n_words", size(words).cast("long"))
       .withColumn("sum_word_len",
-        aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x))
-      .withColumn("stop_hits", hits(enM))
+        aggregate(transform(words, w => length(w)), lit(0L), (acc, x) => acc + x))
+      .withColumn("stop_hits", hits(enM).cast("long"))
       .select(col("doc_id"),
         length(col("text")).as("len_chars"),
         col("n_words"),
-        round(col("sum_word_len").cast("double") / col("n_words"), 6).as("avg_word_len"),
-        round(col("stop_hits").cast("double") / col("n_words"), 6).as("stopword_ratio"),
-        round(least(col("n_words").cast("double") / 100, lit(1.0)) *
-          (lit(1.0) - col("stop_hits").cast("double") / col("n_words")), 6).as("quality_score"))
+        // all ratios truncate in scaled-integer space (graft.ops.Exact):
+        // int/int quotients terminate on round-half boundaries routinely
+        Exact.intRatio(col("sum_word_len"), col("n_words")).as("avg_word_len"),
+        Exact.intRatio(col("stop_hits"), col("n_words")).as("stopword_ratio"),
+        // least(n/100,1)·(1−stop/n) = least(n,100)·(n−stop) / (100·n)
+        Exact.intRatio(least(col("n_words"), lit(100L)) * (col("n_words") - col("stop_hits")),
+          lit(100L) * col("n_words")).as("quality_score"))
 
   private val ta2Oracle =
     s"""WITH t AS (
        |  SELECT doc_id, length(text) AS len_chars,
-       |         len(string_split(text, ' ')) AS n_words,
-       |         list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_word_len,
-       |         ${duckHits("['the','and','of','to','in']")} AS stop_hits
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_word_len,
+       |         CAST(${duckHits("['the','and','of','to','in']")} AS BIGINT) AS stop_hits
        |  FROM documents)
        |SELECT doc_id, len_chars, n_words,
-       |       round(CAST(sum_word_len AS DOUBLE) / n_words, 6) AS avg_word_len,
-       |       round(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
-       |       round(least(CAST(n_words AS DOUBLE) / 100, 1.0) *
-       |             (1.0 - CAST(stop_hits AS DOUBLE) / n_words), 6) AS quality_score
+       |       floor(sum_word_len * 1000000 / n_words) / 1000000 AS avg_word_len,
+       |       floor(stop_hits * 1000000 / n_words) / 1000000 AS stopword_ratio,
+       |       floor(least(n_words, 100) * (n_words - stop_hits) * 1000000
+       |             / (100 * n_words)) / 1000000 AS quality_score
        |FROM t""".stripMargin
 
   /** TA3 — token counting: whitespace tokens + a BPE-ish regex lexer
