@@ -20,12 +20,12 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Registers `double_dot` in the active session's function registry
-    * (idempotent) so [[DoubleDot]] is reachable from the public Column
-    * API — Spark 4 hides direct Expression→Column construction. Also
-    * makes the function available to plain SQL text. */
+    * (idempotent, delegating to the single builder in
+    * [[GraftFunctions]]) so [[DoubleDot]] is reachable from the public
+    * Column API — Spark 4 hides direct Expression→Column construction. */
   private def ensureRegistered(): Unit =
     SparkSession.active.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_dot", exprs => DoubleDot(exprs(0), exprs(1)), "scala_udf")
+      "double_dot", GraftFunctions.doubleDotBuilder, "scala_udf")
 
   /** Elementwise dot product in double precision (codegen'd). */
   def dot(a: Column, b: Column): Column = {

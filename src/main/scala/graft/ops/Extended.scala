@@ -17,9 +17,9 @@ object Extended {
     * < 2h gaps. Spark's native `session_window` merges state in the
     * aggregation layer — at scale this is one shuffle on the key, state
     * merged incrementally (works identically under Structured
-    * Streaming). Boundary note: an event at exactly gap distance starts
-    * a new session in Spark but extends it in the lag-based oracle —
-    * unobservable at microsecond timestamps. */
+    * Streaming). The lag-based oracle breaks sessions at gap >= 2h,
+    * matching Spark's convention that an event at exactly gap distance
+    * starts a new session. */
   def ws1SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
@@ -35,7 +35,7 @@ object Extended {
     s"""WITH o AS (
        |  SELECT user_id, ts, value,
        |         CASE WHEN lag(ts) OVER w IS NULL
-       |                OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+       |                OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
        |), s AS (
        |  SELECT user_id, ts, value,
@@ -135,20 +135,20 @@ object Extended {
   def sql1SqlInterface(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
       .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
       .createOrReplaceTempView("events_v")
     spark.sql(
-      // exact-cents convention (see graft.ops.Exact): re-derive integer
-      // cents from the UDAF's double sum, truncating scaled division
+      // exact-cents convention (see graft.ops.Exact and a9_typed_udaf):
+      // the UDAF sums integer-valued cents — exact at any group size
       s"""SELECT user_id,
-         |       CAST(CAST(round(m.sum_of_value * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_of_value,
+         |       CAST(CAST(m.sum_of_value AS BIGINT) AS DOUBLE) / 100 AS sum_of_value,
          |       m.count_of_value AS count_of_value,
          |       CASE WHEN m.count_of_value > 0
-         |            THEN floor(CAST(round(m.sum_of_value * 100) AS BIGINT) * 10000 / m.count_of_value) / 1000000
+         |            THEN floor(CAST(m.sum_of_value AS BIGINT) * 10000 / m.count_of_value) / 1000000
          |            ELSE 0.0 END AS sma_value,
          |       m.n AS n
-         |FROM (SELECT user_id, ma_agg(value, k, flag) AS m
+         |FROM (SELECT user_id, ma_agg(CAST(round(value * 100) AS DOUBLE), k, flag) AS m
          |      FROM events_v GROUP BY user_id)""".stripMargin)
   }
 

@@ -379,15 +379,19 @@ object MovingAverage {
         ev(s, d)
           .withColumn("flag", when(col("event_type") === "purchase", "real").otherwise("filled"))
           .groupBy(col("user_id"))
-          .agg(ma(col("value"), col("k"), col("flag")).as("m"))
-          // the compared columns re-derive exact cents from the UDAF's
-          // double sum (error ≪ 0.5 cents) then use the Exact.* rules —
-          // float division + round() is boundary-fragile when the count
-          // is a power of two
+          // the UDAF receives integer-valued cents as its double input:
+          // integer doubles < 2^53 sum EXACTLY in any order, so the
+          // recovered cents stay exact for any group size (a raw-double
+          // sum drifts past the 0.5-cent budget around 1e6 rows/group).
+          // null k (missing/unparseable props) maps to 0 ⇒ excluded from
+          // the mean, same as the SQL CASE-expression queries — and the
+          // MaIn encoder's primitive Long field would crash on null.
+          .agg(ma(Exact.cents(col("value")).cast("double"),
+            coalesce(col("k"), lit(0L)), col("flag")).as("m"))
           .select(col("user_id"),
-            Exact.fromCents(Exact.cents(col("m.sum_of_value"))).as("sum_of_value"),
+            Exact.fromCents(col("m.sum_of_value").cast("long")).as("sum_of_value"),
             col("m.count_of_value").as("count_of_value"),
-            Exact.centsMean(Exact.cents(col("m.sum_of_value")), col("m.count_of_value"))
+            Exact.centsMean(col("m.sum_of_value").cast("long"), col("m.count_of_value"))
               .as("sma_value"),
             col("m.real_count").as("real_count"),
             col("m.filled_count").as("filled_count"),

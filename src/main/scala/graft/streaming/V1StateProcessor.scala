@@ -73,9 +73,6 @@ class V1StateProcessor(
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[AggregatedData] = {
-    // re-arm first: the 1-second cadence continues regardless of data
-    getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + timerIntervalMs)
-
     val nowMs = timerValues.getCurrentProcessingTimeInMs
     val horizonMicros = (nowMs - windowMs) * 1000L
 
@@ -83,6 +80,18 @@ class V1StateProcessor(
     val entries = windowState.iterator().toVector
     val (keep, evict) = entries.partition(_._1 >= horizonMicros)
     evict.foreach { case (ts, _) => windowState.removeKey(ts) }
+
+    // reclaim dead keys: once eviction empties a symbol's window, drop
+    // its state and STOP its timer (the next input re-arms it). The
+    // reference scans every symbol ever seen each second
+    // (`ma_agg.py:52`); carrying that forward would make a long-running
+    // job do O(all-keys-ever) timer work per interval.
+    if (keep.isEmpty) {
+      windowState.clear()
+      return Iterator.empty
+    }
+    // re-arm: the 1-second cadence continues while the key is live
+    getHandle.registerTimer(nowMs + timerIntervalMs)
 
     // gate (`ma_agg.py:57`) + aggregate recompute (`ma_agg.py:58-76`)
     if (keep.size == gateCount) {

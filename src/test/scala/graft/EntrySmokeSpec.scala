@@ -41,9 +41,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
     qs.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      if (mayBeEmpty(name)) assert(n >= 0, s"$name failed")
-      else assert(n > 0, s"$name returned 0 rows on the smoke fixture")
+      val n = fn(spark, sf).count() // allowlisted queries run for the not-throwing check only
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows on the smoke fixture")
     }
   }
 }

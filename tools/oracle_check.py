@@ -35,8 +35,9 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.sql(sql).fetchall()
-            wcols = [d[0] for d in con.sql(sql).description]
+            rel = con.sql(sql)
+            want = rel.fetchall()
+            wcols = [d[0] for d in rel.description]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
@@ -63,8 +64,9 @@ def main(sf_dir, out_dir):
             n_ok += 1
         else:
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
-            only_w = [r for r in wrows if r not in set(grows)][:3]
-            only_g = [r for r in grows if r not in set(wrows)][:3]
+            gset, wset = set(grows), set(wrows)
+            only_w = [r for r in wrows if r not in gset][:3]
+            only_g = [r for r in grows if r not in wset][:3]
             for r in only_w:
                 print(f"     oracle-only: {r}")
             for r in only_g:
