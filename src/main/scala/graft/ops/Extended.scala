@@ -164,7 +164,31 @@ object Extended {
       |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
       |       n FROM a""".stripMargin
 
+  /** APX1 — approximate distinct counting (HyperLogLog++) per group:
+    * the sketch path for COUNT(DISTINCT) at 100 TB, where exact
+    * distinct forces a second shuffle on the distinct key. Sketch
+    * internals are engine-specific ⇒ rows-only check; ApproxSpec pins
+    * the relative error against the exact count. */
+  def apx1HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+
+  /** APX2 — approximate percentiles (one pass, mergeable buffers) of
+    * the price distribution per group. */
+  def apx2Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000))
+        .as("p50_p95"))
+      .select(col("l_returnflag"),
+        element_at(col("p50_p95"), 1).as("p50"),
+        element_at(col("p50_p95"), 2).as("p95"))
+
   val queries: Seq[Q] = Seq(
+    Q("apx1_hll_distinct", apx1HllDistinct, None),
+    Q("apx2_percentile", apx2Percentile, None),
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
