@@ -187,6 +187,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark lateness: data older than the watermark is dropped (W4)") {
+    val input = MemoryStream[String](Encoders.STRING, spark)
+    val out = MaPipeline.windowedSma(MaPipeline.parse(input.toDF().select(col("value"))),
+      size = "5 seconds", slide = "5 seconds", watermark = "5 seconds", gate = None)
+    val q = out.writeStream.format("memory").queryName("sma_late")
+      .outputMode("append").start()
+    try {
+      input.addData(wire("H", 10, 1.0, 1), wire("H", 11, 2.0, 1))
+      q.processAllAvailable()
+      input.addData(wire("Z", 50, 1.0, 1)) // watermark -> ~45s, closes 10..14
+      q.processAllAvailable()
+      // this event is far behind the watermark: its window already
+      // closed and emitted, so the row must be DROPPED, not re-emitted
+      input.addData(wire("H", 12, 99.0, 1))
+      q.processAllAvailable()
+      input.addData(wire("Z", 59, 1.0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("sma_late").filter($"symbol" === "H").collect()
+      assert(rows.length == 1, "exactly one emission for the closed window")
+      assert(rows.head.getAs[Long]("window_data_count") == 2L,
+        "the late row must not appear in the emitted window")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates within the watermark are dropped across batches") {
     val input = MemoryStream[String](Encoders.STRING, spark)
     val deduped = MaPipeline.parse(input.toDF().select(col("value")))
