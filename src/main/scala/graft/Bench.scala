@@ -16,15 +16,24 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("p1_project").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          // record the failure loudly — a swallowed exception would read
+          // as a near-zero (i.e. improved) time in the bench line
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

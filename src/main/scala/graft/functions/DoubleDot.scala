@@ -24,15 +24,28 @@ case class DoubleDot(left: Expression, right: Expression)
 
   // callers (VectorFunctions.dot) cast both sides to array<double>
   override def dataType: DataType = DoubleType
+
+  // a null ELEMENT nullifies the result even when both arrays are
+  // non-null — without this, codegen folds isNull to a literal false
+  // and the null-element branch silently yields 0.0
+  override def nullable: Boolean = true
   override def prettyName: String = "double_dot"
 
+  /** A null ELEMENT nullifies the whole product — matching the
+    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` formulation (null×x → null
+    * element → null sum) and DuckDB's list_dot_product; ArrayData's
+    * getDouble would otherwise silently read a null slot as 0.0. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,6 +58,7 @@ case class DoubleDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -38,20 +38,12 @@ object Multimodal {
     Tables.documents(spark, dir)
       .withColumn("media", col("text").cast("binary"))
 
-  /** MM1 — typed metadata over the binary column (oracle-checked:
-    * byte length via built-in expressions both sides). */
-  def mm1BinaryMeta(spark: SparkSession, dir: String): DataFrame =
-    withBinary(spark, dir).select(
-      col("doc_id"),
-      length(col("media")).cast("long").as("n_bytes"),
-      xxhash64(col("media")).as("content_hash"))
-
   private val mm1Oracle =
-    // content_hash is Spark-specific; the oracle checks the byte-length
-    // metadata — hash equality is covered by dd1 + the ScalaTest spec.
+    // only engine-neutral metadata is compared; content hashing over the
+    // same binary column is covered by dd1 + the ScalaTest specs
     "SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes FROM documents"
 
-  /** MM1 oracle-checkable projection (no engine-specific hash). */
+  /** MM1 — typed metadata over the binary column (oracle-checked). */
   def mm1Meta(spark: SparkSession, dir: String): DataFrame =
     withBinary(spark, dir).select(
       col("doc_id"), length(col("media")).cast("long").as("n_bytes"))

@@ -267,21 +267,28 @@ object Relational {
       |       round(coalesce(lead(o_totalprice, 1) OVER w, 0), 6) AS next_price
       |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
-  /** Correlated scalar subquery — Catalyst decorrelates it into an
-    * aggregate + join (no per-row subquery execution at any scale):
-    * orders above their customer's average order value. */
+  /** Correlated scalar subqueries — Catalyst decorrelates them into
+    * aggregates + joins (no per-row subquery execution at any scale):
+    * orders above 1.1× their customer's average order value. The
+    * comparison is all-integer (price·10·n > 11·sum_cents ⇔
+    * price > 1.1·avg) per the Exact conventions — a float avg here
+    * would make boundary rows flip between engines. */
   def sq1ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
-        |WHERE o_totalprice > (SELECT 1.1 * avg(o2.o_totalprice) FROM orders_v o2
-        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 10 *
+        |      (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 11 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |            FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   private val sq1Oracle =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-      |WHERE o_totalprice > (SELECT 1.1 * avg(o2.o_totalprice) FROM orders o2
-      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 10 *
+      |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 11 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+      |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("cube1", cube1, Some(cube1Oracle)),

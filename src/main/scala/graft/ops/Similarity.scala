@@ -16,9 +16,11 @@ import graft.functions.VectorFunctions._
   *    ranking shuffles only (query_id, candidate, score) tuples.
   *  - sim2: random-hyperplane LSH — the 100 TB path. Each vector gets a
   *    B-bit signature (sign of dot with B fixed pseudo-random planes);
-  *    search probes only the candidate's bucket plus all 1-bit-flip
-  *    neighbor buckets (multi-probe), turning O(Q·N) into
-  *    O(Q·N/2^B·(B+1)) with an equi-join on the bucket key.
+  *    search probes the candidate's bucket plus all buckets within
+  *    Hamming radius R of it (multi-probe), turning O(Q·N) into
+  *    O(Q·N·Σ_{i≤R}C(B,i)/2^B) with an equi-join on the bucket key.
+  *    The shipped configuration is B=4, R=2 (11/16 buckets probed) —
+  *    sized for this corpus's weak clustering; see the tunables note.
   *
   * Scoring is double-precision with rank ties broken on rounded score
   * then vec_id, so results are deterministic across engines.
@@ -81,7 +83,7 @@ object Similarity {
   private val DIM = 64
 
   /** SIM2 — LSH-bucketed ANN: signature join + exact rerank inside
-    * buckets (multi-probe: exact bucket plus all 1-bit flips). Returns
+    * buckets (multi-probe out to Hamming radius PROBE_RADIUS). Returns
     * top-k per query among probed candidates. Rows-only check; the
     * ScalaTest spec measures recall against sim1. */
   def sim2LshTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -25,6 +25,14 @@ class DoubleDotSpec extends AnyFunSuite {
     assert(dotOf(Seq(1, 2, 3), Seq(10, 10)) == 30.0)
   }
 
+  test("a null ELEMENT nullifies the product, matching the HOF formulation") {
+    val r = Seq(1).toDF("x").select(
+      VectorFunctions.dot(
+        array(lit(1.0), lit(null).cast("double")),
+        array(lit(2.0), lit(3.0))).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("null input yields null, not a crash") {
     val r = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
       .select(VectorFunctions.dot(col("a"), col("b")).as("d")).head()
