@@ -290,7 +290,56 @@ object Relational {
       |    > 11 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
       |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
+  /** PIVOT: per-user event counts spread across event-type columns
+    * (explicit value list ⇒ deterministic schema; Spark plans this as
+    * a single aggregation with one CASE-guarded count per value —
+    * no extra shuffle versus the flat groupBy). */
+  def pv1Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val pv1Oracle =
+    """SELECT user_id,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Regex scalar functions (simple patterns identical under Java and
+    * RE2 regex dialects). */
+  def f11Regex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      regexp_replace(col("text"), "[aeiou]", "").substr(1, 40).as("devoweled"),
+      regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"))
+
+  private val f11Oracle =
+    """SELECT doc_id,
+      |       substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 40) AS devoweled,
+      |       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
+      |FROM documents""".stripMargin
+
+  /** String scalar functions: case, pad, trim, substring, length. */
+  def f12StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      lpad(col("c_mktsegment"), 12, ".").as("padded"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      length(col("c_name")).as("name_len"))
+
+  private val f12Oracle =
+    """SELECT c_custkey, upper(c_name) AS uname, lpad(c_mktsegment, 12, '.') AS padded,
+      |       substr(c_name, 1, 8) AS prefix, length(c_name) AS name_len
+      |FROM customer""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("pv1_pivot", pv1Pivot, Some(pv1Oracle)),
+    Q("f11_regex", f11Regex, Some(f11Oracle)),
+    Q("f12_string_funcs", f12StringFuncs, Some(f12Oracle)),
     Q("cube1", cube1, Some(cube1Oracle)),
     Q("wf3_lag_lead", wf3LagLead, Some(wf3Oracle)),
     Q("sq1_scalar_subquery", sq1ScalarSubquery, Some(sq1Oracle)),
