@@ -98,6 +98,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    // disable auto-broadcast so the plan must rely on bucket
+    // co-location rather than broadcasting the small test table
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).count()
+      val p = plan(j)
+      // both sides pre-partitioned on the join key: the join (and even
+      // the downstream groupBy on the same key) needs no shuffle at all
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
