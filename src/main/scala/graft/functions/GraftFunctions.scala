@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `double_dot(array<double>, array<double>)` — codegen'd dot product
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
   *  - `simhash_sketch(bigint, bigint)` — weighted 64-bit SimHash
+  *  - `shingle_hashes(array<string>, k)` — distinct word-k-gram hashes
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
   *    aggregation protocol (sum/count/sma/real/filled/n struct)
   *
@@ -41,6 +42,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_sketch", exprs => {
       arity("simhash_sketch", 2)(exprs)
       SimHashSketch(Cast(exprs(0), LongType), Cast(exprs(1), LongType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", exprs => {
+      arity("shingle_hashes", 2)(exprs)
+      // k must be a compile-time constant (it shapes the generated code)
+      val k = exprs(1).eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes: k must be a foldable integer, got $other")
+      }
+      ShingleHashes(exprs(0), k)
     }, "scala_udf")
     spark.udf.register("ma_agg", udaf(new MaAggregator))
   }

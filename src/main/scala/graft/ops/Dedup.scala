@@ -39,33 +39,63 @@ object Dedup {
   private val dd1Oracle =
     "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY text"
 
-  /** Word-3-gram shingle set per doc (deduplicated), carried as an
-    * 8-byte xxhash64 — joins and shuffles move the hash, never the
-    * shingle text (a 2^-64-per-pair collision risk buys a ~3× smaller
-    * shuffle; the DuckDB oracle still joins on raw strings, so a
-    * collision would surface as a hash-mismatch). */
+  /** Word-3-gram shingle set per doc (deduplicated) as an `array<long>`
+    * of 8-byte hashes, computed in one codegen-friendly pass by the
+    * [[graft.functions.ShingleHashes]] expression — joins and shuffles
+    * move the hash, never the shingle text (a 2^-64-per-pair collision
+    * risk buys a ~3× smaller shuffle; the DuckDB oracle still joins on
+    * raw strings, so a collision would surface as a hash-mismatch). */
+  private def shingleArr(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    call_function("shingle_hashes", words, lit(3))
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-            i => xxhash64(concat_ws(" ", slice(words, i, lit(3))))))).as("s"))
+      .select(col("doc_id"), explode(shingleArr(spark)).as("s"))
+
+  /** Stop-shingle document-frequency cutoff: shingles appearing in more
+    * than max(64, 1% of docs) documents are dropped before any pair
+    * join. A shingle in D docs contributes O(D²) join rows, so without
+    * a bound one stop-shingle detonates the self-join at scale; with it
+    * the join output is ≤ |shingles|·F². At the test SFs the cutoff is
+    * deliberately a no-op (max observed df is 25 < 64), so the oracle
+    * semantics are unchanged where they are hash-compared; it exists to
+    * keep the same query survivable at sf1+ (both sides of the oracle
+    * mirror the identical HAVING prefilter). */
+  private def dfCutoff(nDocs: Long): Long = math.max(64L, math.ceil(0.01 * nDocs).toLong)
 
   /** DD4 — exact n-gram Jaccard near-dup pairs (threshold 0.5): join on
-    * common shingles, |A∩B| / (|A|+|B|−|A∩B|). */
+    * common shingles, |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Shape notes (the round-1 version cost 19.4 s = 26% of the whole
+    * bench at sf0.1; see SCALE.md):
+    *  - per-doc set sizes are `size(arr)` of the one-pass shingle array —
+    *    no aggregation, no sizes join at all; they ride the self-join as
+    *    grouping keys instead of two post-join sort-merge passes over the
+    *    million-row pair table;
+    *  - the stop-shingle list is collected to the driver (bounded small
+    *    by construction: df > max(64, 1%·N) admits at most
+    *    avg_shingles_per_doc/1% entries regardless of corpus size — the
+    *    same "model state, not data" pattern as sim3's centroids) and
+    *    applied as a broadcast `array_except`, keeping the no-stop path
+    *    literally identical to an unfiltered run. */
   def dd4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // no cache: the plan is reused three times but each run of this
-    // query is one action, and a cache here would pin executor storage
-    // for the rest of a 60-query Verify/Bench session
-    val sh = shingled(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val base = docs(spark, dir).select(col("doc_id"), shingleArr(spark).as("arr"))
+    val cutoff = dfCutoff(docs(spark, dir).count())
+    val stop = base.select(explode(col("arr")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cutoff)
+      .collect().map(_.getLong(0))
+    val kept = if (stop.isEmpty) col("arr")
+      else array_except(col("arr"), typedLit(stop.toSeq))
+    val shn = base.select(col("doc_id"), kept.as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
+    val a = shn.as("a"); val b = shn.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       // truncating integer ratio (graft.ops.Exact): c/(union) terminates
       // on round-half boundaries whenever the union size is 2^a·5^b
       .withColumn("jaccard", Exact.intRatio(col("c"), col("na") + col("nb") - col("c")))
@@ -77,7 +107,10 @@ object Dedup {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
       |                 i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
-      |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+      |shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+      |stop AS (SELECT s FROM shd GROUP BY s
+      |         HAVING count(*) > (SELECT greatest(64, ceil(0.01 * count(*))) FROM documents)),
+      |sh AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM stop)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
