@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
   *  - `simhash_sketch(bigint, bigint)` — weighted 64-bit SimHash
   *  - `shingle_hashes(array<string>, k)` — distinct word-k-gram hashes
+  *  - `vector_avg(array<double>)` — element-wise mean sketch aggregate
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
   *    aggregation protocol (sum/count/sma/real/filled/n struct)
   *
@@ -42,6 +43,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_sketch", exprs => {
       arity("simhash_sketch", 2)(exprs)
       SimHashSketch(Cast(exprs(0), LongType), Cast(exprs(1), LongType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("vector_avg", exprs => {
+      arity("vector_avg", 1)(exprs)
+      VectorAvg(Cast(exprs.head, ArrayType(DoubleType)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", exprs => {
       arity("shingle_hashes", 2)(exprs)

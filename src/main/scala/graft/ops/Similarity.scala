@@ -119,50 +119,61 @@ object Similarity {
   /** SIM3 — IVF (inverted-file) ANN: spherical k-means partitions the
     * corpus into K cells; a query probes only its IVF_PROBES nearest
     * cells and reranks exactly inside them. Training is Lloyd's
-    * iterations with deterministic init (first K vectors by id);
-    * centroid updates aggregate per (cell, dim) on the cluster — only
-    * the K×64 centroid matrix ever reaches the driver, which is model
-    * state, not data. At 100 TB the cell assignment is a write-time
+    * iterations over a deterministic 1-in-4 sample with deterministic
+    * init (first K sampled vectors by id); each iteration is one scan +
+    * one `vector_avg` sketch aggregate per cell — only the K×64
+    * centroid matrix ever reaches the driver, which is model state,
+    * not data. At 100 TB the cell assignment is a write-time
     * bucketing column; probes then prune to IVF_PROBES/K of the corpus. */
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
       .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
       .select(col("vec_id"), col("v"), col("nrm"), col("u"))
-    e.cache()
 
-    // deterministic init: the first K vectors by id
-    var centroids: Array[Seq[Double]] = e.filter(col("vec_id") < IVF_K)
-      .orderBy(col("vec_id")).select(col("u")).collect()
+    // Lloyd's iterations see a deterministic 1-in-4 sample (k-means
+    // needs representative cluster shapes, not every point; at 100 TB
+    // the training scan is the dominant cost and subsampling is the
+    // standard fix). Only the sample is cached — a few MB here, and at
+    // scale a bounded fraction of the corpus.
+    val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("u"))
+    train.cache()
+
+    // deterministic init: the first K training vectors by id
+    var centroids: Array[Seq[Double]] = train.filter(col("vec_id") < IVF_K * 4)
+      .orderBy(col("vec_id")).limit(IVF_K).select(col("u")).collect()
       .map(_.getSeq[Double](0))
 
     def centroidCols = centroids.map(c => array(c.map(lit): _*))
 
     for (_ <- 1 to IVF_ITERS) {
-      val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
+      // one scan per iteration: assign to the best cell, then ONE
+      // vector_avg sketch aggregate per cell (primitive dim+1 buffer,
+      // ObjectHashAggregate merge) — replaces the former posexplode
+      // into (cell, dim_index, component) rows, a ×64 row inflation.
+      // Only the K×64 mean matrix reaches the driver (model state).
+      val means = train
+        .withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
         .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
-      // per-(cell, dim) mean over the cluster; tiny K x 64 result
-      val sums = assigned
-        .select(col("cell"), posexplode(col("u")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(call_function("vector_avg", col("u")).as("m"))
         .collect()
-      val byCell = sums.groupBy(_.getLong(0).toInt)
+      val byCell = means.map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
       centroids = (0 until IVF_K).map { c =>
         byCell.get(c) match {
-          case Some(rows) =>
-            val arr = new Array[Double](DIM)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-            val n = math.sqrt(arr.map(x => x * x).sum)
-            (if (n == 0) arr else arr.map(_ / n)).toSeq
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            (if (n == 0) m else m.map(_ / n)) // back to the unit sphere
           case None => centroids(c) // empty cell keeps its centroid
         }
       }.toArray
     }
 
-    // training is done: release the cached vectors (the final query
-    // below recomputes the scan once; keeping the cache would pin
+    // training is done: release the cached sample (the final query
+    // below scans the full corpus once; keeping the cache would pin
     // storage for the rest of the session)
-    e.unpersist()
+    train.unpersist()
     val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
       .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
     // queries probe their IVF_PROBES best cells
