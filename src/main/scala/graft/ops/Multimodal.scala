@@ -11,7 +11,7 @@ final case class MediaFeatures(
     n_bytes: Long,
     fake_width: Int,
     fake_height: Int,
-    features: Array[Double])
+    features: Array[Long])
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as an
   * opaque `binary` column plus typed metadata, with decode /
@@ -25,6 +25,12 @@ final case class MediaFeatures(
   * decoded struct, per-partition batch iteration (the shape a JNI/
   * subprocess codec wants), and partition-parallel execution with no
   * driver-side collection.
+  *
+  * The fakes are arithmetic over the payload bytes (stepwise-mod
+  * polynomial hashes, stride sampling) precisely so that BOTH queries
+  * are DuckDB-expressible: every output column, stub features included,
+  * goes through the cross-engine hash-compare rather than a weaker
+  * rows-only check.
   *
   * Scale notes: decode is a narrow per-partition map — zero shuffle;
   * at 100 TB you size `spark.sql.files.maxPartitionBytes` so one batch
@@ -51,9 +57,12 @@ object Multimodal {
   /** ========================= STUB =========================
     * Fake "decode": a real implementation would hand `batch` (an
     * Iterator of (doc_id, bytes)) to an image/audio codec in chunks.
-    * This deterministic stand-in derives 8 "features" and fake
-    * dimensions from the bytes so tests have stable expectations.
-    * The batching shape, schema, and distribution are the real thing.
+    * This deterministic stand-in derives 8 24-bit "features" (a
+    * stepwise-mod polynomial over every 8th byte — reducing mod 2^24
+    * each step keeps the identical arithmetic expressible in ANSI-ish
+    * SQL, so the oracle checks the stub bit-for-bit) and fake
+    * dimensions from the bytes. The batching shape, schema, and
+    * distribution are the real thing.
     */
   private def fakeDecodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[MediaFeatures] =
     batch.map { case (id, bytes) =>
@@ -61,22 +70,38 @@ object Multimodal {
       val feats = Array.tabulate(8) { i =>
         var acc = 0L
         var j = i
-        while (j < n) { acc = acc * 31 + (bytes(j) & 0xFF); j += 8 }
-        (acc & 0xFFFFFF).toDouble / 0xFFFFFF
+        while (j < n) { acc = (acc * 31 + (bytes(j) & 0xFF)) % 16777216L; j += 8 }
+        acc
       }
       MediaFeatures(id, n.toLong, fake_width = (n % 640) + 1, fake_height = (n % 480) + 1, feats)
     }
 
-  /** MM2 — per-partition batched decode + feature extraction. */
+  /** MM2 — per-partition batched decode + feature extraction. Every
+    * output column (metadata AND stub features) is oracle-checked. */
   def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src: Dataset[(Long, Array[Byte])] = withBinary(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
     src.mapPartitions(fakeDecodeBatch)
       .select(col("doc_id"), col("n_bytes"), col("fake_width"), col("fake_height"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 8), 6).as("f7"))
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 8).as("f7"))
   }
+
+  private def featSql(start1: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($start1, n + 1, 8),
+       |    j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |  (a, x) -> (a * 31 + x) % 16777216)""".stripMargin
+
+  private val mm2Oracle =
+    s"""WITH t AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |       CAST((n % 640) + 1 AS INT) AS fake_width,
+       |       CAST((n % 480) + 1 AS INT) AS fake_height,
+       |       ${featSql(1)} AS f0,
+       |       ${featSql(8)} AS f7
+       |FROM t""".stripMargin
 
   /** ========================= STUB =========================
     * Fake "resize": stride-samples the payload down to a fixed 32-byte
@@ -95,7 +120,9 @@ object Multimodal {
 
   /** MM4 — batched "resize" over the binary column (mapPartitions, the
     * JVM analog of a vectorized decode UDF): media → fixed-size
-    * thumbnail bytes + before/after sizes. */
+    * thumbnail bytes + before/after sizes. The thumbnail is emitted as
+    * its (ascii) string so the stride-sample itself is oracle-checked,
+    * not just its row count. */
   def mm4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withBinary(spark, dir)
@@ -103,11 +130,21 @@ object Multimodal {
       .mapPartitions(fakeResizeBatch(32))
       .toDF("doc_id", "orig_bytes", "thumb_bytes", "thumb")
       .select(col("doc_id"), col("orig_bytes"), col("thumb_bytes"),
-        xxhash64(col("thumb")).as("thumb_hash"))
+        decode(col("thumb"), "UTF-8").as("thumb_str"))
   }
+
+  private val mm4Oracle =
+    """WITH t AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents),
+      |p AS (SELECT doc_id, text, n,
+      |        least(32, greatest(n, 1)) AS outlen,
+      |        greatest(1, n // least(32, greatest(n, 1))) AS stride FROM t)
+      |SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(outlen AS INT) AS thumb_bytes,
+      |       array_to_string(list_transform(range(0, outlen),
+      |         i -> substr(text, CAST(least(i * stride, n - 1) + 1 AS INT), 1)), '') AS thumb_str
+      |FROM p""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
-    Q("mm2_decode_features", mm2DecodeFeatures, None),
-    Q("mm4_resize", mm4Resize, None))
+    Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
+    Q("mm4_resize", mm4Resize, Some(mm4Oracle)))
 }

@@ -124,23 +124,59 @@ object TextOps {
       |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_docs, substr(fp, 1, 64) AS fp_prefix
       |FROM f GROUP BY fp""".stripMargin
 
-  /** TA5 — rolling-hash fingerprint (xxhash64 over word 4-gram shingles,
-    * min-anchored winnowing). Engine-specific hash ⇒ no SQL oracle; the
-    * driver's rows-only check + ScalaTest cover it. */
+  /** Rabin–Karp-style polynomial rolling hash, engine-neutral by
+    * construction: every step reduces mod 2^40, so the identical
+    * integer arithmetic is expressible in both Spark and DuckDB with no
+    * overflow (acc·31 + code < 2^45; acc·1000003 + h < 2^60). The 2^40
+    * modulus keeps the birthday bound comfortable for corpus-scale
+    * distinct-text counts (5000² / 2^41 ≈ 1e-5). */
+  private val M40 = 1099511627776L // 2^40
+
+  /** per-character polynomial hash of one word */
+  private def wordHash(w: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(w)), j => ascii(w.substr(j, lit(1))).cast("long")),
+      lit(0L), (a, x) => (a * 31 + x) % M40)
+
+  /** fold an array of word hashes into one value */
+  private def polyFold(hs: Column): Column =
+    aggregate(hs, lit(0L), (a, x) => (a * 1000003 + x) % M40)
+
+  /** TA5 — rolling-hash fingerprint: polynomial word hashes folded over
+    * word 4-gram shingles, min-anchored winnowing (`min_hash`) plus a
+    * whole-document fold (`full_hash`). Fully oracle-checked — the
+    * round-1 xxhash64 formulation was engine-specific and could only be
+    * rows-only verified. */
   def ta5RollingHash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("w", words)
-      .withColumn("shingles",
-        transform(sequence(lit(0), greatest(size(col("w")) - 4, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(4))))))
+      .withColumn("hs", transform(words, w => wordHash(w)))
       .select(col("doc_id"),
-        array_min(col("shingles")).as("min_hash"),
-        xxhash64(col("text")).as("full_hash"))
+        array_min(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
+          i => polyFold(slice(col("hs"), i + 1, lit(4))))).as("min_hash"),
+        polyFold(col("hs")).as("full_hash"))
+
+  private val ta5Oracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wh AS (SELECT doc_id,
+      |         list_transform(w, wd ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(wd) + 1),
+      |               j -> CAST(ascii(substr(wd, CAST(j AS INT), 1)) AS BIGINT))),
+      |             (a, x) -> (a * 31 + x) % 1099511627776)) AS hs,
+      |         len(w) AS nw
+      |       FROM t)
+      |SELECT doc_id,
+      |       list_min(list_transform(range(0, greatest(nw - 4, 0) + 1),
+      |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 4]),
+      |                (a, x) -> (a * 1000003 + x) % 1099511627776))) AS min_hash,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+      |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS full_hash
+      |FROM wh""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
     Q("ta3_token_count", ta3TokenCount, Some(ta3Oracle)),
     Q("ta4_fingerprint", ta4Fingerprint, Some(ta4Oracle)),
-    Q("ta5_rolling_hash", ta5RollingHash, None))
+    Q("ta5_rolling_hash", ta5RollingHash, Some(ta5Oracle)))
 }
