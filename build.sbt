@@ -23,11 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] = 32 executor threads in ONE heap; 8g (250 MB/thread)
+// GC-thrashes the self-join queries (measured 177s -> 55s bench total
+// at 48g on the 128 GiB box). Default to ~40% of physical RAM, capped
+// at 48g, so smaller dev machines still fork; override with
+// SPARK_DRIVER_MEM=<size>.
+val defaultHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val memGb =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong }
+      kb.map(_ / (1024 * 1024)).getOrElse(8L)
+    } catch { case _: Throwable => 8L }
+  s"${math.max(2L, math.min(48L, memGb * 2 / 5))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = 32 executor threads in ONE heap; 8g (250 MB/thread)
-  // GC-thrashes the self-join queries (measured 177s -> 55s bench
-  // total at 48g on the 128 GiB box)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$defaultHeap",
 )

@@ -31,14 +31,17 @@ case class DoubleDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "double_dot"
 
-  /** A null ELEMENT nullifies the whole product — matching the
-    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` formulation (null×x → null
-    * element → null sum) and DuckDB's list_dot_product; ArrayData's
-    * getDouble would otherwise silently read a null slot as 0.0. */
+  /** A null ELEMENT nullifies the whole product, and so does a LENGTH
+    * MISMATCH — matching the `aggregate(zip_with(a,b,_*_),0.0,_+_)`
+    * formulation exactly (zip_with pads the shorter array with nulls,
+    * null×x → null element → null sum; the round-1 version returned the
+    * common-prefix product there, silently diverging on ragged input).
+    * ArrayData's getDouble would otherwise read a null slot as 0.0. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,11 +58,13 @@ case class DoubleDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

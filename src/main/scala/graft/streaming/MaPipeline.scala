@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -59,15 +59,32 @@ object MaPipeline {
       .select(col("v.*"))
       .withColumn("ts", to_timestamp(col("current_time")))
 
+  /** ISO-8601 with Python-`isoformat()` fractional behavior: whole
+    * seconds print without a fractional part, sub-second timestamps keep
+    * full microseconds — matching the reference's output wire and
+    * [[V1StateProcessor]]'s formatter (the round-1 seconds-only pattern
+    * silently truncated sub-second tick timestamps on this path). */
+  private def isoMicro(ts: Column): Column =
+    when(date_format(ts, "SSSSSS") === "000000",
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
   /** W1/W2 — the windowed moving average over a parsed stream (or batch
     * DataFrame — same code, Spark's unified API). `gate = Some(5)`
-    * reproduces the exactly-5 emission gate (`ma_agg.py:57`). */
+    * reproduces the exactly-5 emission gate (`ma_agg.py:57`).
+    *
+    * `type` rides as a GROUPING key, not a `first()` in the aggregation
+    * buffer: a string column in the buffer demotes the whole aggregate
+    * from hash to sort-based (the batch w1 learned this in round 1;
+    * PlanSpec pins it for this path too). The reference's type is
+    * constant per symbol (`ma_agg.py:30`, one type per stock record
+    * stream), so the grouping is unchanged. */
   def windowedSma(parsed: DataFrame, size: String = "5 seconds",
       slide: String = "1 second", watermark: String = "5 seconds",
       gate: Option[Int] = Some(5)): DataFrame = {
     val windowed = parsed
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), size, slide), col("symbol"))
+      .groupBy(window(col("ts"), size, slide), col("symbol"), col("type"))
       .agg(
         coalesce(sum(when(col("size_per_sec") =!= 0, col("vwap_price_per_sec"))), lit(0.0))
           .as("sum_of_vwap"),
@@ -75,14 +92,13 @@ object MaPipeline {
         count(when(col("real_or_filled") === "real", lit(1))).as("real_data_count"),
         count(when(col("real_or_filled") =!= "real", lit(1))).as("filled_data_count"),
         min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
-        first(col("type")).as("type"),
         count(lit(1)).as("window_data_count"))
     val gated = gate.fold(windowed)(g => windowed.filter(col("window_data_count") === g))
     gated.select(
       col("symbol"), col("type"),
       lit("5_MA_data").as("MA_type"),
-      date_format(col("min_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("start"),
-      date_format(col("max_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("end"),
+      isoMicro(col("min_ts")).as("start"),
+      isoMicro(col("max_ts")).as("end"),
       date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("current_time"),
       when(col("count_of_vwap") > 0, col("sum_of_vwap") / col("count_of_vwap"))
         .otherwise(0.0).as("sma_value"),

@@ -21,8 +21,9 @@ class DoubleDotSpec extends AnyFunSuite {
 
   test("empty arrays yield 0.0") { assert(dotOf(Seq.empty, Seq.empty) == 0.0) }
 
-  test("length mismatch uses the common prefix") {
-    assert(dotOf(Seq(1, 2, 3), Seq(10, 10)) == 30.0)
+  test("length mismatch yields null, like zip_with's null padding") {
+    assert(dotOf(Seq(1, 2, 3), Seq(10, 10)) == null)
+    assert(dotOf(Seq(10, 10), Seq(1, 2, 3)) == null)
   }
 
   test("a null ELEMENT nullifies the product, matching the HOF formulation") {

@@ -127,6 +127,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SMA agg buffer is all-numeric: hash aggregate, no string demotion") {
+    // batch form of the SAME windowedSma code path (unified API): the
+    // string `type` column must ride as a grouping key, never as a
+    // first()/min() in the aggregation buffer (which demotes the whole
+    // aggregate to sort-based — the round-1 streaming variant did this)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val parsed = Seq(
+      ("2024-01-01 00:00:10", "TSM", "stock", 3L, 10.0, "real"),
+      ("2024-01-01 00:00:11", "TSM", "stock", 0L, 0.0, "filled"),
+      ("2024-01-01 00:00:12", "AAPL", "stock", 2L, 20.0, "real"))
+      .toDF("ts_s", "symbol", "type", "size_per_sec", "vwap_price_per_sec", "real_or_filled")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val p = plan(graft.streaming.MaPipeline.windowedSma(parsed, gate = None))
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("HashAggregate(keys=[window"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
