@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$defaultHeap",
+  // 60+ whole-stage-codegen queries in one JVM overflow the default
+  // 240m JIT code cache; once full the compiler disables itself and
+  // later queries run interpreted (measured 10-30x slowdowns at sf1)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× upscaling of a testdata sf directory, for scale
+  * benchmarking beyond the largest driver-provided SF (the round-1
+  * verdict asked for a sf1-class bench to expose the dd4/dd2 crossover
+  * empirically — there is no /root/testdata/sf1, so we derive one).
+  *
+  * Replication strategy (replica `r` of `factor`):
+  *  - every surrogate/foreign key is offset by r·10^9 on BOTH sides of
+  *    each relationship, so per-replica join cardinalities exactly
+  *    mirror the source and replicas never cross-join;
+  *  - `nation`/`region` stay fixed (real dimension tables; customer and
+  *    supplier keep pointing at them, like a production star schema);
+  *  - `documents` text gets a one-word replica suffix (letters only,
+  *    preserving the corpus charset) so replicas are near-duplicates of
+  *    their source, NOT exact duplicates — replicating text verbatim
+  *    would multiply every dedup group by `factor` and quadratically
+  *    detonate pair queries in a way no real corpus does;
+  *  - `embeddings` components get a small deterministic per-(id, dim,
+  *    replica) perturbation for the same reason (replica 0 is pristine,
+  *    so the `vec_id < 10` query vectors are unchanged);
+  *  - `events.ts` stays int64-nanos on disk (replicas add users, not
+  *    time — matching how the driver's generator scales event density),
+  *    readable by the same `Tables.events` nanos path.
+  *
+  * Usage: `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`
+  */
+object ScaleGen {
+
+  private val KEY_OFFSET = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
+
+    def off(c: String): Column = col(c) + col("rep") * KEY_OFFSET
+
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("rep").coalesce(8).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // fixed dimensions: straight copy
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    write(replicate(Tables.customer(spark, srcDir))
+      .withColumn("c_custkey", off("c_custkey")), "customer")
+    write(replicate(Tables.supplier(spark, srcDir))
+      .withColumn("s_suppkey", off("s_suppkey")), "supplier")
+    write(replicate(Tables.part(spark, srcDir))
+      .withColumn("p_partkey", off("p_partkey")), "part")
+    write(replicate(Tables.orders(spark, srcDir))
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey")), "orders")
+    write(replicate(Tables.lineitem(spark, srcDir))
+      .withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .withColumn("l_suppkey", off("l_suppkey")), "lineitem")
+
+    // events: keep ts as raw int64 nanos (read WITHOUT the Tables
+    // conversion so the written file round-trips through the same
+    // nanos-aware loader)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(replicate(spark.read.parquet(s"$srcDir/events.parquet"))
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id")), "events")
+
+    // documents: replica suffix word keeps replicas near-dup, not exact
+    val repWord = typedLit((0 until factor).map(i => ('a' + (i % 26)).toChar.toString * 2))
+    val suffixed = when(col("rep") === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" xq"),
+        element_at(repWord, (col("rep") + 1).cast("int"))))
+    write(replicate(Tables.documents(spark, srcDir))
+      .withColumn("doc_id", off("doc_id"))
+      .withColumn("text", suffixed), "documents")
+
+    // embeddings: deterministic tiny perturbation off replica 0
+    val perturbed = when(col("rep") === 0, col("embedding"))
+      .otherwise(zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => (x + (pmod(col("vec_id") * 31 + i * 7 + col("rep") * 13, lit(17)) - 8)
+          .cast("float") * lit(0.002f)).cast("float")))
+    write(replicate(Tables.embeddings(spark, srcDir))
+      .withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding", perturbed), "embeddings")
+
+    println(s"""{"scalegen":"done","out":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}
