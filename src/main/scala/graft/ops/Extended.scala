@@ -52,24 +52,35 @@ object Extended {
   /** AJ1 — as-of join: each event paired with the user's most recent
     * order at event time (inner semantics; ties broken on orderkey).
     * Composition path (a): equi-join on the key + time predicate, then
-    * keep the latest per event via row_number. Scale note: the
-    * expansion factor is bounded by orders-per-key; for unbounded
-    * history the union-sort-merge formulation (tag both sides, sort by
-    * (key, time), carry last order forward) avoids the expansion — at
-    * this cardinality the join form is cheaper and AQE handles skew. */
+    * keep the latest order per event with `max_by` HASH aggregation:
+    * the (o_orderdate DESC, o_orderkey DESC) tie-break packs into one
+    * numeric ordering key (days·2^36 + orderkey, unique per order, no
+    * overflow until year ~5 million), so each max_by has a primitive
+    * buffer and the whole aggregate stays a HashAggregate with map-side
+    * partials — the shuffle carries one buffer per event per task, not
+    * the full per-event order history, and nothing sorts. (A struct
+    * ordering, like the window/row_number formulation it replaces,
+    * demotes to SortAggregate: measured no faster than the window.)
+    * Scale note: the join expansion factor is bounded by
+    * orders-per-key; for unbounded history the union-sort-merge
+    * formulation (tag both sides, sort by (key, time), carry last
+    * order forward) avoids the expansion — at this cardinality the
+    * join form is cheaper and AQE handles skew. */
   def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val o = Tables.orders(spark, dir)
-    val joined = e.join(o,
-      e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val ordKey = unix_date(col("o_orderdate").cast("date")).cast("long") *
+      68719476736L + col("o_orderkey") // 2^36 > max orderkey incl. ScaleGen offsets
+    e.join(o, e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(
+        max_by(col("o_orderkey"), ordKey).as("o_orderkey"),
+        max_by(col("o_totalprice"), ordKey).as("o_totalprice"),
+        max_by(col("o_orderdate"), ordKey).as("best_date"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), MICRO).as("ts_s"),
         col("o_orderkey"), col("o_totalprice"),
-        date_format(col("o_orderdate"), SEC).as("order_date"))
+        date_format(col("best_date"), SEC).as("order_date"))
   }
 
   private val aj1Oracle =
