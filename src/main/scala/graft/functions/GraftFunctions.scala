@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `simhash_sketch(bigint, bigint)` — weighted 64-bit SimHash
   *  - `shingle_hashes(array<string>, k)` — distinct word-k-gram hashes
   *  - `vector_avg(array<double>)` — element-wise mean sketch aggregate
+  *  - `rolling_hash(array<string>, k)` — Rabin–Karp [min, full] fingerprint
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
   *    aggregation protocol (sum/count/sma/real/filled/n struct)
   *
@@ -47,6 +48,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vector_avg", exprs => {
       arity("vector_avg", 1)(exprs)
       VectorAvg(Cast(exprs.head, ArrayType(DoubleType)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash", exprs => {
+      arity("rolling_hash", 2)(exprs)
+      val k = exprs(1).eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash: k must be a foldable integer, got $other")
+      }
+      RollingHashFp(exprs(0), k)
     }, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", exprs => {
       arity("shingle_hashes", 2)(exprs)

@@ -124,36 +124,29 @@ object TextOps {
       |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_docs, substr(fp, 1, 64) AS fp_prefix
       |FROM f GROUP BY fp""".stripMargin
 
-  /** Rabin–Karp-style polynomial rolling hash, engine-neutral by
-    * construction: every step reduces mod 2^40, so the identical
-    * integer arithmetic is expressible in both Spark and DuckDB with no
-    * overflow (acc·31 + code < 2^45; acc·1000003 + h < 2^60). The 2^40
-    * modulus keeps the birthday bound comfortable for corpus-scale
-    * distinct-text counts (5000² / 2^41 ≈ 1e-5). */
-  private val M40 = 1099511627776L // 2^40
-
-  /** per-character polynomial hash of one word */
-  private def wordHash(w: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(w)), j => ascii(w.substr(j, lit(1))).cast("long")),
-      lit(0L), (a, x) => (a * 31 + x) % M40)
-
-  /** fold an array of word hashes into one value */
-  private def polyFold(hs: Column): Column =
-    aggregate(hs, lit(0L), (a, x) => (a * 1000003 + x) % M40)
-
-  /** TA5 — rolling-hash fingerprint: polynomial word hashes folded over
-    * word 4-gram shingles, min-anchored winnowing (`min_hash`) plus a
-    * whole-document fold (`full_hash`). Fully oracle-checked — the
-    * round-1 xxhash64 formulation was engine-specific and could only be
-    * rows-only verified. */
-  def ta5RollingHash(spark: SparkSession, dir: String): DataFrame =
+  /** TA5 — rolling-hash fingerprint: Rabin–Karp polynomial word hashes
+    * (per-char fold mod 2^40) folded over word 4-gram shingles,
+    * min-anchored winnowing (`min_hash`) plus a whole-document fold
+    * (`full_hash`). Computed by the codegen-friendly
+    * [[graft.functions.RollingHashFp]] expression — the arithmetic is
+    * engine-neutral by construction (every step reduces mod 2^40, so
+    * the identical integer sequence is expressible in DuckDB:
+    * acc·31 + code < 2^45, acc·1000003 + h < 2^60), which makes ta5
+    * fully oracle-checked where the round-1 xxhash64 formulation was
+    * engine-specific and rows-only. The 2^40 modulus keeps the birthday
+    * bound comfortable for corpus-scale distinct-text counts
+    * (5000² / 2^41 ≈ 1e-5). An equivalent pure-Column formulation
+    * (transform/aggregate HOFs) ran its per-char lambda interpreted at
+    * ~7 s for sf1; the expression does the same folds in one compiled
+    * pass. */
+  def ta5RollingHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     docs(spark, dir)
-      .withColumn("hs", transform(words, w => wordHash(w)))
+      .withColumn("fp", call_function("rolling_hash", words, lit(4)))
       .select(col("doc_id"),
-        array_min(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
-          i => polyFold(slice(col("hs"), i + 1, lit(4))))).as("min_hash"),
-        polyFold(col("hs")).as("full_hash"))
+        element_at(col("fp"), 1).as("min_hash"),
+        element_at(col("fp"), 2).as("full_hash"))
+  }
 
   private val ta5Oracle =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
