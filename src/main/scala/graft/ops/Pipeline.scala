@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization: deterministic sampling / split
+  * assignment, benchmark decontamination, per-source quotas, and
+  * sequence packing. All four are fully DuckDB-oracle-checked — the
+  * sampling/split hash is the engine-neutral Rabin–Karp fold
+  * (graft.functions.RollingHashFp), so even the "random" decisions are
+  * bit-reproducible across engines.
+  *
+  * Scale notes: smp1/dq1/pk1 are one narrow map + at most one shuffle;
+  * dc1 is a bounded equi-join on 8-byte shingle hashes against a
+  * BROADCAST benchmark side (decontamination corpora — eval benchmarks
+  * — are tiny next to training corpora by construction).
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val words: Column = split(col("text"), " ")
+
+  private def fullHash(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    element_at(call_function("rolling_hash", words, lit(4)), 2)
+  }
+
+  /** SMP1 — deterministic content-hash sampling + split assignment:
+    * every document lands in a stable 0..99 bucket from its
+    * engine-neutral content hash; bucket < 10 selects a reproducible
+    * 10% sample, and the same bucketing assigns train/valid/test
+    * (98/1/1) without any RNG state. The decision is a pure function of
+    * content: re-runs, engine changes, and re-partitioning cannot move
+    * a document across splits (the property training pipelines need for
+    * decontaminated held-out sets). */
+  def smp1HashSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", pmod(fullHash(spark), lit(100L)))
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") === 0, "valid")
+          .when(col("bucket") === 1, "test")
+          .otherwise("train").as("split"))
+
+  private val rkWordSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(range(1, length(wd) + 1),
+      |    j -> CAST(ascii(substr(wd, CAST(j AS INT), 1)) AS BIGINT))),
+      |  (a, x) -> (a * 31 + x) % 1099511627776)""".stripMargin
+
+  private val smp1Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wh AS (SELECT doc_id, list_transform(w, wd -> $rkWordSql) AS hs FROM t),
+       |fh AS (SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |           (a, x) -> (a * 1000003 + x) % 1099511627776) % 100 AS bucket
+       |       FROM wh)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket = 0 THEN 'valid'
+       |            WHEN bucket = 1 THEN 'test'
+       |            ELSE 'train' END AS split
+       |FROM fh WHERE bucket < 10""".stripMargin
+
+  private val BENCH_DOCS = 50 // stand-in "benchmark" set: doc_id < 50
+  private val OVERLAP = 5 // shared 3-gram shingles to flag
+
+  /** DC1 — benchmark decontamination: flag training documents sharing
+    * ≥ OVERLAP word-3-gram shingles with any "benchmark" document (the
+    * first BENCH_DOCS docs stand in for an eval set). The benchmark
+    * side broadcasts (eval sets are tiny vs training corpora); the join
+    * carries 8-byte shingle hashes via [[graft.functions.ShingleHashes]]
+    * and the overlap count is hash-agnostic, so the DuckDB oracle joins
+    * raw shingle strings and must agree exactly. */
+  def dc1Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sh = docs(spark, dir).select(col("doc_id"),
+      explode(call_function("shingle_hashes", words, lit(3))).as("s"))
+    val bench = sh.filter(col("doc_id") < BENCH_DOCS)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    sh.filter(col("doc_id") >= BENCH_DOCS)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= OVERLAP)
+  }
+
+  private val dc1Oracle =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+       |                 i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0)
+       |SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS n_common
+       |FROM sh t JOIN sh b ON t.s = b.s
+       |WHERE b.doc_id < $BENCH_DOCS AND t.doc_id >= $BENCH_DOCS
+       |GROUP BY 1, 2 HAVING count(*) >= $OVERLAP""".stripMargin
+
+  private val QUOTA = 2
+
+  /** DQ1 — per-source quota: keep at most QUOTA documents per
+    * fingerprint group (normalize-sort-dedupe key, the ta4 family),
+    * deterministically by lowest doc_id. The canonical "cap documents
+    * per domain/source" curation step; one window over one shuffle. */
+  def dq1GroupQuota(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .withColumn("fp", array_join(array_sort(array_distinct(words)), " "))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    fp.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= QUOTA)
+      .select(col("doc_id"), substring(col("fp"), 1, 32).as("fp_prefix"),
+        col("rank_in_group"))
+  }
+
+  private val dq1Oracle =
+    s"""WITH f AS (SELECT doc_id,
+       |         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+       |  FROM documents),
+       |r AS (SELECT doc_id, fp,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rank_in_group
+       |      FROM f)
+       |SELECT doc_id, substr(fp, 1, 32) AS fp_prefix, rank_in_group
+       |FROM r WHERE rank_in_group <= $QUOTA""".stripMargin
+
+  private val PACK_BUDGET = 512L
+
+  /** PK1 — sequence packing: assign documents to fixed token-budget
+    * bins by running token count in doc_id order (deterministic
+    * first-come packing — the shuffle-free assignment pass of a packer;
+    * the actual concatenation is a downstream groupBy(bin)). A document
+    * larger than the budget gets its own bin, same as real packers
+    * overflow. At scale the prefix sum is one window over the intended
+    * output ordering — data already sorted by the curation pipeline's
+    * write order, so no extra shuffle in practice. */
+  def pk1PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum_tokens") - 1) / PACK_BUDGET).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
+  }
+
+  private val pk1Oracle =
+    s"""WITH t AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       CAST((cum_tokens - 1) // $PACK_BUDGET AS BIGINT) AS bin
+       |FROM c""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
+    Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Oracle)),
+    Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
+    Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)))
+}
