@@ -127,20 +127,44 @@ object Pipeline {
 
   private val PACK_BUDGET = 512L
 
+  private val PACK_BUCKETS = 32
+
   /** PK1 — sequence packing: assign documents to fixed token-budget
     * bins by running token count in doc_id order (deterministic
     * first-come packing — the shuffle-free assignment pass of a packer;
     * the actual concatenation is a downstream groupBy(bin)). A document
     * larger than the budget gets its own bin, same as real packers
-    * overflow. At scale the prefix sum is one window over the intended
-    * output ordering — data already sorted by the curation pipeline's
-    * write order, so no extra shuffle in practice. */
+    * overflow.
+    *
+    * The prefix sum is DISTRIBUTED, two-phase — a naive
+    * `Window.orderBy(doc_id)` funnels the whole corpus through one
+    * partition:
+    *  1. deterministic range buckets on doc_id (fixed arithmetic, NOT
+    *     repartitionByRange — whose sampled boundaries can differ
+    *     between the two passes); per-bucket token totals collect to
+    *     the driver (≤ PACK_BUCKETS rows of model state) and prefix-sum
+    *     into per-bucket offsets;
+    *  2. a within-bucket window adds the broadcast offset — every
+    *     bucket computes in parallel, and the result is identical to
+    *     the global running sum. */
   def pk1PackSequences(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir)
       .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
-    val w = Window.orderBy(col("doc_id"))
+    val maxId = t.agg(max(col("doc_id"))).head().getLong(0)
+    val width = math.max(maxId / PACK_BUCKETS + 1, 1L)
+    val bucketed = t.withColumn("bkt", (col("doc_id") / width).cast("long"))
+    // phase 1: per-bucket totals -> cumulative offsets (model state)
+    val totals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L -> 0L) { case ((_, acc), (b, tot)) => b -> (acc + tot) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }.toMap
+    val offCol = element_at(
+      typedLit(offsets), col("bkt"))
+    // phase 2: parallel within-bucket running sum + broadcast offset
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    bucketed
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + coalesce(offCol, lit(0L)))
       .withColumn("bin", ((col("cum_tokens") - 1) / PACK_BUDGET).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
   }

@@ -145,6 +145,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate(keys=[window"), p)
   }
 
+  test("pk1: distributed prefix sum — no single-partition funnel") {
+    val p = plan(graft.ops.Pipeline.pk1PackSequences(spark, sf))
+    // the two-phase form windows WITHIN range buckets; a global
+    // Window.orderBy would show Exchange SinglePartition here
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
