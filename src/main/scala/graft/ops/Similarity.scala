@@ -249,8 +249,48 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** QT1 — scalar int8 quantization of the embedding column: per-vector
+    * max-abs scale, symmetric round-half-up to [-127, 127], plus the
+    * reconstruction l2 error. The 4× (fp32) / 8× (fp64) shrink is what
+    * makes a 100 TB embedding corpus fit hot storage for ANN serving;
+    * this is the assignment pass (a narrow map, zero shuffle).
+    * `floor(x/s + 0.5)` is used instead of `round()` on BOTH engines —
+    * round() implementations disagree on exact halves, floor of
+    * bit-identical doubles cannot. Fully oracle-checked: scale, the
+    * integer checksum of the quantized vector, and the floor-scaled
+    * reconstruction error. */
+  def qt1Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val s = array_max(transform(v, x => abs(x))) / 127.0
+    val q = transform(v, x => when(s === 0.0, 0.0).otherwise(floor(x / s + 0.5)))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      graft.ops.Exact.floorE6(s).as("scale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_checksum"),
+      graft.ops.Exact.floorE6(
+        aggregate(zip_with(v, q, (x, qi) => (x - qi * s) * (x - qi * s)),
+          lit(0.0), (acc, e) => acc + e)).as("l2_err"))
+  }
+
+  private val qt1Oracle =
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sc AS (SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM t),
+      |q AS (SELECT vec_id, v, s,
+      |        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+      |                                    ELSE floor(x / s + 0.5) END) AS qv
+      |      FROM sc)
+      |SELECT vec_id,
+      |       floor(s * 1000000) / 1000000 AS scale,
+      |       CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_checksum,
+      |       floor(list_sum(list_transform(range(1, len(v) + 1),
+      |         i -> (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * s) *
+      |              (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * s))) * 1000000) / 1000000 AS l2_err
+      |FROM q""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, None),
-    Q("sim3_ann_ivf", sim3AnnIvf, None))
+    Q("sim3_ann_ivf", sim3AnnIvf, None),
+    Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)))
 }
