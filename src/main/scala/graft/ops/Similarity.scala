@@ -260,16 +260,24 @@ object Similarity {
     * integer checksum of the quantized vector, and the floor-scaled
     * reconstruction error. */
   def qt1Quantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = asDouble(col("embedding"))
-    val s = array_max(transform(v, x => abs(x))) / 127.0
-    val q = transform(v, x => when(s === 0.0, 0.0).otherwise(floor(x / s + 0.5)))
-    Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      graft.ops.Exact.floorE6(s).as("scale"),
-      aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_checksum"),
-      graft.ops.Exact.floorE6(
-        aggregate(zip_with(v, q, (x, qi) => (x - qi * s) * (x - qi * s)),
-          lit(0.0), (acc, e) => acc + e)).as("l2_err"))
+    // s and q are materialized as columns BEFORE use: referencing the
+    // scale expression inside the per-element lambdas would re-evaluate
+    // the O(dim) array_max once per element (O(dim²) per row — measured
+    // 28 s at sf1 vs ~2 s materialized); multiple non-cheap references
+    // keep CollapseProject from re-inlining them
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("s", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("q", transform(col("v"),
+        x => when(col("s") === 0.0, 0.0).otherwise(floor(x / col("s") + 0.5))))
+      .select(
+        col("vec_id"),
+        graft.ops.Exact.floorE6(col("s")).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_checksum"),
+        graft.ops.Exact.floorE6(
+          aggregate(zip_with(col("v"), col("q"),
+            (x, qi) => (x - qi * col("s")) * (x - qi * col("s"))),
+            lit(0.0), (acc, e) => acc + e)).as("l2_err"))
   }
 
   private val qt1Oracle =
