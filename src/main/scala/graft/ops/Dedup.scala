@@ -125,7 +125,7 @@ object Dedup {
   /** DD2 — MinHash + LSH candidate pairs. Per doc: 32 min-hashes (one
     * per seeded permutation), banded 8×4; docs sharing any band bucket
     * become candidates; candidates are kept when the signature-estimated
-    * Jaccard ≥ 0.5. Spark-specific xxhash64 ⇒ rows-only check; the
+    * Jaccard ≥ 0.5. Engine-local shingle/permutation hashes ⇒ rows-only check; the
     * ScalaTest spec asserts it finds exactly the dd4 exact-Jaccard pairs
     * on this corpus. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
