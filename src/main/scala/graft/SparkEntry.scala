@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     MovingAverage.queries ++ Relational.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Extended.queries ++ Pipeline.queries
+      Multimodal.queries ++ Extended.queries ++ Pipeline.queries ++
+      Graph.queries
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
     * the reference's sliding-window moving average (`ma_agg.py:49-81`)

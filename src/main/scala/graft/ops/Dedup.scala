@@ -103,8 +103,11 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  private val dd4Oracle =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** the dd4 pair pipeline as reusable CTE text ending in
+    * `sel(da, db, jaccard)` — shared with graft.ops.Graph's cc1 oracle
+    * so the clustering oracle closes over the EXACT same pair set */
+  private[ops] val dd4PairCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
       |                 i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
       |shd AS (SELECT DISTINCT doc_id, s FROM sh0),
@@ -113,11 +116,13 @@ object Dedup {
       |sh AS (SELECT * FROM shd WHERE s NOT IN (SELECT s FROM stop)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT da, db,
-      |       floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 AS jaccard
-      |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      |WHERE floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 >= 0.5""".stripMargin
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sel AS (SELECT da, db,
+      |          floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 AS jaccard
+      |        FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |        WHERE floor(c * 1000000 / (sa.n + sb.n - c)) / 1000000 >= 0.5)""".stripMargin
+
+  private val dd4Oracle = s"WITH $dd4PairCtes SELECT da, db, jaccard FROM sel"
 
   private val NUM_PERM = 32
   private val BANDS = 8 // 8 bands x 4 rows

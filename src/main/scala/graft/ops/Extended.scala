@@ -197,7 +197,32 @@ object Extended {
         element_at(col("p50_p95"), 1).as("p50"),
         element_at(col("p50_p95"), 2).as("p95"))
 
+  /** EXT1 — the [[graft.plans.RewriteDotProduct]] optimizer rule end to
+    * end: the query is WRITTEN as the natural HOF dot product (each
+    * embedding dotted with its own reversal — a nontrivial per-row
+    * scalar; the plain squared norm is ~1.0 everywhere on these
+    * unit-normalized vectors) and the injected rule rewrites it to the
+    * codegen'd DoubleDot — the oracle checks values, the ExtensionsSpec
+    * checks the optimized plan actually contains `double_dot`. */
+  def ext1DotRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("r", reverse(col("v")))
+      .select(col("vec_id"), Exact.floorE6(
+        expr("aggregate(zip_with(v, r, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .as("rev_dot"))
+  }
+
+  private val ext1Oracle =
+    """SELECT vec_id,
+      |       floor(list_dot_product(embedding::DOUBLE[],
+      |                              list_reverse(embedding::DOUBLE[]))
+      |             * 1000000) / 1000000 AS rev_dot
+      |FROM embeddings""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
     Q("apx1_hll_distinct", apx1HllDistinct, None),
     Q("apx2_percentile", apx2Percentile, None),
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),

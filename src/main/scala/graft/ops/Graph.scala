@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph operators for dedup pipelines. Near-dup detection (dd2/dd4)
+  * emits PAIRS; an actual dedup pass needs CLUSTERS — the transitive
+  * closure of the pair relation — so that `keep = (doc_id == rep_id)`
+  * deletes every duplicate exactly once even when A~B, B~C but A!~C.
+  *
+  * Connected components run as alternating large-star / small-star
+  * rounds (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SOCC 2014) — the standard shuffle-based CC algorithm:
+  * converges in O(log^2 n) rounds on any graph (2-3 rounds on the
+  * near-clique components dedup produces), each round is two keyed
+  * shuffles over the EDGE list only (never the corpus), and the driver
+  * sees one 16-byte checksum per round — model state, not data. A
+  * `Window.partitionBy(u)` min computes each node's neighborhood
+  * minimum without a self-join.
+  */
+object Graph {
+
+  /** distinct (bigger, smaller) orientation with self-loops dropped */
+  private def canon(e: DataFrame): DataFrame =
+    e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  /** large-star: every node links its LARGER neighbors to its
+    * neighborhood minimum (cuts long chains in half each round) */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nb = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    nb.withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: every node links its smaller neighbors (and itself) to
+    * its smallest neighbor (flattens local trees into stars) */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = canon(e)
+    val withM = o.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** order-independent edge-set fingerprint: one row to the driver */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components of an undirected edge list (columns `u`, `v`,
+    * any integral type). Returns (u, rep) for every non-root node —
+    * callers map absent nodes (singletons and roots) to themselves.
+    *
+    * Each round LOCAL-CHECKPOINTS its result: the star steps reference
+    * the previous edge set twice (symmetrize = union of e and its
+    * swap), so a lineage-preserving persist() would double the LOGICAL
+    * plan per round — by round ~20 merely stringifying the plan for
+    * the SQL-execution-start event is intractable. localCheckpoint
+    * replaces the plan with the materialized partitions, keeping every
+    * round's plan O(1). (On a cluster an iterative job would
+    * reliable-checkpoint every few rounds instead, for the same
+    * reason plus executor-loss recovery.) Convergence = the canonical
+    * edge set's (count, xor-of-hashes) fingerprint repeating. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    var e = canon(edges).localCheckpoint()
+    var fp = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 25) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val fp2 = checksum(next)
+      converged = fp2 == fp
+      e.unpersist()
+      e = next; fp = fp2; rounds += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $rounds rounds")
+    // at the fixpoint the edge list IS a star forest (u -> component
+    // min); the groupBy is a no-op safety net for determinism
+    e.groupBy(col("u")).agg(min(col("v")).as("rep"))
+  }
+
+  /** CC1 — dedup clustering: connected components over the
+    * oracle-checked dd4 exact-Jaccard pairs, assigning EVERY document a
+    * cluster representative (the component's smallest doc_id; singletons
+    * represent themselves) plus its cluster size. The cluster-size join
+    * shuffles on rep_id — clusters number ~N so neither side
+    * broadcasts; at 100 TB this is one bounded shuffle of (doc_id,
+    * rep_id) pairs, dwarfed by the pair-generation step it follows. */
+  def cc1DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dd4NgramJaccard(spark, dir)
+      .select(col("da").as("u"), col("db").as("v"))
+    val reps = connectedComponents(pairs).withColumnRenamed("u", "doc_id")
+    val asg = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_id"))
+    val cs = asg.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+    asg.join(cs, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+  }
+
+  /** transitive closure over the dd4 pair CTEs: DuckDB's recursive CTE
+    * dedups the frontier, so the closure terminates on any graph */
+  private val cc1Oracle =
+    s"""WITH RECURSIVE ${Dedup.dd4PairCtes},
+       |e AS (SELECT da AS u, db AS v FROM sel
+       |      UNION SELECT db AS u, da AS v FROM sel),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       |rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id
+       |        FROM reach GROUP BY u),
+       |asg AS (SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
+       |        FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id),
+       |cs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM asg GROUP BY 1)
+       |SELECT a.doc_id, a.rep_id, c.cluster_size
+       |FROM asg a JOIN cs c ON a.rep_id = c.rep_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("cc1_dedup_clusters", cc1DedupClusters, Some(cc1Oracle)))
+}

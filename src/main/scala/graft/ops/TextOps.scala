@@ -166,10 +166,74 @@ object TextOps {
       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS full_hash
       |FROM wh""".stripMargin
 
+  /** word-2-gram occurrence array (NOT deduplicated — frequency
+    * counting wants every occurrence, unlike the dedup shingle sets) */
+  private val bigrams: Column =
+    when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** NG1 — corpus-wide n-gram vocabulary heavy hitters: count every
+    * word-bigram occurrence, keep the top 100 by (count desc, ngram) —
+    * the corpus-statistics pass a BPE/vocab builder runs first. Plan:
+    * generator explode → hash aggregate with map-side partials (the
+    * shuffle carries one (ngram, partial_count) row per map task, not
+    * the token stream) → TakeOrderedAndProject (each partition ships
+    * only its own top-100 to the driver — never a global sort). */
+  def ng1NgramTopk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(100)
+
+  private val ng1Oracle =
+    """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |ng AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                i -> array_to_string(w[i:i+1], ' '))) AS ngram
+      |       FROM toks WHERE len(w) >= 2)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM ng GROUP BY ngram
+      |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
+
+  /** REP1 — within-document repetition ratios (the Gopher-family
+    * quality rule "drop documents whose duplicate-line/-n-gram fraction
+    * is high"): fraction of word and bigram occurrences that are
+    * repeats of an earlier occurrence in the same document. Pure narrow
+    * map — per-row array ops, zero shuffle, codegen'd. */
+  def rep1Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("nw", size(words).cast("long"))
+      .withColumn("ng", bigrams)
+      .select(col("doc_id"), col("nw").as("n_words"),
+        Exact.intRatio(col("nw") - size(array_distinct(words)),
+          col("nw")).as("dup_word_ratio"),
+        Exact.intRatio(size(col("ng")) - size(array_distinct(col("ng"))),
+          greatest(size(col("ng")), lit(1)).cast("long")).as("dup_bigram_ratio"))
+
+  private val rep1Oracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |        CASE WHEN len(w) >= 2
+      |             THEN list_transform(range(1, len(w)),
+      |                    i -> array_to_string(w[i:i+1], ' '))
+      |             ELSE [] END AS ng
+      |      FROM t)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |       floor((len(w) - len(list_distinct(w))) * 1000000
+      |             / len(w)) / 1000000 AS dup_word_ratio,
+      |       floor((len(ng) - len(list_distinct(ng))) * 1000000
+      |             / greatest(len(ng), 1)) / 1000000 AS dup_bigram_ratio
+      |FROM g""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
     Q("ta3_token_count", ta3TokenCount, Some(ta3Oracle)),
     Q("ta4_fingerprint", ta4Fingerprint, Some(ta4Oracle)),
-    Q("ta5_rolling_hash", ta5RollingHash, Some(ta5Oracle)))
+    Q("ta5_rolling_hash", ta5RollingHash, Some(ta5Oracle)),
+    Q("ng1_ngram_topk", ng1NgramTopk, Some(ng1Oracle)),
+    Q("rep1_repetition", rep1Repetition, Some(rep1Oracle)))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Graph}
+
+/** Properties of the large-star/small-star connected-components core
+  * that the DuckDB oracle can't see: worst-case (chain) convergence,
+  * component separation, and consistency between cc1's cluster
+  * assignment and the dd4 pair set it closes over. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def reps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain of 64 nodes collapses to one component rooted at 0") {
+    // a path graph is the adversarial case for label propagation
+    // (diameter = n); star-contraction must still converge (O(log^2 n)
+    // rounds) and the 25-round guard must not trip
+    val m = reps((0L until 63L).map(i => (i, i + 1)))
+    assert((1L to 63L).forall(m.get(_).contains(0L)), m)
+    assert(!m.contains(0L), "roots are absent from the mapping")
+  }
+
+  test("disjoint components keep distinct minima") {
+    val m = reps(Seq((10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 21L), // pair
+      (7L, 5L))) // reversed orientation on input
+    assert(m == Map(11L -> 10L, 12L -> 10L, 21L -> 20L, 7L -> 5L), m)
+  }
+
+  test("empty and self-loop-only edge sets yield no mappings") {
+    assert(reps(Seq.empty).isEmpty)
+    assert(reps(Seq((4L, 4L))).isEmpty)
+  }
+
+  test("cc1 assignment is a closure of the dd4 pair set") {
+    val asg = Graph.cc1DedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup.dd4NgramJaccard(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(asg.size == nDocs, "every document gets an assignment")
+    // both ends of every near-dup pair share a representative
+    pairs.foreach { case (a, b) =>
+      assert(asg(a)._1 == asg(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // representatives are component minima and represent themselves
+    asg.foreach { case (doc, (rep, _)) =>
+      assert(rep <= doc)
+      assert(asg(rep)._1 == rep, s"rep $rep of $doc is not its own rep")
+    }
+    // cluster sizes partition the corpus
+    assert(asg.collect { case (doc, (rep, n)) if doc == rep => n }.sum == nDocs)
+  }
+}

@@ -153,6 +153,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("ng1: heavy-hitter top-k is TakeOrdered over a partial-agg pass") {
+    val p = plan(graft.ops.TextOps.ng1NgramTopk(spark, sf))
+    // per-partition heaps ship only their own top-100 to the driver
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort:\n" + p)
+    // map-side partial aggregation precedes the one shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rep1: repetition ratios are a pure narrow map — zero exchanges") {
+    val p = plan(graft.ops.TextOps.rep1Repetition(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
