@@ -95,6 +95,28 @@ object Extended {
        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
        |WHERE rn = 1""".stripMargin
 
+  /** AJ2 — the same as-of semantics as aj1 through the CUSTOM
+    * whole-operator path ([[graft.plans.AsofJoin]] logical node →
+    * AsofJoinStrategy → sort-merge AsofJoinExec): one forward merge
+    * pass over co-partitioned co-sorted children, O(1) buffered rows,
+    * no join expansion, no ranking aggregate. Shares aj1's DuckDB
+    * oracle verbatim — the two formulations must agree bit-for-bit. */
+  def aj2AsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    graft.plans.AsofJoin.join(e, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), MICRO).as("ts_s"),
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), SEC).as("order_date"))
+  }
+
   /** MM3 — one-to-many generation (the UDTF shape): sample one "frame"
     * per 64-byte block of the opaque media payload. The generator is
     * `explode(sequence(...))` — codegen'd, no UDTF class needed; a real
@@ -227,6 +249,7 @@ object Extended {
     Q("apx2_percentile", apx2Percentile, None),
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
+    Q("aj2_asof_custom", aj2AsofCustom, Some(aj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
     Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)),
     Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)))

@@ -62,21 +62,29 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 
 /** Session extension entry point: on a cluster, activate with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — every
-  * session then gets the rewrite and the library's SQL functions with
-  * no code change. */
+  * session then gets the optimizer rewrite and the [[AsofJoin]]
+  * planner strategy with no code change. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
-  /** Idempotently installs the rewrite into an EXISTING session
-    * (`spark.sql.extensions` only applies at session-build time;
-    * `experimental.extraOptimizations` is the public seam for a live
-    * session — it runs as a final optimizer batch, after constant
-    * folding has normalized the zero literal the rule matches on). */
-  def install(spark: SparkSession): Unit =
+  /** Idempotently installs the rewrite + strategy into an EXISTING
+    * session (`spark.sql.extensions` only applies at session-build
+    * time; `experimental.extraOptimizations`/`extraStrategies` are the
+    * public seams for a live session — extra optimizations run as a
+    * final optimizer batch, after constant folding has normalized the
+    * zero literal the rule matches on; extra strategies are tried
+    * before the built-ins). */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
 }
