@@ -117,6 +117,50 @@ object Extended {
         date_format(col("o_orderdate"), SEC).as("order_date"))
   }
 
+  private val RJ_WINDOW_US = 1800000000L // 30min interval = bucket width
+
+  /** RJ1 — range (interval) join WITHOUT an equi-key: every 'purchase'
+    * event opens a 30-minute window; count the events (all users, all
+    * types) inside each window — the "activity around a marker event"
+    * density query. A bare range predicate gives Spark only
+    * BroadcastNestedLoopJoin — O(N·M) compares and a broadcast
+    * ceiling. The scale form BUCKETS the time axis (width = interval
+    * length, so each interval spans ≤ 2 buckets): intervals explode to
+    * their buckets, probe events map to exactly one, and the join
+    * becomes an EQUI-join on the bucket with the range check as a
+    * residual — a pair can only meet in the probe's own bucket, so no
+    * post-join dedup. Cost drops from N·M to matches +
+    * bucket-collisions; both sides shuffle on an 8-byte bucket id, and
+    * AQE splits hot buckets (dense time regions) like any skewed
+    * equi-key. (The compose-first answer to interval joins — no custom
+    * operator needed.) */
+  def rj1RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    // integer `div`, not floor(double /): epoch-microsecond buckets
+    // must not depend on float rounding at bucket boundaries
+    val probe = base
+      .select(col("t_us"), expr(s"t_us div $RJ_WINDOW_US").as("bkt"))
+    val marker = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("marker_id"), col("t_us").as("s_us"),
+        (col("t_us") + RJ_WINDOW_US).as("e_us"))
+      .withColumn("bkt",
+        explode(sequence(expr(s"s_us div $RJ_WINDOW_US"),
+          expr(s"(e_us - 1) div $RJ_WINDOW_US"))))
+    probe.join(marker,
+        probe("bkt") === marker("bkt") &&
+          col("t_us") >= col("s_us") && col("t_us") < col("e_us"))
+      .groupBy(col("marker_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+  }
+
+  private val rj1Oracle =
+    """SELECT m.event_id AS marker_id, CAST(count(*) AS BIGINT) AS n_nearby
+      |FROM events m JOIN events e
+      |  ON e.ts >= m.ts AND e.ts < m.ts + INTERVAL 30 MINUTE
+      |WHERE m.event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   /** MM3 — one-to-many generation (the UDTF shape): sample one "frame"
     * per 64-byte block of the opaque media payload. The generator is
     * `explode(sequence(...))` — codegen'd, no UDTF class needed; a real
@@ -250,6 +294,7 @@ object Extended {
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("aj2_asof_custom", aj2AsofCustom, Some(aj1Oracle)),
+    Q("rj1_range_join", rj1RangeJoin, Some(rj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
     Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)),
     Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)))

@@ -66,6 +66,43 @@ object Pipeline {
        |            ELSE 'train' END AS split
        |FROM fh WHERE bucket < 10""".stripMargin
 
+  private val STRATUM_N = 25
+
+  /** SMP2 — stratified balanced sampling: exactly min(N, |stratum|)
+    * documents per language, chosen by content-hash order — the
+    * rebalancing step a multilingual corpus pipeline runs so dominant
+    * languages don't drown the rest. Deterministic like smp1 (the
+    * "random" order is the engine-neutral content hash, so re-runs and
+    * engine swaps pick identical samples); one window over one shuffle
+    * on the stratum key. Strata are few and large ⇒ per-stratum
+    * row_number would bottleneck one reducer per language at 100 TB —
+    * BUT only if the full corpus entered the window; the rank is over
+    * hash order, so at scale the same selection runs as a per-stratum
+    * TakeOrdered (top-N by hash) instead; row_number keeps the test-SF
+    * form declarative. */
+  def smp2Stratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", fullHash(spark))
+      .withColumn("pos_in_stratum", row_number().over(w))
+      .filter(col("pos_in_stratum") <= STRATUM_N)
+      .select(col("doc_id"), col("lang"), col("pos_in_stratum"))
+  }
+
+  private val smp2Oracle =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |wh AS (SELECT doc_id, lang, list_transform(w, wd -> $rkWordSql) AS hs FROM t),
+       |fh AS (SELECT doc_id, lang,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |           (a, x) -> (a * 1000003 + x) % 1099511627776) AS h
+       |       FROM wh),
+       |r AS (SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS pos_in_stratum
+       |      FROM fh)
+       |SELECT doc_id, lang, pos_in_stratum FROM r
+       |WHERE pos_in_stratum <= $STRATUM_N""".stripMargin
+
   private val BENCH_DOCS = 50 // stand-in "benchmark" set: doc_id < 50
   private val OVERLAP = 5 // shared 3-gram shingles to flag
 
@@ -182,6 +219,7 @@ object Pipeline {
 
   val queries: Seq[Q] = Seq(
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
+    Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Oracle)),
     Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)))

@@ -167,6 +167,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("rj1: bucketed range join is an equi-join, not a nested loop") {
+    val p = plan(graft.ops.Extended.rj1RangeJoin(spark, sf))
+    // a bare interval predicate would plan as BroadcastNestedLoopJoin
+    // (O(N*M) compares); bucketing makes it a hash equi-join on the
+    // bucket id with the range check as a residual
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
