@@ -69,12 +69,14 @@ object Graph {
     * reason plus executor-loss recovery.) Convergence = the canonical
     * edge set's (count, xor-of-hashes) fingerprint repeating. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    var e = canon(edges).localCheckpoint()
+    // lazy checkpoints: the checksum is the one action per round and
+    // triggers the materialization, so each round costs a single job
+    var e = canon(edges).localCheckpoint(eager = false)
     var fp = checksum(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < 25) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val fp2 = checksum(next)
       converged = fp2 == fp
       e.unpersist()

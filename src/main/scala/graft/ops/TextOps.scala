@@ -166,12 +166,18 @@ object TextOps {
       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS full_hash
       |FROM wh""".stripMargin
 
-  /** word-2-gram occurrence array (NOT deduplicated — frequency
-    * counting wants every occurrence, unlike the dedup shingle sets) */
-  private val bigrams: Column =
-    when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+  /** word-2-gram occurrence array over a MATERIALIZED words column `w`
+    * (NOT deduplicated — frequency counting wants every occurrence,
+    * unlike the dedup shingle sets). `w` must be a real column, not the
+    * split expression: referencing `split(text)` inside the lambda body
+    * would re-evaluate the split once PER ELEMENT (O(words²) per doc —
+    * measured 24 s for ng1 at sf1 vs ~2 s materialized; the qt1 lesson
+    * again). Multiple non-cheap references keep CollapseProject from
+    * re-inlining the split. */
+  private val bigramsW: Column =
+    when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
       .otherwise(array().cast("array<string>"))
 
   /** NG1 — corpus-wide n-gram vocabulary heavy hitters: count every
@@ -183,7 +189,8 @@ object TextOps {
     * only its own top-100 to the driver — never a global sort). */
   def ng1NgramTopk(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(explode(bigrams).as("ngram"))
+      .withColumn("w", words)
+      .select(explode(bigramsW).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -205,10 +212,11 @@ object TextOps {
     * map — per-row array ops, zero shuffle, codegen'd. */
   def rep1Repetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("nw", size(words).cast("long"))
-      .withColumn("ng", bigrams)
+      .withColumn("w", words)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("ng", bigramsW)
       .select(col("doc_id"), col("nw").as("n_words"),
-        Exact.intRatio(col("nw") - size(array_distinct(words)),
+        Exact.intRatio(col("nw") - size(array_distinct(col("w"))),
           col("nw")).as("dup_word_ratio"),
         Exact.intRatio(size(col("ng")) - size(array_distinct(col("ng"))),
           greatest(size(col("ng")), lit(1)).cast("long")).as("dup_bigram_ratio"))

@@ -176,6 +176,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("ivf storage: write-time cell bucketing prunes probes at the SCAN") {
+    // SCALE.md's sim3 claim made concrete: persist the corpus
+    // partitioned by the k-means cell id, and a probe of 2 of 16 cells
+    // must read 2 directories — partition pruning, not a post-filter
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    spark.range(1000)
+      .selectExpr("id AS vec_id", "CAST(pmod(id, 16) AS INT) AS cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val probe = org.apache.spark.sql.functions.col("cell")
+    val reader = spark.read.parquet(dir).filter(probe.isin(3, 7))
+    assert(reader.count() == 126) // 63 + 63 rows in cells 3 and 7
+    reader.collect()
+    val exec = reader.queryExecution.executedPlan
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics.contains("numPartitions"), scan.metrics.keys)
+    assert(scan.metrics("numPartitions").value == 2,
+      s"partitions read: ${scan.metrics("numPartitions").value}")
+    assert(exec.toString.split("== Initial Plan ==").head
+      .contains("PartitionFilters"), exec.toString)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
