@@ -88,16 +88,15 @@ object Graph {
     e.groupBy(col("u")).agg(min(col("v")).as("rep"))
   }
 
-  /** CC1 — dedup clustering: connected components over the
-    * oracle-checked dd4 exact-Jaccard pairs, assigning EVERY document a
-    * cluster representative (the component's smallest doc_id; singletons
-    * represent themselves) plus its cluster size. The cluster-size join
-    * shuffles on rep_id — clusters number ~N so neither side
-    * broadcasts; at 100 TB this is one bounded shuffle of (doc_id,
-    * rep_id) pairs, dwarfed by the pair-generation step it follows. */
-  def cc1DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dd4NgramJaccard(spark, dir)
-      .select(col("da").as("u"), col("db").as("v"))
+  /** pair list → full-corpus cluster assignment: every document gets a
+    * cluster representative (the component's smallest doc_id;
+    * singletons represent themselves) plus its cluster size. The
+    * cluster-size join shuffles on rep_id — clusters number ~N so
+    * neither side broadcasts; at 100 TB this is one bounded shuffle of
+    * (doc_id, rep_id) pairs, dwarfed by the pair-generation step it
+    * follows. */
+  private def clusterize(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val reps = connectedComponents(pairs).withColumnRenamed("u", "doc_id")
     val asg = Tables.documents(spark, dir).select(col("doc_id"))
       .join(reps, Seq("doc_id"), "left")
@@ -106,6 +105,24 @@ object Graph {
     asg.join(cs, "rep_id")
       .select(col("doc_id"), col("rep_id"), col("cluster_size"))
   }
+
+  /** CC1 — dedup clustering over the oracle-checked dd4 exact-Jaccard
+    * pairs: DuckDB can recompute the identical pair set, so the whole
+    * clustering is hash-verified. Inherits dd4's O(pairs) oracle-path
+    * cost at scale by construction — cc2 is the production pairing. */
+  def cc1DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterize(spark, dir, Dedup.dd4NgramJaccard(spark, dir)
+      .select(col("da").as("u"), col("db").as("v")))
+
+  /** CC2 — the PRODUCTION dedup pipeline end to end: banded-LSH
+    * candidate pairs (dd2, the scale path — equi-join on band keys,
+    * never O(N²)) → star-contraction clustering → per-document keep
+    * decision. Engine-local minhash permutations ⇒ rows-only driver
+    * check; GraphSpec pins closure consistency against the dd2 pair
+    * set, and dd2's own spec pins its recall against exact Jaccard. */
+  def cc2DedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    clusterize(spark, dir, Dedup.dd2MinHashLsh(spark, dir)
+      .select(col("da").as("u"), col("db").as("v")))
 
   /** transitive closure over the dd4 pair CTEs: DuckDB's recursive CTE
     * dedups the frontier, so the closure terminates on any graph */
@@ -127,5 +144,6 @@ object Graph {
        |FROM asg a JOIN cs c ON a.rep_id = c.rep_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("cc1_dedup_clusters", cc1DedupClusters, Some(cc1Oracle)))
+    Q("cc1_dedup_clusters", cc1DedupClusters, Some(cc1Oracle)),
+    Q("cc2_dedup_clusters_lsh", cc2DedupClustersLsh, None))
 }

@@ -37,6 +37,20 @@ class GraphSpec extends AnyFunSuite {
     assert(reps(Seq((4L, 4L))).isEmpty)
   }
 
+  test("cc2 (LSH pairs) assignment is a closure of the dd2 pair set") {
+    val asg = Graph.cc2DedupClustersLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup.dd2MinHashLsh(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(asg.size == Tables.documents(spark, sf).count())
+    pairs.foreach { case (a, b) =>
+      assert(asg(a)._1 == asg(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    asg.foreach { case (doc, (rep, _)) =>
+      assert(rep <= doc && asg(rep)._1 == rep)
+    }
+  }
+
   test("cc1 assignment is a closure of the dd4 pair set") {
     val asg = Graph.cc1DedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
