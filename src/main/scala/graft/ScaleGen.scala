@@ -79,8 +79,14 @@ object ScaleGen {
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id")), "events")
 
-    // documents: replica suffix word keeps replicas near-dup, not exact
-    val repWord = typedLit((0 until factor).map(i => ('a' + (i % 26)).toChar.toString * 2))
+    // documents: replica suffix word keeps replicas near-dup, not exact.
+    // Base-26 TWO-letter encoding — unique per replica up to 676, where
+    // the round-2 ('a' + i % 26) cycled after 26 and made replicas r and
+    // r+26 EXACT duplicates (precisely the quadratic dedup-pair
+    // detonation the suffix exists to prevent; advice r2)
+    require(factor <= 676, s"replica suffix encoding supports <= 676 replicas, got $factor")
+    val repWord = typedLit((0 until factor).map(i =>
+      "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar))
     val suffixed = when(col("rep") === 0, col("text"))
       .otherwise(concat(col("text"), lit(" xq"),
         element_at(repWord, (col("rep") + 1).cast("int"))))

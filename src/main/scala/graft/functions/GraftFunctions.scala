@@ -11,8 +11,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *
   *  - `double_dot(array<double>, array<double>)` — codegen'd dot product
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
-  *  - `simhash_sketch(bigint, bigint)` — weighted 64-bit SimHash
+  *    (engine-neutral affine perms over mod-2^40 inputs, see [[RkLsh]])
+  *  - `simhash_sketch(bigint, bigint)` — weighted 63-bit SimHash
   *  - `shingle_hashes(array<string>, k)` — distinct word-k-gram hashes
+  *    (engine-LOCAL values; oracles re-join raw strings)
+  *  - `rk_shingle_hashes(array<string>, k)` — distinct word-k-gram RK
+  *    hashes (engine-NEUTRAL values; oracles replay the arithmetic)
+  *  - `rk_word_hash(string)` — RK char fold mod 2^40 of one word
+  *  - `topn_by_key(bigint, bigint, n)` — bounded smallest-n (key, id)
+  *    sketch; returns ids ordered by (key, id)
   *  - `vector_avg(array<double>)` — element-wise mean sketch aggregate
   *  - `rolling_hash(array<string>, k)` — Rabin–Karp [min, full] fingerprint
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
@@ -28,6 +35,21 @@ object GraftFunctions {
 
   private def arity(name: String, n: Int)(exprs: Seq[Expression]): Unit =
     require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+
+  /** Extract a compile-time integer argument (e.g. a shingle width that
+    * shapes generated code). Checking `foldable` FIRST matters: eval()
+    * on a non-foldable (unbound attribute) expression surfaces as an
+    * obscure analyzer-time UnsupportedOperationException instead of
+    * this message. */
+  private def foldableInt(name: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: argument must be a foldable (constant) integer, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument must be a foldable integer, got $other")
+    }
+  }
 
   private[functions] def doubleDotBuilder(exprs: Seq[Expression]): Expression = {
     arity("double_dot", 2)(exprs)
@@ -51,22 +73,25 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", exprs => {
       arity("rolling_hash", 2)(exprs)
-      val k = exprs(1).eval() match {
-        case n: Number => n.intValue()
-        case other => throw new IllegalArgumentException(
-          s"rolling_hash: k must be a foldable integer, got $other")
-      }
-      RollingHashFp(exprs(0), k)
+      RollingHashFp(exprs(0), foldableInt("rolling_hash", exprs(1)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", exprs => {
       arity("shingle_hashes", 2)(exprs)
       // k must be a compile-time constant (it shapes the generated code)
-      val k = exprs(1).eval() match {
-        case n: Number => n.intValue()
-        case other => throw new IllegalArgumentException(
-          s"shingle_hashes: k must be a foldable integer, got $other")
-      }
-      ShingleHashes(exprs(0), k)
+      ShingleHashes(exprs(0), foldableInt("shingle_hashes", exprs(1)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rk_shingle_hashes", exprs => {
+      arity("rk_shingle_hashes", 2)(exprs)
+      RkShingleHashes(exprs(0), foldableInt("rk_shingle_hashes", exprs(1)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rk_word_hash", exprs => {
+      arity("rk_word_hash", 1)(exprs)
+      RkWordHash(exprs.head)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("topn_by_key", exprs => {
+      arity("topn_by_key", 3)(exprs)
+      TopNByKey(Cast(exprs(0), LongType), Cast(exprs(1), LongType),
+        foldableInt("topn_by_key", exprs(2)))
     }, "scala_udf")
     spark.udf.register("ma_agg", udaf(new MaAggregator))
   }

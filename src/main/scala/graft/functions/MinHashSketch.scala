@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** MinHash signature as a custom sketch aggregate
   * (`TypedImperativeAggregate`, the pattern Spark itself uses for
   * HLL/percentile sketches): per group, the element-wise minimum of
-  * `numPerms` permutations of the input 64-bit hashes.
+  * `numPerms` permutations of the input hashes.
   *
   * Motivation over `agg(min(perm_0), …, min(perm_31))`: one expression
   * instead of 32 generated aggregate columns (whose whole-stage codegen
@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * tight loop, and standard partial→final merge through Spark's
   * ObjectHashAggregate path.
   *
-  * Permutations are rotate-XOR bijections (overflow-free; ANSI mode
-  * forbids the classic affine multiply) of the already-avalanched input
-  * hash — matching graft.ops.Dedup's banding expectations.
+  * Permutations are the ENGINE-NEUTRAL affine maps `(a_j·x + b_j) mod P`
+  * from [[RkLsh]] over mod-2^40 RK shingle hashes — the same integers a
+  * DuckDB oracle computes, so dd2/cc2 are hash-checked end to end. (The
+  * round-2 rotate-XOR bijections existed to dodge 64-bit multiply
+  * overflow; 40-bit inputs make the classic affine form overflow-free,
+  * see the audit in [[RkLsh]].)
   */
 case class MinHashSketch(
     child: Expression,
@@ -34,13 +37,7 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numPerms)(Long.MaxValue)
 
-  @inline private def perm(h: Long, i: Int): Long = {
-    // stride 5 is coprime with 63 ⇒ all 32 rotation amounts distinct
-    // (stride 7 would cycle after 9, leaving rotation-sharing perms
-    // correlated through their XOR constants)
-    val k = (i * 5 + 7) % 63 + 1
-    (java.lang.Long.rotateLeft(h, k)) ^ (0x9E3779B97F4A7C15L * (2 * i + 1))
-  }
+  @inline private def perm(h: Long, i: Int): Long = RkLsh.perm(i, h)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

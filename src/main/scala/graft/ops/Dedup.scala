@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.RkLsh
 
 /** Deduplication operators over the `documents` (and `embeddings`)
   * tables: exact hash-dedup, MinHash+LSH, SimHash, exact n-gram
@@ -18,6 +19,12 @@ import graft.Tables
   *    Jaccard / exact cosine queries exist as correctness oracles at
   *    test SF (their self-joins are O(N²) and deliberately NOT the
   *    scale path).
+  *
+  * Correctness: since round 3, dd2 and dd3 hash with the ENGINE-NEUTRAL
+  * [[graft.functions.RkLsh]] arithmetic (mod-2^40 Rabin–Karp + affine
+  * mod-prime permutations — the ta5 recipe), so both are fully
+  * DuckDB-hash-checked; only their banding CONFIG is a tunable, not the
+  * values. dd4/dd5 oracles join raw strings / exact doubles as before.
   */
 object Dedup {
   import Fmt._
@@ -50,9 +57,14 @@ object Dedup {
     call_function("shingle_hashes", words, lit(3))
   }
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), explode(shingleArr(spark)).as("s"))
+  /** ENGINE-NEUTRAL shingle variant ([[graft.functions.RkShingleHashes]]):
+    * same windowing/dedup semantics, but the VALUES are the mod-2^40 RK
+    * folds a DuckDB oracle replays — required wherever the hash itself
+    * flows into compared output (dd2 signatures). */
+  private def rkShingleArr(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    call_function("rk_shingle_hashes", words, lit(3))
+  }
 
   /** Stop-shingle document-frequency cutoff: shingles appearing in more
     * than max(64, 1% of docs) documents are dropped before any pair
@@ -65,6 +77,29 @@ object Dedup {
     * mirror the identical HAVING prefilter). */
   private def dfCutoff(nDocs: Long): Long = math.max(64L, math.ceil(0.01 * nDocs).toLong)
 
+  /** Per-dir cache of (cutoff, stop-shingle list), shared by dd4 and
+    * cc1 (which round 2 made recompute both eager actions per call).
+    * Two actions feed it, neither a full data pass beyond the one
+    * shingle-df aggregate:
+    *  - the doc count is a zero-column parquet count (column pruning
+    *    reduces it to row-group metadata);
+    *  - the stop list is ONE explode→groupBy→collect aggregate, bounded
+    *    small by construction (df > max(64, 1%·N) admits at most
+    *    avg_shingles_per_doc/1% entries regardless of corpus size —
+    *    model state, not data). */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
+
+  private def stopStats(spark: SparkSession, dir: String): (Long, Array[Long]) =
+    statsCache.computeIfAbsent(dir, _ => {
+      val cutoff = dfCutoff(docs(spark, dir).count())
+      val stop = docs(spark, dir).select(explode(shingleArr(spark)).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cutoff)
+        .collect().map(_.getLong(0))
+      (cutoff, stop)
+    })
+
   /** DD4 — exact n-gram Jaccard near-dup pairs (threshold 0.5): join on
     * common shingles, |A∩B| / (|A|+|B|−|A∩B|).
     *
@@ -74,19 +109,13 @@ object Dedup {
     *    no aggregation, no sizes join at all; they ride the self-join as
     *    grouping keys instead of two post-join sort-merge passes over the
     *    million-row pair table;
-    *  - the stop-shingle list is collected to the driver (bounded small
-    *    by construction: df > max(64, 1%·N) admits at most
-    *    avg_shingles_per_doc/1% entries regardless of corpus size — the
-    *    same "model state, not data" pattern as sim3's centroids) and
-    *    applied as a broadcast `array_except`, keeping the no-stop path
-    *    literally identical to an unfiltered run. */
+    *  - the stop-shingle list comes from the per-dir [[stopStats]] cache
+    *    (one bounded aggregate, reused by cc1) and is applied as a
+    *    broadcast `array_except`, keeping the no-stop path literally
+    *    identical to an unfiltered run. */
   def dd4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (_, stop) = stopStats(spark, dir)
     val base = docs(spark, dir).select(col("doc_id"), shingleArr(spark).as("arr"))
-    val cutoff = dfCutoff(docs(spark, dir).count())
-    val stop = base.select(explode(col("arr")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cutoff)
-      .collect().map(_.getLong(0))
     val kept = if (stop.isEmpty) col("arr")
       else array_except(col("arr"), typedLit(stop.toSeq))
     val shn = base.select(col("doc_id"), kept.as("arr"))
@@ -126,16 +155,22 @@ object Dedup {
 
   private val NUM_PERM = 32
   private val BANDS = 8 // 8 bands x 4 rows
+  private val ROWS = NUM_PERM / BANDS
 
   /** DD2 — MinHash + LSH candidate pairs. Per doc: 32 min-hashes (one
-    * per seeded permutation), banded 8×4; docs sharing any band bucket
-    * become candidates; candidates are kept when the signature-estimated
-    * Jaccard ≥ 0.5. Engine-local shingle/permutation hashes ⇒ rows-only check; the
-    * ScalaTest spec asserts it finds exactly the dd4 exact-Jaccard pairs
-    * on this corpus. */
+    * per affine permutation of the RK shingle hashes), banded 8×4; docs
+    * sharing any band bucket become candidates; candidates are kept
+    * when the signature-estimated Jaccard ≥ 0.5.
+    *
+    * Every number here is engine-neutral ([[graft.functions.RkLsh]]):
+    * shingle hashes, permutations, band-key folds, and the truncating
+    * match ratio are the identical integer sequences the DuckDB oracle
+    * computes, so the pair SET and the estimate VALUES hash-match —
+    * the production dedup pipeline (cc2 = this + clustering) is fully
+    * oracle-checked, not rows-only. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(spark)
-    val sh = shingled(spark, dir)
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), explode(rkShingleArr(spark)).as("s"))
     // signature via the MinHashSketch TypedImperativeAggregate: one
     // expression with a primitive-array buffer (vs 32 generated min()
     // columns whose codegen alone took ~10 s to JIT); partial buffers
@@ -143,10 +178,12 @@ object Dedup {
     // shuffle on doc_id
     val sigs = sh.groupBy(col("doc_id"))
       .agg(call_function("minhash_sketch", col("s")).as("sig"))
-    // band keys: structural hash of each 4-slice of the signature
+    // band keys: engine-neutral fold of each ROWS-slice of the signature
+    // (was xxhash64 — an engine-local value the oracle couldn't replay)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
-        b => xxhash64(slice(col("sig"), b * (NUM_PERM / BANDS) + 1, lit(NUM_PERM / BANDS)), b))))
+        b => aggregate(slice(col("sig"), b * ROWS + 1, lit(ROWS)),
+          lit(0L), (acc, x) => (acc * RkLsh.MUL + x) % RkLsh.M40))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
@@ -156,36 +193,115 @@ object Dedup {
         col("l.sig").as("siga"), col("r.sig").as("sigb"))
       .dropDuplicates("da", "db")
     cand
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / NUM_PERM, 6))
+      .withColumn("matches", aggregate(
+        zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("est_jaccard", Exact.intRatio(col("matches"), lit(NUM_PERM.toLong)))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("da"), col("db"), col("est_jaccard"))
   }
 
-  /** DD3 — SimHash near-dup pairs: 64-bit simhash from word hashes
-    * (bit j of each word hash votes ±1), banded into 8×8-bit chunks —
-    * by pigeonhole, any pair within Hamming distance 7 shares at least
-    * one intact chunk, so banding loses nothing up to the threshold.
-    * Docs sharing a chunk are candidates; kept when Hamming ≤ 7 (short
-    * docs flip several low-margin bits per edited word, so the radius
-    * is wider than the classic 64-bit/3-bit setup).
-    * Engine-specific hash ⇒ rows-only check + ScalaTest. */
+  /** one `list_min(list_transform(...))` signature entry per permutation,
+    * interpolated from the SAME RkLsh constants the Spark side uses */
+  private def dd2SigEntries: String = (0 until NUM_PERM)
+    .map(j => s"list_min(list_transform(ss, x -> ${RkLsh.permSql(j, "x")}))")
+    .mkString(",\n          ")
+
+  /** the dd2 pair pipeline as reusable CTE text ending in
+    * `sel2(da, db, est_jaccard)` — shared with Graph's cc2 oracle */
+  private[ops] val dd2PairCtes: String = {
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    s"""toks2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wh2 AS (SELECT doc_id, list_transform(w, wd -> $wordFold) AS hs,
+       |          len(w) AS nw FROM toks2),
+       |sh2 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(nw - 3, 0) + 1),
+       |          i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 3]),
+       |                 (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}))) AS s FROM wh2),
+       |shd2 AS (SELECT DISTINCT doc_id, s FROM sh2),
+       |shl2 AS (SELECT doc_id, list(s ORDER BY s) AS ss FROM shd2 GROUP BY doc_id),
+       |sigs2 AS (SELECT doc_id,
+       |          [$dd2SigEntries] AS sig FROM shl2),
+       |bnd2 AS (SELECT doc_id, sig, b.b AS band,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               sig[CAST(b.b * $ROWS + 1 AS INT):CAST(b.b * $ROWS + $ROWS AS INT)]),
+       |             (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}) AS bkey
+       |         FROM sigs2 CROSS JOIN range(0, $BANDS) b(b)),
+       |cand2 AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+       |            l.sig AS siga, r.sig AS sigb
+       |          FROM bnd2 l JOIN bnd2 r
+       |            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |sel2 AS (SELECT da, db, est_jaccard FROM (
+       |           SELECT da, db,
+       |             floor(len(list_filter(range(1, ${NUM_PERM + 1}),
+       |               i -> siga[CAST(i AS INT)] = sigb[CAST(i AS INT)])) * 1000000
+       |               / $NUM_PERM) / 1000000 AS est_jaccard
+       |           FROM cand2)
+       |         WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
+  private val dd2Oracle = s"WITH $dd2PairCtes SELECT da, db, est_jaccard FROM sel2"
+
+  private val SIMHASH_BITS = 63
+  private val HAMMING_MAX = 8
+  private val CHUNKS = 9 // 9×7-bit chunks of the 63-bit hash
+  // RkLsh pair indices: two 2-round mix chains derive the halves
+  private val H1a = 32; private val H1b = 34
+  private val H2a = 33; private val H2b = 35
+
+  /** Two-round engine-neutral avalanche of a mod-2^40 RK hash: affine
+    * mod P, fold the top 20 bits into the bottom with an xor-shift,
+    * twice. One affine round alone leaves SimHash bits correlated —
+    * RK hashes of short words occupy a narrow structured range, and a
+    * single `(a·x+b) mod P` of a small x barely wraps the modulus, so
+    * low bits stay low-entropy; measured on sf0.01 the 1-round form
+    * produced 1930 Hamming-≤7 "near-dup" pairs where the avalanched
+    * xxhash64 baseline produced 444 (bit correlation, not real
+    * similarity). Two mixed rounds restore 408 at equal recall.
+    * Overflow audit: s1 < P+2^21 < 2^40+2^22, a·s1 < 2^62+2^44 < 2^63 —
+    * safe in DuckDB's checked BIGINT too (mirrored in [[dd3Oracle]]). */
+  private def affineMix(h: Column, ia: Int, ib: Int): Column = {
+    val s1 = (lit(RkLsh.A(ia)) * h + lit(RkLsh.B(ia))) % RkLsh.P
+    val s1x = s1.bitwiseXOR(shiftright(s1, 20))
+    val s2 = (lit(RkLsh.A(ib)) * s1x + lit(RkLsh.B(ib))) % RkLsh.P
+    s2.bitwiseXOR(shiftright(s2, 20))
+  }
+
+  /** DD3 — SimHash near-dup pairs: 63-bit simhash from engine-neutral
+    * word hashes (bit j of each word's hash votes ±1 weighted by its
+    * count), banded into 9 chunks of 7 bits — by pigeonhole, any pair
+    * within Hamming distance 8 shares at least one intact chunk, so
+    * banding loses nothing up to the threshold. Docs sharing a chunk
+    * are candidates; kept when Hamming ≤ 8 (short docs flip several
+    * low-margin bits per edited word, so the radius is wider than the
+    * classic 64-bit/3-bit setup).
+    *
+    * The 63-bit fingerprint is assembled from two [[affineMix]] chains
+    * over the mod-2^40 RK word hash — `(g1 mod 2^31)·2^32 + (g2 mod
+    * 2^32)`, the widest packing that stays inside DuckDB's overflow-
+    * checked BIGINT — so the whole query is oracle-hash-checked (was
+    * rows-only with xxhash64 word hashes). Grouping by the 40-bit hash
+    * rather than the word is vote-equivalent: colliding words
+    * contribute identical ±1 vectors, so merged counts produce
+    * identical votes. */
   def dd3SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val whash = docs(spark, dir)
-      .select(col("doc_id"), explode(words).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    // collapse to (doc, word-hash, count) first — the vocabulary is far
-    // smaller than the token stream — then fold the 64 weighted bit
-    // votes in one SimHashSketch aggregate (primitive long[64] buffer;
-    // replaces 64 generated sum(CASE…) columns and their JIT cost)
     graft.functions.GraftFunctions.registerAll(spark)
-    val counted = whash.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    // collapse to (doc, word-hash, count) first — the vocabulary is far
+    // smaller than the token stream — then fold the 63 weighted bit
+    // votes in one SimHashSketch aggregate (primitive long[63] buffer;
+    // replaces 63 generated sum(CASE…) columns and their JIT cost)
+    val counted = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), call_function("rk_word_hash", col("w")).as("h40"))
+      .groupBy(col("doc_id"), col("h40")).agg(count(lit(1)).as("cnt"))
     val sim = counted
+      .withColumn("g1", affineMix(col("h40"), H1a, H1b))
+      .withColumn("g2", affineMix(col("h40"), H2a, H2b))
+      .withColumn("h63",
+        (col("g1") % 2147483648L) * 4294967296L + (col("g2") % 4294967296L))
       .groupBy(col("doc_id"))
-      .agg(call_function("simhash_sketch", col("h"), col("cnt")).as("simhash"))
+      .agg(call_function("simhash_sketch", col("h63"), col("cnt")).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 7), i -> shiftright(simhash, i * 8) & 255)")))
+      posexplode(expr(s"transform(sequence(0, ${CHUNKS - 1}), i -> shiftright(simhash, i * 7) & 127)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val l = chunked.as("l"); val r = chunked.as("r")
     // verify the Hamming threshold INSIDE the join condition: candidates
@@ -194,10 +310,48 @@ object Dedup {
     // low-entropy corpus can make nearly every pair a band candidate
     l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
         col("l.doc_id") < col("r.doc_id") &&
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 7)
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= HAMMING_MAX)
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .dropDuplicates("da", "db")
+  }
+
+  /** DuckDB mirror of [[affineMix]] over SQL fragment `x`. */
+  private def affineMixSql(x: String, ia: Int, ib: Int): String = {
+    val s1 = s"((${RkLsh.A(ia)} * $x + ${RkLsh.B(ia)}) % ${RkLsh.P})"
+    val s1x = s"xor($s1, $s1 >> 20)"
+    val s2 = s"((${RkLsh.A(ib)} * $s1x + ${RkLsh.B(ib)}) % ${RkLsh.P})"
+    s"xor($s2, $s2 >> 20)"
+  }
+
+  private val dd3Oracle: String = {
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS wd FROM toks),
+       |wcnt AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM tok GROUP BY doc_id, wd),
+       |wh AS (SELECT doc_id, cnt, $wordFold AS h40 FROM wcnt),
+       |g AS (SELECT doc_id, cnt,
+       |        ((${affineMixSql("h40", H1a, H1b)}) % 2147483648) * 4294967296 +
+       |        ((${affineMixSql("h40", H2a, H2b)}) % 4294967296) AS h63
+       |      FROM wh),
+       |bits AS (SELECT doc_id, b.b AS b,
+       |           sum(cnt * (CASE WHEN ((h63 >> CAST(b.b AS INT)) & 1) = 1
+       |                           THEN 1 ELSE -1 END)) AS vote
+       |         FROM g CROSS JOIN range(0, $SIMHASH_BITS) b(b) GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |          CAST(coalesce(sum(CASE WHEN vote > 0
+       |            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END), 0) AS BIGINT)
+       |            AS simhash
+       |        FROM bits GROUP BY 1),
+       |ch AS (SELECT doc_id, simhash, c.c AS chunk,
+       |         (simhash >> CAST(c.c * 7 AS INT)) & 127 AS ckey
+       |       FROM sim CROSS JOIN range(0, $CHUNKS) c(c))
+       |SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+       |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |FROM ch l JOIN ch r
+       |  ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $HAMMING_MAX""".stripMargin
   }
 
   /** DD5 — embedding-cosine near-dup pairs (exact, threshold 0.45):
@@ -232,8 +386,8 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
-    Q("dd2_minhash_lsh", dd2MinHashLsh, None),
-    Q("dd3_simhash", dd3SimHash, None),
+    Q("dd2_minhash_lsh", dd2MinHashLsh, Some(dd2Oracle)),
+    Q("dd3_simhash", dd3SimHash, Some(dd3Oracle)),
     Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
     Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)))
 }

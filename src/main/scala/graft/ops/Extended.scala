@@ -69,8 +69,17 @@ object Extended {
   def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val o = Tables.orders(spark, dir)
+    // the packing needs o_orderkey ∈ [0, 2^36); out of range would
+    // silently corrupt the (date, key) tie-break, so fail LOUDLY
+    // instead (advice r2) — the guard folds into the packed key, costs
+    // one branch per row, and raise_error aborts the job on violation
+    val okGuarded = when(col("o_orderkey") >= 0L && col("o_orderkey") < 68719476736L,
+        col("o_orderkey"))
+      .otherwise(raise_error(concat(
+        lit("aj1: o_orderkey out of packable range [0, 2^36): "),
+        col("o_orderkey").cast("string"))).cast("long"))
     val ordKey = unix_date(col("o_orderdate").cast("date")).cast("long") *
-      68719476736L + col("o_orderkey") // 2^36 > max orderkey incl. ScaleGen offsets
+      68719476736L + okGuarded
     e.join(o, e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
       .groupBy(col("event_id"), col("user_id"), col("ts"))
       .agg(

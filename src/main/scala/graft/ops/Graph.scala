@@ -117,19 +117,24 @@ object Graph {
   /** CC2 — the PRODUCTION dedup pipeline end to end: banded-LSH
     * candidate pairs (dd2, the scale path — equi-join on band keys,
     * never O(N²)) → star-contraction clustering → per-document keep
-    * decision. Engine-local minhash permutations ⇒ rows-only driver
-    * check; GraphSpec pins closure consistency against the dd2 pair
-    * set, and dd2's own spec pins its recall against exact Jaccard. */
+    * decision. Since round 3 dd2's minhash arithmetic is engine-neutral
+    * ([[graft.functions.RkLsh]]), so the whole pipeline is DuckDB-hash-
+    * checked: the oracle recomputes the identical pair set and closes
+    * it with a recursive CTE. GraphSpec additionally pins closure
+    * consistency, and dd2's spec pins recall against exact Jaccard. */
   def cc2DedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
     clusterize(spark, dir, Dedup.dd2MinHashLsh(spark, dir)
       .select(col("da").as("u"), col("db").as("v")))
 
-  /** transitive closure over the dd4 pair CTEs: DuckDB's recursive CTE
-    * dedups the frontier, so the closure terminates on any graph */
-  private val cc1Oracle =
-    s"""WITH RECURSIVE ${Dedup.dd4PairCtes},
-       |e AS (SELECT da AS u, db AS v FROM sel
-       |      UNION SELECT db AS u, da AS v FROM sel),
+  /** transitive closure over a pair-CTE block ending in `selName(da,
+    * db, …)`: DuckDB's recursive CTE dedups the frontier, so the
+    * closure terminates on any graph. Shared by cc1 (dd4's exact pairs)
+    * and cc2 (dd2's LSH pairs) — each clustering oracle closes over the
+    * EXACT pair set its Spark twin consumes. */
+  private def closureOracle(pairCtes: String, selName: String): String =
+    s"""WITH RECURSIVE $pairCtes,
+       |e AS (SELECT da AS u, db AS v FROM $selName
+       |      UNION SELECT db AS u, da AS v FROM $selName),
        |reach(u, v) AS (
        |  SELECT u, v FROM e
        |  UNION
@@ -143,7 +148,10 @@ object Graph {
        |SELECT a.doc_id, a.rep_id, c.cluster_size
        |FROM asg a JOIN cs c ON a.rep_id = c.rep_id""".stripMargin
 
+  private val cc1Oracle = closureOracle(Dedup.dd4PairCtes, "sel")
+  private val cc2Oracle = closureOracle(Dedup.dd2PairCtes, "sel2")
+
   val queries: Seq[Q] = Seq(
     Q("cc1_dedup_clusters", cc1DedupClusters, Some(cc1Oracle)),
-    Q("cc2_dedup_clusters_lsh", cc2DedupClustersLsh, None))
+    Q("cc2_dedup_clusters_lsh", cc2DedupClustersLsh, Some(cc2Oracle)))
 }

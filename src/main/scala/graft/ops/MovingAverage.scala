@@ -43,30 +43,49 @@ object MovingAverage {
     * the flagship. `ma_agg.py:49-81` semantics (§1.3.1-5): conditional
     * sum/count exclude zero-volume rows, safe division yields 0 not
     * NULL, emit only complete (count==5) windows, bounds = min/max of
-    * member event-times, `first`-member type (min() for determinism). */
+    * member event-times, `first`-member type — rendered deterministic
+    * as min(event_type) over the WINDOW's members (`ma_agg.py:65` takes
+    * an arbitrary member of the fired window, so a window-scoped
+    * aggregate is the faithful reading; round 2 used a per-user global
+    * min, which also cost a second scan of the fact table).
+    *
+    * Single-scan shape: the A7 `type` column is a string aggregate —
+    * a string in the agg buffer would demote the hot windowed
+    * aggregation to SortAggregate (no hash agg, no codegen). So the
+    * aggregation is TWO-PHASE over one scan: phase 1 groups by
+    * (window, user_id, event_type) — the string rides as a GROUPING KEY
+    * (UnsafeRow keys take strings; buffers stay all-numeric, the
+    * HashAggregate survives); phase 2 merges the per-type partials per
+    * (window, user_id) — min(event_type) IS a string buffer there, but
+    * phase 2's input is output-sized (windows × users × ≤5 types), so
+    * its SortAggregate touches ~0.1% of the rows phase 1 consumed. At
+    * 100 TB the fact table is read once and both exchanges carry
+    * aggregate rows, not events. */
   def w1SlidingSma(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-    // the A7 'type' column is a string aggregate — a string in the agg
-    // buffer would force the whole windowed aggregation into
-    // SortAggregate (no hash agg, no codegen). Keep the hot windowed agg
-    // purely numeric (HashAggregate) and broadcast-join the tiny
-    // per-key type from a side aggregate over a 2-column scan.
-    val types = Tables.events(spark, dir)
-      .groupBy(col("user_id")).agg(min(col("event_type")).as("type"))
     // sums aggregate as exact integer cents and the mean truncates in
     // scaled-integer space (Exact.*) — bit-stable across engines at any
     // SF, where float sums + round() are not
-    e.groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"))
+    val perType = e
+      .groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"), col("event_type"))
       .agg(
         coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("s_cents"),
-        count(when(col("k") =!= 0, lit(1))).as("count_of_value"),
-        count(when(col("event_type") === "purchase", lit(1))).as("real_count"),
-        count(when(col("event_type") =!= "purchase", lit(1))).as("filled_count"),
+        count(when(col("k") =!= 0, lit(1))).as("cv"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"),
-        count(lit(1)).as("window_data_count"))
+        count(lit(1)).as("cnt"))
+    perType
+      .groupBy(col("window"), col("user_id"))
+      .agg(
+        sum(col("s_cents")).as("s_cents"),
+        sum(col("cv")).as("count_of_value"),
+        coalesce(sum(when(col("event_type") === "purchase", col("cnt"))), lit(0L)).as("real_count"),
+        coalesce(sum(when(col("event_type") =!= "purchase", col("cnt"))), lit(0L)).as("filled_count"),
+        min(col("min_ts")).as("min_ts"),
+        max(col("max_ts")).as("max_ts"),
+        sum(col("cnt")).as("window_data_count"),
+        min(col("event_type")).as("type"))
       .filter(col("window_data_count") === 5)
-      .join(broadcast(types), "user_id")
       .select(
         date_format(col("window.start"), SEC).as("window_start"),
         col("user_id"),
@@ -92,18 +111,19 @@ object MovingAverage {
        |         count(CASE WHEN k <> 0 THEN 1 END) AS count_of_value,
        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS real_count,
        |         count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS filled_count,
+       |         min(event_type) AS "type",
        |         strftime(min(ts), '$DUCK_MICRO') AS "start",
        |         strftime(max(ts), '$DUCK_MICRO') AS "end",
        |         count(*) AS window_data_count
        |  FROM ex GROUP BY ws, user_id HAVING count(*) = 5
-       |), ty AS (SELECT user_id, min(event_type) AS "type" FROM events GROUP BY user_id)
-       |SELECT strftime(ws, '$DUCK_SEC') AS window_start, agg.user_id,
-       |       '5_MA_data' AS ma_type, ty."type", "start", "end",
+       |)
+       |SELECT strftime(ws, '$DUCK_SEC') AS window_start, user_id,
+       |       '5_MA_data' AS ma_type, "type", "start", "end",
        |       CAST(s_cents AS DOUBLE) / 100 AS sum_of_value, count_of_value,
        |       CASE WHEN count_of_value > 0
        |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
        |       window_data_count, real_count, filled_count
-       |FROM agg JOIN ty ON agg.user_id = ty.user_id""".stripMargin
+       |FROM agg""".stripMargin
 
   /** W2/V2: hopping window, incremental aggregation, derived window
     * bounds `[start, start+size)` (`ma_agg.py:144,154-155`) — no

@@ -111,10 +111,13 @@ object Multimodal {
       batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Int, Array[Byte])] =
     batch.map { case (id, bytes) =>
       val n = bytes.length
-      val out = new Array[Byte](math.min(target, math.max(n, 1)))
-      val stride = math.max(1, n / out.length)
+      // an empty payload thumbnails to EMPTY (the oracle's substr over
+      // empty text yields ''; the round-2 one-NUL-byte convention would
+      // hash-mismatch on any empty document — advice r2)
+      val out = new Array[Byte](math.min(target, n))
+      val stride = math.max(1, n / math.max(out.length, 1))
       var i = 0
-      while (i < out.length) { out(i) = if (n == 0) 0 else bytes(math.min(i * stride, n - 1)); i += 1 }
+      while (i < out.length) { out(i) = bytes(math.min(i * stride, n - 1)); i += 1 }
       (id, n, out.length, out)
     }
 
@@ -136,8 +139,8 @@ object Multimodal {
   private val mm4Oracle =
     """WITH t AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents),
       |p AS (SELECT doc_id, text, n,
-      |        least(32, greatest(n, 1)) AS outlen,
-      |        greatest(1, n // least(32, greatest(n, 1))) AS stride FROM t)
+      |        least(32, n) AS outlen,
+      |        greatest(1, n // greatest(least(32, n), 1)) AS stride FROM t)
       |SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(outlen AS INT) AS thumb_bytes,
       |       array_to_string(list_transform(range(0, outlen),
       |         i -> substr(text, CAST(least(i * stride, n - 1) + 1 AS INT), 1)), '') AS thumb_str

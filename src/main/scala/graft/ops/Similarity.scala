@@ -166,6 +166,44 @@ object Similarity {
   def lshBandedTopK(data: DataFrame, nq: Int, tables: Int, bits: Int, k: Int): DataFrame =
     topK(lshBandedCandidates(data, nq, tables, bits), k)
 
+  // 6 replicas ⇒ every query has 5 planted in-cluster neighbors, so the
+  // full brute-force top-K (K=5) is recoverable by a cluster-aware ANN —
+  // with fewer replicas recall@5 is CAPPED below 1 by construction
+  // (3 siblings / top-5 ceilinged the first cut at 0.6)
+  private val SIM4_REPLICAS = 6
+  private val SIM4_NQ = NQ * SIM4_REPLICAS // all replicas of the first NQ base vectors
+  private val SIM4_TABLES = 8
+  private val SIM4_BITS = 10
+
+  /** Planted-cluster corpus derived DETERMINISTICALLY from the
+    * embeddings table: every base vector gains SIM4_REPLICAS−1 replicas
+    * perturbed by the ScaleGen formula (±0.016/dim), giving the
+    * near-neighbor structure (in-cluster cos ≈ 1) that production
+    * embedding corpora have and this synthetic table lacks (max
+    * pairwise cos ≈ 0.51). New ids = old·R + rep, so `vec_id < nq`
+    * still selects whole clusters as queries. Exposed for the spec's
+    * brute-force ground truth. */
+  private[graft] def sim4Corpus(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(SIM4_REPLICAS - 1))).as("rep"))
+      .select(
+        (col("vec_id") * SIM4_REPLICAS + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("v")).otherwise(
+          zip_with(col("v"), sequence(lit(0), lit(DIM - 1)),
+            (x, i) => x + (pmod(col("vec_id") * 31 + i * 7 + col("rep") * 13, lit(17)) - 8)
+              .cast("double") * lit(0.002))).as("v"))
+
+  /** SIM4 — the production banded-LSH operating point as a REGISTERED
+    * query (round-2 verdict item 2): [[lshBandedTopK]] at 8 tables ×
+    * 10 bits over the planted-cluster corpus, so the selective AND-OR
+    * configuration appears in CORRECTNESS/BENCH like every other
+    * operator instead of living only in LshBandedSpec. Approximate by
+    * design ⇒ rows-only driver check; the spec asserts recall@5 ≥ 0.8
+    * vs brute force AND probe fraction ≤ 10% on this exact corpus. */
+  def sim4AnnBanded(spark: SparkSession, dir: String): DataFrame =
+    lshBandedTopK(sim4Corpus(spark, dir), SIM4_NQ, SIM4_TABLES, SIM4_BITS, K)
+
   private val IVF_K = 16 // centroids
   private val IVF_ITERS = 3
   private val IVF_PROBES = 4 // clusters probed per query
@@ -300,5 +338,6 @@ object Similarity {
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, None),
     Q("sim3_ann_ivf", sim3AnnIvf, None),
+    Q("sim4_ann_banded", sim4AnnBanded, None),
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)))
 }

@@ -76,6 +76,26 @@ class LshBandedSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall@5 = $recall%.3f")
   }
 
+  test("sim4 registered query: recall@5 >= 0.8 vs brute force, probing <= 10% of the planted corpus") {
+    // the REGISTERED operating point (8 tables × 10 bits over the
+    // replica-planted corpus) must hit the same bar this spec holds the
+    // library form to — otherwise sim4 would be a number in BENCH with
+    // no quality claim behind it
+    val corpus = Similarity.sim4Corpus(spark, sf)
+    val n = corpus.count()
+    val nq = 60 // = Similarity.SIM4_NQ (NQ base vectors × 6 replicas)
+    val brute = Similarity.bruteTopK(corpus, nq, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.sim4AnnBanded(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    val probed = Similarity.lshBandedCandidates(corpus, nq, 8, 10).count()
+    val probeFraction = probed.toDouble / (nq.toDouble * (n - 1))
+    info(f"sim4 recall@5 = $recall%.3f, probe fraction = $probeFraction%.4f")
+    assert(recall >= 0.8, f"recall@5 = $recall%.3f")
+    assert(probeFraction <= 0.10, f"probed $probeFraction%.4f of the corpus")
+  }
+
   test("banded lsh is deterministic across runs") {
     import spark.implicits._
     val df = corpus.toDF("vec_id", "v")

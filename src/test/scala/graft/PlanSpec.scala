@@ -42,14 +42,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("w1: windowed agg is hash-based codegen; string min isolated to the broadcast side") {
+  test("w1: single events scan; hot windowed agg stays a HashAggregate") {
     val p = plan(MovingAverage.w1SlidingSma(spark, sf))
-    // the windowed (hot) aggregation must be a HashAggregate — a string
-    // agg buffer would demote it to SortAggregate
-    assert(!p.contains("SortAggregate(key=[window"), p)
-    assert(p.contains("HashAggregate(keys=[window"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // ONE scan of the fact table (round 2 paid a second 2-column scan
+    // for the per-user type side-aggregate)
+    assert("FileScan parquet|Scan parquet".r.findAllIn(p).size == 1, p)
+    // phase 1 (the hot, event-volume aggregation) groups by (window,
+    // user_id, event_type) — the string rides as a KEY, buffers stay
+    // numeric, so it must plan as a HashAggregate
+    assert("HashAggregate\\(keys=\\[window[^)]*event_type".r.findAllIn(p).nonEmpty, p)
+    // phase 2's min(event_type) string buffer may demote ITSELF to
+    // SortAggregate — that input is output-sized, not event-sized —
+    // but no join remains anywhere
+    assert(!p.contains("Join"), p)
     assert(p.contains("*("), p) // *(n) = whole-stage-codegen span
+  }
+
+  test("smp2: per-stratum top-N is a bounded sketch aggregate — no corpus-wide Window") {
+    val p = plan(graft.ops.Pipeline.smp2Stratified(spark, sf))
+    // the round-2 row_number() formulation funneled the whole corpus
+    // through one Window reducer per language; the TopNByKey sketch
+    // aggregates with bounded per-task buffers instead
+    assert(!p.contains("Window"), "corpus-wide window survived:\n" + p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("topn_by_key"), p)
   }
 
   test("sim1: query side broadcasts; candidates scan without shuffle") {
