@@ -88,6 +88,11 @@ object GraftFunctions {
       arity("rk_word_hash", 1)(exprs)
       RkWordHash(exprs.head)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_signatures", exprs => {
+      arity("lsh_signatures", 3)(exprs)
+      LshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
+        foldableInt("lsh_signatures", exprs(1)), foldableInt("lsh_signatures", exprs(2)))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("topn_by_key", exprs => {
       arity("topn_by_key", 3)(exprs)
       TopNByKey(Cast(exprs(0), LongType), Cast(exprs(1), LongType),

@@ -84,12 +84,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component
     * derived from a 64-bit avalanche of (p, d) — no RNG state, same on
-    * every executor, reproducible across runs. */
-  private def planeComponent(p: Int, d: Int): Double = {
-    var x = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
-    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L; x ^= x >>> 33
-    (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
-  }
+    * every executor, reproducible across runs. Definition lives in
+    * [[graft.functions.LshSignatures]] so the literal-Column path here
+    * and the compiled multi-table path share one plane set. */
+  private def planeComponent(p: Int, d: Int): Double =
+    graft.functions.LshSignatures.planeComponent(p, d)
 
   private val DIM = 64
 
@@ -143,13 +142,15 @@ object Similarity {
     * candidate), and the exact rerank touches only bucket collisions. */
   def lshBandedCandidates(data: DataFrame, nq: Int, tables: Int, bits: Int): DataFrame = {
     require(bits <= 30 && tables * bits <= 512, s"implausible LSH shape: $tables x $bits")
-    def planeLit(p: Int) = array((0 until DIM).map(d => lit(planeComponent(p, d))): _*)
-    def sigCol(t: Int) = (0 until bits).map { j =>
-      when(dot(col("v"), planeLit(t * bits + j)) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    // ALL signatures in one compiled pass (LshSignatures): the literal-
+    // Column formulation (tables×bits plane-literal dots) generated more
+    // code than the JVM will JIT at the 8×10×64 production point, so the
+    // stage fell back to interpreted eval — 10.4 s for sim4 at sf0.1 vs
+    // ~2 s compiled. Identical dot order ⇒ identical signatures.
+    graft.functions.GraftFunctions.registerAll(data.sparkSession)
     val e = data.withColumn("nrm", norm2(col("v")))
     val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(sigCol): _*)))
+      posexplode(call_function("lsh_signatures", col("v"), lit(tables), lit(bits))))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
     val q = buckets.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
