@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `rk_word_hash(string)` — RK char fold mod 2^40 of one word
   *  - `topn_by_key(bigint, bigint, n)` — bounded smallest-n (key, id)
   *    sketch; returns ids ordered by (key, id)
+  *  - `hll_sketch(bigint)` — engine-neutral HyperLogLog distinct sketch
+  *  - `hist_sketch(bigint)` — engine-neutral log-histogram percentile sketch
+  *  - `rk_lsh_signatures(array<double>, tables, bits)` — ±1 Rademacher
+  *    hyperplane LSH signatures (engine-NEUTRAL planes; oracles replay them)
   *  - `vector_avg(array<double>)` — element-wise mean sketch aggregate
   *  - `rolling_hash(array<string>, k)` — Rabin–Karp [min, full] fingerprint
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
@@ -88,10 +92,18 @@ object GraftFunctions {
       arity("rk_word_hash", 1)(exprs)
       RkWordHash(exprs.head)
     }, "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_signatures", exprs => {
-      arity("lsh_signatures", 3)(exprs)
-      LshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
-        foldableInt("lsh_signatures", exprs(1)), foldableInt("lsh_signatures", exprs(2)))
+    reg.createOrReplaceTempFunction("hll_sketch", exprs => {
+      arity("hll_sketch", 1)(exprs)
+      HllSketch(Cast(exprs.head, LongType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hist_sketch", exprs => {
+      arity("hist_sketch", 1)(exprs)
+      HistSketch(Cast(exprs.head, LongType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rk_lsh_signatures", exprs => {
+      arity("rk_lsh_signatures", 3)(exprs)
+      RkLshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
+        foldableInt("rk_lsh_signatures", exprs(1)), foldableInt("rk_lsh_signatures", exprs(2)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("topn_by_key", exprs => {
       arity("topn_by_key", 3)(exprs)

@@ -47,10 +47,46 @@ object RkLsh {
     x
   }
 
-  /** 36 affine pairs: [0,32) drive the 32 MinHash permutations; 32/34
+  /** 40 affine pairs: [0,32) drive the 32 MinHash permutations; 32/34
     * and 33/35 are the two-round mix chains deriving SimHash's 31/32-bit
-    * halves. a_j odd in [1, 2^22), b_j in [0, 2^40). */
-  final val NUM: Int = 36
+    * halves; 36/37 chain the HyperLogLog bucketing hash ([[HllSketch]]);
+    * 38/39 chain the ±1 Rademacher hyperplane parities of
+    * [[RkLshSignatures]]. a_j odd in [1, 2^22), b_j in [0, 2^40).
+    * (Values are index-stable: extending NUM never changes earlier
+    * constants, so dd2/dd3 oracles are unaffected.) */
+  final val NUM: Int = 40
+
+  /** two-round chain indices for the HLL bucketing hash. */
+  final val HLL_A = 36; final val HLL_B = 37
+
+  /** two-round chain indices for the Rademacher plane parities. */
+  final val RADE_A = 38; final val RADE_B = 39
+
+  /** Two-round engine-neutral avalanche (the dd3 recipe — see
+    * `graft.ops.Dedup.affineMix` for the measurement that motivated two
+    * rounds): affine mod P, fold the top 20 bits down with an
+    * xor-shift, twice. A SINGLE affine of a small or sequential input
+    * barely wraps the modulus, so low bits stay structured — parity of
+    * `(a·x+b) mod P` over sequential x with odd `a` simply ALTERNATES,
+    * which round 3 measured as banded-LSH planes collapsing to two
+    * effective buckets (probe fraction 0.50) and HLL trailing-zero
+    * registers losing all entropy. Overflow audit: x < 2^40 ⇒
+    * s1 < P, s1x < 2^40+2^21, a·s1x < 2^62+2^44 < 2^63 — safe in
+    * DuckDB's checked BIGINT. */
+  def mix2(ia: Int, ib: Int, x: Long): Long = {
+    val s1 = (A(ia) * (x & (M40 - 1)) + B(ia)) % P
+    val s1x = s1 ^ (s1 >> 20)
+    val s2 = (A(ib) * s1x + B(ib)) % P
+    s2 ^ (s2 >> 20)
+  }
+
+  /** DuckDB mirror of [[mix2]] (callers guarantee x in [0, 2^40)). */
+  def mix2Sql(ia: Int, ib: Int, x: String): String = {
+    val s1 = s"((${A(ia)} * $x + ${B(ia)}) % $P)"
+    val s1x = s"xor($s1, $s1 >> 20)"
+    val s2 = s"((${A(ib)} * $s1x + ${B(ib)}) % $P)"
+    s"xor($s2, $s2 >> 20)"
+  }
   final val A: Array[Long] = Array.tabulate(NUM)(i => (mix(2L * i) & 0x3FFFFFL) | 1L)
   final val B: Array[Long] = Array.tabulate(NUM)(i => mix(2L * i + 1) & 0xFFFFFFFFFFL)
 

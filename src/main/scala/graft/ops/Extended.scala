@@ -250,27 +250,86 @@ object Extended {
       |            THEN floor(s_cents * 10000 / count_of_value) / 1000000 ELSE 0 END AS sma_value,
       |       n FROM a""".stripMargin
 
-  /** APX1 — approximate distinct counting (HyperLogLog++) per group:
-    * the sketch path for COUNT(DISTINCT) at 100 TB, where exact
-    * distinct forces a second shuffle on the distinct key. Sketch
-    * internals are engine-specific ⇒ rows-only check; ApproxSpec pins
-    * the relative error against the exact count. */
-  def apx1HllDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** APX1 — approximate distinct counting per group: the sketch path
+    * for COUNT(DISTINCT) at 100 TB, where exact distinct forces a
+    * second shuffle on the distinct key. Since round 3 this is
+    * [[graft.functions.HllSketch]] — our own HyperLogLog whose
+    * integer-only register arithmetic a DuckDB oracle replays verbatim,
+    * flipping apx1 from rows-only to full hash-check (Spark's built-in
+    * HLL++ hashes with engine-local xxhash64; ApproxSpec still pins the
+    * realized error vs the exact count AND vs approx_count_distinct).
+    * Same scale shape as the built-in: one ObjectHashAggregate, m-byte
+    * mergeable states map-side-combined before the shuffle. */
+  def apx1HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      .agg(call_function("hll_sketch", col("l_partkey")).as("h"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("h.approx_distinct").as("approx_parts"),
+        col("h.zero_regs").as("zero_regs"),
+        col("h.harmonic_s").as("harmonic_s"),
+        col("n"))
+  }
+
+  private val apx1Oracle: String = {
+    import graft.functions.HllSketch
+    val (bucket, rho) = HllSketch.bucketRhoSql("l_partkey")
+    val (est, zeros, s) = HllSketch.estimateSql("present", "s_present")
+    s"""WITH r AS (
+       |  SELECT l_returnflag, $bucket AS bucket, max($rho) AS rho
+       |  FROM lineitem GROUP BY 1, 2),
+       |a AS (
+       |  SELECT l_returnflag, count(*) AS present,
+       |         CAST(sum(${1L << HllSketch.MAX_RHO} >> rho) AS BIGINT) AS s_present
+       |  FROM r GROUP BY 1),
+       |n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+       |SELECT a.l_returnflag, $est AS approx_parts, CAST($zeros AS BIGINT) AS zero_regs,
+       |       CAST($s AS BIGINT) AS harmonic_s, n.n AS n
+       |FROM a JOIN n USING (l_returnflag)""".stripMargin
+  }
 
   /** APX2 — approximate percentiles (one pass, mergeable buffers) of
-    * the price distribution per group. */
-  def apx2Percentile(spark: SparkSession, dir: String): DataFrame =
+    * the price distribution per group. Since round 3 this is
+    * [[graft.functions.HistSketch]] — a fixed-boundary log-scaled
+    * histogram (HdrHistogram shape) over exact integer cents, whose
+    * bucket arithmetic and rank selection are pure integers ⇒ fully
+    * hash-checked (the round-2 `percentile_approx` interpolated with
+    * engine-local compaction ⇒ rows-only). Estimates are bucket lower
+    * bounds, within 2^-5 ≈ 3.1% relative of the true order statistic;
+    * ApproxSpec pins the realized error vs exact percentiles. */
+  def apx2Percentile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000))
-        .as("p50_p95"))
+      .agg(call_function("hist_sketch", Exact.cents(col("l_extendedprice"))).as("h"),
+        count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        element_at(col("p50_p95"), 1).as("p50"),
-        element_at(col("p50_p95"), 2).as("p95"))
+        col("h.p50").as("p50_cents"),
+        col("h.p95").as("p95_cents"),
+        col("n"))
+  }
+
+  private val apx2Oracle: String = {
+    import graft.functions.HistSketch
+    val bucket = HistSketch.bucketSql("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val lb = HistSketch.lowerBoundSql("bucket")
+    s"""WITH b AS (
+       |  SELECT l_returnflag, $bucket AS bucket, count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, bucket, c,
+       |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket
+       |                      ROWS UNBOUNDED PRECEDING) AS cc,
+       |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM b)
+       |SELECT l_returnflag,
+       |       CAST(min(CASE WHEN cc >= (n * 50 + 99) // 100 THEN $lb END) AS BIGINT) AS p50_cents,
+       |       CAST(min(CASE WHEN cc >= (n * 95 + 99) // 100 THEN $lb END) AS BIGINT) AS p95_cents,
+       |       CAST(max(n) AS BIGINT) AS n
+       |FROM cum GROUP BY 1""".stripMargin
+  }
 
   /** EXT1 — the [[graft.plans.RewriteDotProduct]] optimizer rule end to
     * end: the query is WRITTEN as the natural HOF dot product (each
@@ -298,8 +357,8 @@ object Extended {
 
   val queries: Seq[Q] = Seq(
     Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
-    Q("apx1_hll_distinct", apx1HllDistinct, None),
-    Q("apx2_percentile", apx2Percentile, None),
+    Q("apx1_hll_distinct", apx1HllDistinct, Some(apx1Oracle)),
+    Q("apx2_percentile", apx2Percentile, Some(apx2Oracle)),
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("aj2_asof_custom", aj2AsofCustom, Some(aj1Oracle)),

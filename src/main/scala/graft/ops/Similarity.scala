@@ -82,29 +82,22 @@ object Similarity {
   private val PLANES = 4
   private val PROBE_RADIUS = 2
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d component
-    * derived from a 64-bit avalanche of (p, d) — no RNG state, same on
-    * every executor, reproducible across runs. Definition lives in
-    * [[graft.functions.LshSignatures]] so the literal-Column path here
-    * and the compiled multi-table path share one plane set. */
-  private def planeComponent(p: Int, d: Int): Double =
-    graft.functions.LshSignatures.planeComponent(p, d)
-
   private val DIM = 64
 
   /** SIM2 — LSH-bucketed ANN: signature join + exact rerank inside
     * buckets (multi-probe out to Hamming radius PROBE_RADIUS). Returns
-    * top-k per query among probed candidates. Rows-only check; the
-    * ScalaTest spec measures recall against sim1. */
+    * top-k per query among probed candidates. Since round 3 the planes
+    * are [[graft.functions.RkLshSignatures]]' engine-neutral ±1
+    * Rademacher planes and the score floor-scales instead of rounding,
+    * so the DuckDB oracle replays signatures, probe set, and rerank
+    * verbatim — full hash-check (was rows-only). The spec still
+    * measures recall against sim1. */
   def sim2LshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val planes = (0 until PLANES).map(p => array((0 until DIM).map(d => lit(planeComponent(p, d))): _*))
-    def signature(v: org.apache.spark.sql.Column) = {
-      val bits = planes.zipWithIndex.map { case (pl, i) =>
-        when(dot(v, pl) >= 0, lit(1 << i)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
-    val e = vecs(spark, dir).withColumn("sig", signature(col("v")))
+    graft.functions.GraftFunctions.registerAll(spark)
+    // single-table PLANES-bit signature: rk_lsh_signatures(v, 1, b)[0]
+    val e = vecs(spark, dir)
+      .withColumn("sig",
+        element_at(call_function("rk_lsh_signatures", col("v"), lit(1), lit(PLANES)), 1))
       .withColumn("nrm", norm2(col("v")))
     // multi-probe masks: every signature perturbation within PROBE_RADIUS bits
     val masks = (0 until (1 << PLANES)).filter(m => Integer.bitCount(m) <= PROBE_RADIUS)
@@ -115,8 +108,49 @@ object Similarity {
         explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("probe"))
     val cand = e.join(broadcast(q), col("sig") === col("probe") && col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
     topK(cand, K)
+  }
+
+  /** DuckDB planes CTE fragment shared by the sim2/sim4 oracles:
+    * `nPlanes` rows of 64-element ±1 lists from the RADE_J parity
+    * formula — the exact doubles [[graft.functions.RkLshSignatures]]
+    * computes. */
+  private def planesCte(nPlanes: Int): String = {
+    val comp = graft.functions.RkLshSignatures.planeComponentSql("p.pid", DIM, "d")
+    s"""planes AS (
+       |  SELECT p.pid AS pid,
+       |         list_transform(range(0, $DIM), d -> $comp) AS s
+       |  FROM range(0, $nPlanes) p(pid))""".stripMargin
+  }
+
+  private val sim2Oracle: String = {
+    val masks = (0 until (1 << PLANES)).filter(m => Integer.bitCount(m) <= PROBE_RADIUS)
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${planesCte(PLANES)},
+       |sig AS (
+       |  SELECT b.vec_id, CAST(sum(CASE WHEN list_dot_product(b.v, p.s) >= 0
+       |                                 THEN 1 << p.pid ELSE 0 END) AS INT) AS sig
+       |  FROM base b CROSS JOIN planes p GROUP BY 1),
+       |nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+       |probes AS (
+       |  SELECT s.vec_id AS qid, xor(s.sig, m.m) AS probe
+       |  FROM sig s CROSS JOIN (VALUES $masks) m(m) WHERE s.vec_id < $NQ),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, s.vec_id
+       |  FROM sig s JOIN probes p ON s.sig = p.probe AND s.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         floor(list_dot_product(qb.v, cb.v) / (qn.nrm * cn.nrm) * 1000000) / 1000000 AS cos
+       |  FROM cand c
+       |  JOIN base cb ON cb.vec_id = c.vec_id JOIN nrm cn ON cn.vec_id = c.vec_id
+       |  JOIN base qb ON qb.vec_id = c.qid    JOIN nrm qn ON qn.vec_id = c.qid)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $K""".stripMargin
   }
 
   /** Multi-table banded LSH (AND-OR amplification) — the production
@@ -142,15 +176,17 @@ object Similarity {
     * candidate), and the exact rerank touches only bucket collisions. */
   def lshBandedCandidates(data: DataFrame, nq: Int, tables: Int, bits: Int): DataFrame = {
     require(bits <= 30 && tables * bits <= 512, s"implausible LSH shape: $tables x $bits")
-    // ALL signatures in one compiled pass (LshSignatures): the literal-
-    // Column formulation (tables×bits plane-literal dots) generated more
-    // code than the JVM will JIT at the 8×10×64 production point, so the
-    // stage fell back to interpreted eval — 10.4 s for sim4 at sf0.1 vs
-    // ~2 s compiled. Identical dot order ⇒ identical signatures.
+    // ALL signatures in one compiled pass (RkLshSignatures): the
+    // literal-Column formulation (tables×bits plane-literal dots)
+    // generated more code than the JVM will JIT at the 8×10×64
+    // production point, so the stage fell back to interpreted eval —
+    // 10.4 s for sim4 at sf0.1 vs ~2 s compiled (one tight loop over a
+    // cached plane matrix). Since round 3 the planes are the
+    // engine-neutral ±1 Rademacher set, so oracles replay signatures.
     graft.functions.GraftFunctions.registerAll(data.sparkSession)
     val e = data.withColumn("nrm", norm2(col("v")))
     val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(call_function("lsh_signatures", col("v"), lit(tables), lit(bits))))
+      posexplode(call_function("rk_lsh_signatures", col("v"), lit(tables), lit(bits))))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
     val q = buckets.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -158,7 +194,8 @@ object Similarity {
     buckets.join(broadcast(q),
         col("t") === col("qt") && col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
       .select(col("qid"), col("vec_id"), col("cos"))
   }
 
@@ -186,10 +223,16 @@ object Similarity {
     * brute-force ground truth. */
   private[graft] def sim4Corpus(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id").as("bid"), col("v"),
         explode(sequence(lit(0), lit(SIM4_REPLICAS - 1))).as("rep"))
-      .select(
-        (col("vec_id") * SIM4_REPLICAS + col("rep")).as("vec_id"),
+      // new id materialized in its OWN projection before the lambda
+      // references it: in the former single-select form the analyzer
+      // resolved the lambda's `vec_id` to the new alias (lateral-style),
+      // which round 3's oracle work surfaced — pin that semantics
+      // explicitly so it can't drift across Spark versions
+      .select((col("bid") * SIM4_REPLICAS + col("rep")).as("vec_id"),
+        col("v"), col("rep"))
+      .select(col("vec_id"),
         when(col("rep") === 0, col("v")).otherwise(
           zip_with(col("v"), sequence(lit(0), lit(DIM - 1)),
             (x, i) => x + (pmod(col("vec_id") * 31 + i * 7 + col("rep") * 13, lit(17)) - 8)
@@ -199,11 +242,49 @@ object Similarity {
     * query (round-2 verdict item 2): [[lshBandedTopK]] at 8 tables ×
     * 10 bits over the planted-cluster corpus, so the selective AND-OR
     * configuration appears in CORRECTNESS/BENCH like every other
-    * operator instead of living only in LshBandedSpec. Approximate by
-    * design ⇒ rows-only driver check; the spec asserts recall@5 ≥ 0.8
-    * vs brute force AND probe fraction ≤ 10% on this exact corpus. */
+    * operator instead of living only in LshBandedSpec. Since round 3
+    * FULLY hash-checked: the DuckDB oracle re-derives the replica
+    * corpus, all 80 Rademacher plane signatures, the banded candidate
+    * join, and the floor-scaled rerank — approximate vs brute force,
+    * exact vs the oracle. The spec additionally asserts recall@5 ≥ 0.8
+    * AND probe fraction ≤ 10% on this exact corpus. */
   def sim4AnnBanded(spark: SparkSession, dir: String): DataFrame =
     lshBandedTopK(sim4Corpus(spark, dir), SIM4_NQ, SIM4_TABLES, SIM4_BITS, K)
+
+  private val sim4Oracle: String = {
+    val nPlanes = SIM4_TABLES * SIM4_BITS
+    s"""WITH b0 AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings),
+       |corpus AS (
+       |  SELECT bid * $SIM4_REPLICAS + r.rep AS vec_id,
+       |         CASE WHEN r.rep = 0 THEN bv
+       |              ELSE list_transform(range(0, $DIM),
+       |                     i -> bv[CAST(i + 1 AS INT)] +
+       |                          CAST(((bid * $SIM4_REPLICAS + r.rep) * 31 + i * 7 + r.rep * 13) % 17 - 8 AS DOUBLE)
+       |                          * 0.002::DOUBLE)
+       |         END AS v
+       |  FROM b0 CROSS JOIN range(0, $SIM4_REPLICAS) r(rep)),
+       |${planesCte(nPlanes)},
+       |sig AS (
+       |  SELECT c.vec_id, p.pid // $SIM4_BITS AS t,
+       |         CAST(sum(CASE WHEN list_dot_product(c.v, p.s) >= 0
+       |                       THEN 1 << (p.pid % $SIM4_BITS) ELSE 0 END) AS INT) AS sig
+       |  FROM corpus c CROSS JOIN planes p GROUP BY 1, 2),
+       |nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+       |q AS (SELECT vec_id AS qid, t, sig FROM sig WHERE vec_id < $SIM4_NQ),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, s.vec_id
+       |  FROM sig s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         floor(list_dot_product(qc.v, cc.v) / (qn.nrm * cn.nrm) * 1000000) / 1000000 AS cos
+       |  FROM cand c
+       |  JOIN corpus cc ON cc.vec_id = c.vec_id JOIN nrm cn ON cn.vec_id = c.vec_id
+       |  JOIN corpus qc ON qc.vec_id = c.qid    JOIN nrm qn ON qn.vec_id = c.qid)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $K""".stripMargin
+  }
 
   private val IVF_K = 16 // centroids
   private val IVF_ITERS = 3
@@ -337,8 +418,8 @@ object Similarity {
 
   val queries: Seq[Q] = Seq(
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
-    Q("sim2_ann_lsh", sim2LshTopK, None),
+    Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, None),
-    Q("sim4_ann_banded", sim4AnnBanded, None),
+    Q("sim4_ann_banded", sim4AnnBanded, Some(sim4Oracle)),
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)))
 }
