@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `rk_lsh_signatures(array<double>, tables, bits)` — ±1 Rademacher
   *    hyperplane LSH signatures (engine-NEUTRAL planes; oracles replay them)
   *  - `vector_avg(array<double>)` — element-wise mean sketch aggregate
+  *  - `vector_sum_long(array<bigint>)` — element-wise integer sum sketch
+  *    aggregate → `struct(n, s)` (engine-NEUTRAL: exact, order-free)
   *  - `rolling_hash(array<string>, k)` — Rabin–Karp [min, full] fingerprint
   *  - `ma_agg(double, bigint, string)` — the reference's moving-average
   *    aggregation protocol (sum/count/sma/real/filled/n struct)
@@ -74,6 +76,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vector_avg", exprs => {
       arity("vector_avg", 1)(exprs)
       VectorAvg(Cast(exprs.head, ArrayType(DoubleType)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("vector_sum_long", exprs => {
+      arity("vector_sum_long", 1)(exprs)
+      VectorSumLong(Cast(exprs.head, ArrayType(LongType)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", exprs => {
       arity("rolling_hash", 2)(exprs)

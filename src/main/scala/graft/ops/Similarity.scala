@@ -289,21 +289,47 @@ object Similarity {
   private val IVF_K = 16 // centroids
   private val IVF_ITERS = 3
   private val IVF_PROBES = 4 // clusters probed per query
+  private val IVF_Q = 512 // integer grid: uq[i] = floor(u[i] * 512)
 
-  /** SIM3 — IVF (inverted-file) ANN: spherical k-means partitions the
-    * corpus into K cells; a query probes only its IVF_PROBES nearest
-    * cells and reranks exactly inside them. Training is Lloyd's
-    * iterations over a deterministic 1-in-4 sample with deterministic
-    * init (first K sampled vectors by id); each iteration is one scan +
-    * one `vector_avg` sketch aggregate per cell — only the K×64
+  /** SIM3 — IVF (inverted-file) ANN: k-means partitions the corpus into
+    * K cells; a query probes only its IVF_PROBES nearest cells and
+    * reranks exactly inside them. Training is Lloyd's iterations over a
+    * deterministic 1-in-4 sample with deterministic init (first K
+    * sampled vectors by id); each iteration is one scan + one
+    * `vector_sum_long` sketch aggregate per cell — only the K×64
     * centroid matrix ever reaches the driver, which is model state,
     * not data. At 100 TB the cell assignment is a write-time
-    * bucketing column; probes then prune to IVF_PROBES/K of the corpus. */
+    * bucketing column; probes then prune to IVF_PROBES/K of the corpus.
+    *
+    * Since round 3 the whole training loop is ENGINE-NEUTRAL, flipping
+    * the last no-oracle query to full hash-check. The blocker was float
+    * centroid means: double sums across rows are partition-order-
+    * dependent, so centroid low bits were nondeterministic even within
+    * Spark. The fix quantizes each unit vector to an integer grid
+    * (`floor(u·512)`) and keeps k-means in exact integer arithmetic —
+    * integer sums are order-free, and a DuckDB oracle can replay all
+    * three unrolled Lloyd iterations verbatim:
+    *  - assignment: argmax over integer dots (exact as integer-valued
+    *    doubles, |dot| ≤ 64·512² = 2^24), first-best-index tie-break;
+    *  - update: per-cell integer component sums S (the member count
+    *    cancels out of the renormalization, so only S matters);
+    *  - renormalize to the grid: `floor(S[i]·512 / sqrt(ΣS[j]²))` —
+    *    each float op is a fixed-order scalar on exact integer inputs,
+    *    bit-identical across engines. ΣS² stays exact in a signed 64-bit
+    *    to ~2e16 sampled rows per cell (bound documented in
+    *    [[graft.functions.VectorSumLong]]); empty/degenerate cells keep
+    *    their centroid on both engines.
+    * Final rerank is the floor-scaled exact cosine over the original
+    * doubles, as in sim1. */
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
       .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
-      .select(col("vec_id"), col("v"), col("nrm"), col("u"))
+      // integer grid (Spark floor returns BIGINT → array<long>); the
+      // cell dots cast back through the codegen'd DoubleDot, exact
+      // (products ≤ 2^18, 64-term sums ≤ 2^24 — order- and engine-free)
+      .withColumn("uq", transform(col("u"), x => floor(x * IVF_Q)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("uq"))
 
     // Lloyd's iterations see a deterministic 1-in-4 sample (k-means
     // needs representative cluster shapes, not every point; at 100 TB
@@ -311,34 +337,41 @@ object Similarity {
     // standard fix). Only the sample is cached — a few MB here, and at
     // scale a bounded fraction of the corpus.
     val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-      .select(col("vec_id"), col("u"))
+      .select(col("vec_id"), col("uq"))
     train.cache()
 
     // deterministic init: the first K training vectors by id
-    var centroids: Array[Seq[Double]] = train.filter(col("vec_id") < IVF_K * 4)
-      .orderBy(col("vec_id")).limit(IVF_K).select(col("u")).collect()
-      .map(_.getSeq[Double](0))
+    var centroids: Array[Seq[Long]] = train.filter(col("vec_id") < IVF_K * 4)
+      .orderBy(col("vec_id")).limit(IVF_K).select(col("uq")).collect()
+      .map(_.getSeq[Long](0))
 
-    def centroidCols = centroids.map(c => array(c.map(lit): _*))
+    def centroidCols = centroids.map(c => array(c.map(x => lit(x.toDouble)): _*))
+    def withCell(df: DataFrame) = df
+      .withColumn("dots", array(centroidCols.map(c => dot(col("uq"), c)): _*))
+      // argmax with FIRST-index tie-break (array_position returns the
+      // first occurrence) — mirrored by the oracle's ORDER BY d DESC, pid
+      .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
 
     for (_ <- 1 to IVF_ITERS) {
       // one scan per iteration: assign to the best cell, then ONE
-      // vector_avg sketch aggregate per cell (primitive dim+1 buffer,
-      // ObjectHashAggregate merge) — replaces the former posexplode
-      // into (cell, dim_index, component) rows, a ×64 row inflation.
-      // Only the K×64 mean matrix reaches the driver (model state).
-      val means = train
-        .withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
-        .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
+      // vector_sum_long sketch aggregate per cell (primitive dim+1
+      // buffer, ObjectHashAggregate merge) — only the K×64 integer sum
+      // matrix reaches the driver (model state).
+      val sums = withCell(train)
         .groupBy(col("cell"))
-        .agg(call_function("vector_avg", col("u")).as("m"))
+        .agg(call_function("vector_sum_long", col("uq")).as("sn"))
+        .select(col("cell"), col("sn.s").as("s"))
         .collect()
-      val byCell = means.map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+      val byCell = sums.map(r => r.getLong(0).toInt -> r.getSeq[Long](1)).toMap
       centroids = (0 until IVF_K).map { c =>
         byCell.get(c) match {
-          case Some(m) =>
-            val n = math.sqrt(m.map(x => x * x).sum)
-            (if (n == 0) m else m.map(_ / n)) // back to the unit sphere
+          case Some(s) =>
+            val r2 = s.map(x => x * x).sum // exact: |S| ≤ n·512, ΣS² ≤ 64·(n·512)²
+            if (r2 == 0L) centroids(c)
+            // mean cancels: floor((S/n)·512 / (‖S‖/n)) = floor(S·512/‖S‖).
+            // S·512 ≤ 2^53 exact in double; one divide + floor — the
+            // identical scalar sequence the oracle runs.
+            else s.map(x => math.floor(x * 512.0 / math.sqrt(r2.toDouble)).toLong)
           case None => centroids(c) // empty cell keeps its centroid
         }
       }.toArray
@@ -348,8 +381,7 @@ object Similarity {
     // below scans the full corpus once; keeping the cache would pin
     // storage for the rest of the session)
     train.unpersist()
-    val assigned = e.withColumn("dots", array(centroidCols.map(c => dot(col("u"), c)): _*))
-      .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
+    val assigned = withCell(e)
     // queries probe their IVF_PROBES best cells
     val q = assigned.filter(col("vec_id") < NQ)
       .withColumn("probe", explode(expr(
@@ -362,11 +394,68 @@ object Similarity {
         col("probe"))
     val cand = assigned.join(broadcast(q),
         col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    topK(cand, K)
+  }
+
+  /** DuckDB replay of [[sim3AnnIvf]]: quantize to the integer grid,
+    * unroll the IVF_ITERS Lloyd iterations (assignment by windowed
+    * argmax, per-cell integer sums via a dim cross join, grid
+    * renormalization with the count-cancelling formula), then the same
+    * probe + floor-scaled rerank. Every arithmetic step is the exact
+    * integer (or fixed-order scalar double) sequence the Spark side
+    * runs — see the sim3 scaladoc for why this is bit-stable. */
+  private val sim3Oracle: String = {
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, uq, cell FROM (
+         |  SELECT t.vec_id, t.uq, c.pid AS cell,
+         |         row_number() OVER (PARTITION BY t.vec_id
+         |           ORDER BY list_dot_product(t.uq, c.c) DESC, c.pid) AS rn
+         |  FROM $src t CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    val iters = (1 to IVF_ITERS).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (${assign("tr", prev)}),
+         |s$i AS (
+         |  SELECT cell, d, CAST(sum(CAST(uq[CAST(d AS INT)] AS BIGINT)) AS BIGINT) AS s
+         |  FROM a$i CROSS JOIN range(1, ${DIM + 1}) r(d) GROUP BY cell, d),
+         |m$i AS (
+         |  SELECT cell, list(s ORDER BY d) AS sv, CAST(sum(s * s) AS BIGINT) AS r2
+         |  FROM s$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT p.pid,
+         |         CASE WHEN m.r2 IS NULL OR m.r2 = 0 THEN p.c
+         |              ELSE list_transform(m.sv,
+         |                     s -> floor((s * $IVF_Q)::DOUBLE / sqrt(m.r2::DOUBLE)))
+         |         END AS c
+         |  FROM $prev p LEFT JOIN m$i m ON m.cell = p.pid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+       |uqt AS (SELECT vec_id,
+       |          list_transform(v, x -> floor((x / nrm) * $IVF_Q)) AS uq FROM e),
+       |tr AS (SELECT vec_id, uq FROM uqt WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT CAST(vec_id // 4 AS INT) AS pid, uq AS c
+       |       FROM tr WHERE vec_id < ${IVF_K * 4}),
+       |$iters,
+       |af AS (${assign("uqt", s"c$IVF_ITERS")}),
+       |qp AS (
+       |  SELECT vec_id AS qid, pid AS probe FROM (
+       |    SELECT u.vec_id, c.pid,
+       |           row_number() OVER (PARTITION BY u.vec_id
+       |             ORDER BY list_dot_product(u.uq, c.c) DESC, c.pid) AS rn
+       |    FROM uqt u CROSS JOIN c$IVF_ITERS c WHERE u.vec_id < $NQ)
+       |  WHERE rn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT q.qid, a.vec_id,
+       |         floor(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) * 1000000) / 1000000 AS cos
+       |  FROM af a JOIN qp q ON a.cell = q.probe AND a.vec_id <> q.qid
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN e qe ON qe.vec_id = q.qid)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $K""".stripMargin
   }
 
   /** QT1 — scalar int8 quantization of the embedding column: per-vector
@@ -419,7 +508,7 @@ object Similarity {
   val queries: Seq[Q] = Seq(
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
-    Q("sim3_ann_ivf", sim3AnnIvf, None),
+    Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),
     Q("sim4_ann_banded", sim4AnnBanded, Some(sim4Oracle)),
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)))
 }

@@ -2,19 +2,32 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The oracle-less (rows-only) queries have no cross-engine check, so
-  * at minimum they must be self-deterministic: two executions in the
-  * same session yield identical row sets (catches unseeded randomness,
-  * Map-iteration-order leaks, partition-order sensitivity in
-  * collect-free plans, etc.). */
+/** Oracle-less (rows-only) queries would have no cross-engine check,
+  * so at minimum they must be self-deterministic: two executions in
+  * the same session yield identical row sets (catches unseeded
+  * randomness, Map-iteration-order leaks, partition-order sensitivity
+  * in collect-free plans, etc.).
+  *
+  * Since round 3 the rows-only set is EMPTY — every registered query
+  * has a DuckDB oracle (sim3, the last holdout, became engine-neutral
+  * integer-grid k-means). The first test pins that as the registry
+  * invariant: a new query without an oracle entry fails here and must
+  * either gain one or be consciously added to `allowedRowsOnly`, at
+  * which point the determinism check below covers it. */
 class DeterminismSpec extends AnyFunSuite {
   import TestSpark._
+
+  private val allowedRowsOnly = Set.empty[String]
 
   private val rowsOnly =
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
+  test("every registered query has a DuckDB oracle") {
+    assert(rowsOnly == allowedRowsOnly,
+      s"queries without an oracle entry: ${rowsOnly -- allowedRowsOnly}")
+  }
+
   test("every rows-only query is run-to-run deterministic") {
-    assert(rowsOnly.nonEmpty)
     rowsOnly.toSeq.sorted.foreach { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect().map(_.toString).sorted.toSeq
