@@ -384,10 +384,78 @@ object Dedup {
       |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 1000000) / 1000000 >= 0.45""".stripMargin
 
+  private val CHUNK = 8
+  private val BOILER_DF = 3
+
+  /** DD6 — sub-document boilerplate removal (chunk-level dedup): the
+    * dedup granularity between exact-document (dd1) and near-document
+    * (dd2/dd4) — the "line dedup" pass web-corpus pipelines run to
+    * strip headers/footers/navigation that repeat across documents.
+    * This corpus has no newlines, so the unit is a fixed CHUNK-word
+    * non-overlapping window; a chunk appearing in ≥ BOILER_DF distinct
+    * documents is boilerplate and is removed from every document.
+    *
+    * Shape: one chunk explode → df-aggregate on an 8-byte chunk hash
+    * (the shuffle carries hash + doc_id, never text; countDistinct
+    * dedups map-side) → the boilerplate set is BROADCAST back (it is
+    * the df≥3 tail of the chunk distribution — operationally tiny, the
+    * same bounded-model-state argument as dc1's benchmark side) → one
+    * groupBy(doc_id) reassembles kept chunks in position order. The
+    * reassembly shuffle carries the corpus once — irreducible for a
+    * transform that rewrites every document.
+    *
+    * The oracle joins raw chunk STRINGS (hash-free), so an xxhash64
+    * collision merging two chunks' document-frequencies would surface
+    * as a hash mismatch. */
+  def dd6ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = docs(spark, dir).withColumn("w", words)
+      .withColumn("nc", ((size(col("w")) + CHUNK - 1) / CHUNK).cast("long"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("nc") - 1),
+          i => array_join(slice(col("w"), (i * CHUNK + 1).cast("int"), lit(CHUNK)), " "))))
+      .withColumnRenamed("col", "chunk")
+    val boiler = ch.groupBy(xxhash64(col("chunk")).as("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BOILER_DF)
+      .select(col("h"))
+    val flagged = ch
+      .join(broadcast(boiler), xxhash64(col("chunk")) === col("h"), "left")
+      .select(col("doc_id"), col("pos"), col("chunk"), col("h").isNotNull.as("boiler"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        // collect_list skips the nulls the `when` leaves on boiler rows;
+        // array_sort on (pos, chunk) structs restores document order
+        array_sort(collect_list(when(!col("boiler"),
+          struct(col("pos"), col("chunk"))))).as("kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        substring(array_join(transform(col("kept"), x => x.getField("chunk")), " "),
+          1, 64).as("clean_prefix"))
+  }
+
+  private val dd6Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ch0 AS (SELECT doc_id,
+       |          unnest(list_transform(range(0, CAST(ceil(len(w) / ${CHUNK}.0) AS BIGINT)),
+       |            i -> {'pos': i,
+       |                  'chunk': array_to_string(w[CAST(i * $CHUNK + 1 AS INT):CAST(i * $CHUNK + $CHUNK AS INT)], ' ')})) AS u
+       |        FROM t),
+       |ch AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM ch0),
+       |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+       |fl AS (SELECT c.doc_id, c.pos, c.chunk, d.df >= $BOILER_DF AS boiler
+       |       FROM ch c JOIN df d USING (chunk))
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |       substr(coalesce(array_to_string(
+       |         list(chunk ORDER BY pos) FILTER (WHERE NOT boiler), ' '), ''), 1, 64)
+       |         AS clean_prefix
+       |FROM fl GROUP BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
     Q("dd2_minhash_lsh", dd2MinHashLsh, Some(dd2Oracle)),
     Q("dd3_simhash", dd3SimHash, Some(dd3Oracle)),
     Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
-    Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)))
+    Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)),
+    Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)))
 }

@@ -221,10 +221,86 @@ object Pipeline {
        |       CAST((cum_tokens - 1) // $PACK_BUDGET AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  private val SHUF_BUCKETS = 64L
+  private val HASH_SPACE = 1L << 40 // rolling_hash folds mod 2^40
+
+  /** SHF1 — deterministic global corpus shuffle: every document gets a
+    * dense position in the content-hash total order (h, then doc_id) —
+    * the "shuffle the corpus before training" pass, reproducible across
+    * engines and re-runs because the "randomness" is the engine-neutral
+    * content hash rather than RNG state.
+    *
+    * The global rank is DISTRIBUTED, two-phase (the pk1 recipe): a
+    * naive `Window.orderBy(h)` funnels the whole corpus through ONE
+    * reducer. Instead:
+    *  1. fixed-width range buckets over the 2^40 hash space (fixed
+    *     arithmetic, so both phases agree on boundaries without a
+    *     sampling pass); per-bucket COUNTS collect to the driver
+    *     (≤ SHUF_BUCKETS rows of model state) and prefix-sum into
+    *     per-bucket offsets;
+    *  2. a within-bucket window ranks in parallel and adds the
+    *     broadcast offset — identical to the global row_number.
+    * On a real cluster SHUF_BUCKETS scales with executor count; the
+    * hash is uniform so fixed-width buckets balance without sampling. */
+  def shf1Shuffle(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), fullHash(spark).as("h"))
+    val width = HASH_SPACE / SHUF_BUCKETS
+    val b = t.withColumn("bkt", (col("h") / width).cast("long"))
+    val counts = b.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L -> 0L) { case ((_, acc), (k, n)) => k -> (acc + n) }
+      .sliding(2).collect { case Array((_, acc), (k, _)) => k -> acc }.toMap
+    val w = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    b.withColumn("shuf_pos",
+        row_number().over(w).cast("long") +
+          coalesce(element_at(typedLit(offsets), col("bkt")), lit(0L)))
+      .select(col("doc_id"), col("h"), col("shuf_pos"))
+  }
+
+  private val shf1Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wh AS (SELECT doc_id, list_transform(w, wd -> $rkWordSql) AS hs FROM t),
+       |fh AS (SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |           (a, x) -> (a * 1000003 + x) % 1099511627776) AS h
+       |       FROM wh)
+       |SELECT doc_id, h,
+       |       row_number() OVER (ORDER BY h, doc_id) AS shuf_pos
+       |FROM fh""".stripMargin
+
+  private val PII_RE = "\\b(customer|supplier|order)\\b"
+  private val REDACTED = "[REDACTED]"
+
+  /** SC1 — denylist scrubbing: redact every occurrence of a sensitive
+    * term list (the PII-scrub pass of a corpus pipeline — emails, IDs,
+    * names; here a word-boundary regex over a stand-in denylist drawn
+    * from the corpus vocabulary so the operator has visible effect at
+    * every SF). Pure narrow map — regexp_extract_all counts + one
+    * regexp_replace per document, zero shuffle, whole-stage codegen'd;
+    * both the hit count and the TRANSFORMED TEXT are oracle-compared
+    * (prefix + exact length), so the rewrite itself is hash-checked,
+    * not just the count. */
+  def sc1PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("clean", regexp_replace(col("text"), PII_RE, REDACTED))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PII_RE), lit(0))).cast("long").as("n_hits"),
+        length(col("clean")).cast("long").as("clean_len"),
+        substring(col("clean"), 1, 64).as("clean_prefix"))
+
+  private val sc1Oracle =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '\\b(customer|supplier|order)\\b')) AS BIGINT) AS n_hits,
+       |       CAST(length(regexp_replace(text, '\\b(customer|supplier|order)\\b', '[REDACTED]', 'g')) AS BIGINT) AS clean_len,
+       |       substr(regexp_replace(text, '\\b(customer|supplier|order)\\b', '[REDACTED]', 'g'), 1, 64) AS clean_prefix
+       |FROM documents""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
     Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Oracle)),
     Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
-    Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)))
+    Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)),
+    Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
+    Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)))
 }

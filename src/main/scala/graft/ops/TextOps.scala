@@ -236,6 +236,45 @@ object TextOps {
       |             / greatest(len(ng), 1)) / 1000000 AS dup_bigram_ratio
       |FROM g""".stripMargin
 
+  private val VOCAB_TOPK = 16
+
+  /** TA6 — common-word ratio: the fraction of a document's tokens that
+    * fall in the corpus-wide top-K vocabulary — the complement of the
+    * rare/garbage-token rate, a standard LM-quality signal that (unlike
+    * ta2's per-document stats) needs a CORPUS-level statistics pass
+    * joined back per document.
+    *
+    * Shape: the vocabulary pass is ng1's (explode → partial-agg →
+    * TakeOrdered top-K, deterministic tie-break (count desc, word));
+    * the K surviving words collapse to ONE array row that BROADCASTS
+    * onto a narrow per-document map — the corpus is never shuffled and
+    * never joined row-to-row against the vocabulary. Entirely lazy:
+    * no driver-side collect anywhere. */
+  def ta6CommonRatio(spark: SparkSession, dir: String): DataFrame = {
+    val top = docs(spark, dir).select(explode(words).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("wd")).limit(VOCAB_TOPK)
+      .agg(sort_array(collect_list(col("wd"))).as("tl"))
+    docs(spark, dir).withColumn("w", words)
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => array_contains(col("tl"), x)))
+          .cast("long").as("common_hits"))
+      .withColumn("common_ratio", Exact.intRatio(col("common_hits"), col("n_tokens")))
+  }
+
+  private val ta6Oracle =
+    s"""WITH v AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+       |top AS (SELECT wd FROM v GROUP BY wd ORDER BY count(*) DESC, wd LIMIT $VOCAB_TOPK),
+       |tv AS (SELECT list(wd) AS tl FROM top),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(w, x -> list_contains(tv.tl, x))) AS BIGINT) AS common_hits,
+       |       floor(len(list_filter(w, x -> list_contains(tv.tl, x))) * 1000000
+       |             / len(w)) / 1000000 AS common_ratio
+       |FROM t CROSS JOIN tv""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
@@ -243,5 +282,6 @@ object TextOps {
     Q("ta4_fingerprint", ta4Fingerprint, Some(ta4Oracle)),
     Q("ta5_rolling_hash", ta5RollingHash, Some(ta5Oracle)),
     Q("ng1_ngram_topk", ng1NgramTopk, Some(ng1Oracle)),
-    Q("rep1_repetition", rep1Repetition, Some(rep1Oracle)))
+    Q("rep1_repetition", rep1Repetition, Some(rep1Oracle)),
+    Q("ta6_common_ratio", ta6CommonRatio, Some(ta6Oracle)))
 }

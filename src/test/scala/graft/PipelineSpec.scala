@@ -38,6 +38,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0, "planted near-dups should trip the overlap flag")
   }
 
+  test("shf1: positions are a dense permutation honoring the hash order") {
+    val rows = Pipeline.shf1Shuffle(spark, sf).collect()
+    val pos = rows.map(_.getLong(2)).sorted
+    assert(pos.toSeq == (1L to rows.length).toSeq,
+      "shuffle positions must be exactly 1..N with no gaps or dups")
+    // the distributed two-phase rank must equal the global (h, doc_id) order
+    val byPos = rows.sortBy(_.getLong(2)).map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(byPos == byPos.sorted, "bucketed rank diverged from the global order")
+  }
+
+  test("sc1: no denylist term survives scrubbing") {
+    val leaked = Pipeline.sc1PiiScrub(spark, sf)
+      .filter(col("clean_prefix").rlike("\\b(customer|supplier|order)\\b"))
+    assert(leaked.count() == 0, "redaction left a denylist term in the output")
+    val hits = Pipeline.sc1PiiScrub(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("n_hits"))).head().getLong(0)
+    assert(hits > 0, "denylist should fire on this corpus")
+  }
+
+  test("dd6: boilerplate chunks are removed everywhere or nowhere") {
+    // a chunk is either below the df threshold (kept in every doc) or
+    // boilerplate (cut from every doc) — per-document totals must be
+    // consistent with one global decision per chunk
+    val out = graft.ops.Dedup.dd6ChunkDedup(spark, sf)
+    val boilerTotal = out.agg(org.apache.spark.sql.functions.sum(col("n_boiler")))
+      .head().getLong(0)
+    assert(boilerTotal > 0, "corpus has df>=3 chunks; some must be flagged")
+    // independent recount: occurrences of chunks whose df >= 3
+    val w = split(col("text"), " ")
+    val ch = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), ((org.apache.spark.sql.functions.size(w) + 7) / 8).cast("int") - 1),
+        i => array_join(org.apache.spark.sql.functions.slice(w, (i * 8 + 1).cast("int"), lit(8)), " "))).as("chunk"))
+    val expected = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"), org.apache.spark.sql.functions.count(lit(1)).as("occ"))
+      .filter(col("df") >= 3)
+      .agg(org.apache.spark.sql.functions.sum(col("occ"))).head().getLong(0)
+    assert(boilerTotal == expected,
+      s"flagged-occurrence total $boilerTotal != independent recount $expected")
+  }
+
   test("pk1: bins respect the running token budget semantics") {
     val rows = Pipeline.pk1PackSequences(spark, sf)
       .orderBy(col("doc_id")).collect()

@@ -215,6 +215,33 @@ class PlanSpec extends AnyFunSuite {
       .contains("PartitionFilters"), exec.toString)
   }
 
+  test("shf1: global rank is distributed — no single-partition funnel") {
+    val p = plan(graft.ops.Pipeline.shf1Shuffle(spark, sf))
+    // the two-phase rank windows WITHIN fixed-width hash buckets; a
+    // naive Window.orderBy(h) would show Exchange SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sc1: scrub is a pure narrow map — zero exchanges") {
+    val p = plan(graft.ops.Pipeline.sc1PiiScrub(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ta6: top-K vocabulary broadcasts — the corpus never shuffles for it") {
+    val p = plan(graft.ops.TextOps.ta6CommonRatio(spark, sf))
+    // the one-row vocab array reaches the per-document map as a
+    // broadcast nested-loop (1-row cross join), never a corpus shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab top-K, no global sort
+  }
+
+  test("dd6: boilerplate set joins broadcast; df-shuffle carries hashes, not text") {
+    val p = plan(Dedup.dd6ChunkDedup(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
