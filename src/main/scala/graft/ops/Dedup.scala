@@ -153,9 +153,41 @@ object Dedup {
 
   private val dd4Oracle = s"WITH $dd4PairCtes SELECT da, db, jaccard FROM sel"
 
-  private val NUM_PERM = 32
+  private[ops] val NUM_PERM = 32
   private val BANDS = 8 // 8 bands x 4 rows
   private val ROWS = NUM_PERM / BANDS
+
+  /** Engine-neutral MinHash signature + banding for every document:
+    * (doc_id, sig[NUM_PERM], band, bkey) — one row per (doc, band).
+    * Shared by dd2 (corpus self-join) and dc2 (benchmark-contamination
+    * join); both sides of either join shuffle only the 16-byte
+    * (band, bkey) and the signature, never text. */
+  private[ops] def rkBanded(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), explode(rkShingleArr(spark)).as("s"))
+    // signature via the MinHashSketch TypedImperativeAggregate: one
+    // expression with a primitive-array buffer (vs 32 generated min()
+    // columns whose codegen alone took ~10 s to JIT); partial buffers
+    // merge element-wise through ObjectHashAggregate before the single
+    // shuffle on doc_id
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(call_function("minhash_sketch", col("s")).as("sig"))
+    // band keys: engine-neutral fold of each ROWS-slice of the signature
+    // (was xxhash64 — an engine-local value the oracle couldn't replay)
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+        b => aggregate(slice(col("sig"), b * ROWS + 1, lit(ROWS)),
+          lit(0L), (acc, x) => (acc * RkLsh.MUL + x) % RkLsh.M40))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
+  /** signature-estimated Jaccard: matching permutations / NUM_PERM,
+    * truncating (graft.ops.Exact) like every compared ratio */
+  private[ops] def estJaccard(siga: Column, sigb: Column): Column =
+    Exact.intRatio(
+      aggregate(zip_with(siga, sigb, (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x),
+      lit(NUM_PERM.toLong))
 
   /** DD2 — MinHash + LSH candidate pairs. Per doc: 32 min-hashes (one
     * per affine permutation of the RK shingle hashes), banded 8×4; docs
@@ -169,22 +201,7 @@ object Dedup {
     * the production dedup pipeline (cc2 = this + clustering) is fully
     * oracle-checked, not rows-only. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(rkShingleArr(spark)).as("s"))
-    // signature via the MinHashSketch TypedImperativeAggregate: one
-    // expression with a primitive-array buffer (vs 32 generated min()
-    // columns whose codegen alone took ~10 s to JIT); partial buffers
-    // merge element-wise through ObjectHashAggregate before the single
-    // shuffle on doc_id
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(call_function("minhash_sketch", col("s")).as("sig"))
-    // band keys: engine-neutral fold of each ROWS-slice of the signature
-    // (was xxhash64 — an engine-local value the oracle couldn't replay)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
-        b => aggregate(slice(col("sig"), b * ROWS + 1, lit(ROWS)),
-          lit(0L), (acc, x) => (acc * RkLsh.MUL + x) % RkLsh.M40))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val banded = rkBanded(spark, dir)
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -193,10 +210,7 @@ object Dedup {
         col("l.sig").as("siga"), col("r.sig").as("sigb"))
       .dropDuplicates("da", "db")
     cand
-      .withColumn("matches", aggregate(
-        zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("est_jaccard", Exact.intRatio(col("matches"), lit(NUM_PERM.toLong)))
+      .withColumn("est_jaccard", estJaccard(col("siga"), col("sigb")))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("da"), col("db"), col("est_jaccard"))
   }
@@ -207,9 +221,10 @@ object Dedup {
     .map(j => s"list_min(list_transform(ss, x -> ${RkLsh.permSql(j, "x")}))")
     .mkString(",\n          ")
 
-  /** the dd2 pair pipeline as reusable CTE text ending in
-    * `sel2(da, db, est_jaccard)` — shared with Graph's cc2 oracle */
-  private[ops] val dd2PairCtes: String = {
+  /** the signature+banding pipeline as reusable CTE text ending in
+    * `bnd2(doc_id, sig, band, bkey)` — the SQL twin of [[rkBanded]],
+    * shared by the dd2/cc2 and dc2 oracles */
+  private[ops] val dd2SigCtes: String = {
     val wordFold = RkLsh.wordSql.replace("\n", " ")
     s"""toks2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |wh2 AS (SELECT doc_id, list_transform(w, wd -> $wordFold) AS hs,
@@ -225,19 +240,28 @@ object Dedup {
        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
        |               sig[CAST(b.b * $ROWS + 1 AS INT):CAST(b.b * $ROWS + $ROWS AS INT)]),
        |             (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}) AS bkey
-       |         FROM sigs2 CROSS JOIN range(0, $BANDS) b(b)),
+       |         FROM sigs2 CROSS JOIN range(0, $BANDS) b(b))""".stripMargin
+  }
+
+  /** SQL fragment: signature-match estimate over sig columns `$a`/`$b`
+    * — the twin of [[estJaccard]] */
+  private[ops] def estJaccardSql(a: String, b: String): String =
+    s"""floor(len(list_filter(range(1, ${NUM_PERM + 1}),
+       |  i -> $a[CAST(i AS INT)] = $b[CAST(i AS INT)])) * 1000000
+       |  / $NUM_PERM) / 1000000""".stripMargin.replace("\n", " ")
+
+  /** the dd2 pair pipeline as reusable CTE text ending in
+    * `sel2(da, db, est_jaccard)` — shared with Graph's cc2 oracle */
+  private[ops] val dd2PairCtes: String =
+    s"""$dd2SigCtes,
        |cand2 AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
        |            l.sig AS siga, r.sig AS sigb
        |          FROM bnd2 l JOIN bnd2 r
        |            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
        |sel2 AS (SELECT da, db, est_jaccard FROM (
-       |           SELECT da, db,
-       |             floor(len(list_filter(range(1, ${NUM_PERM + 1}),
-       |               i -> siga[CAST(i AS INT)] = sigb[CAST(i AS INT)])) * 1000000
-       |               / $NUM_PERM) / 1000000 AS est_jaccard
+       |           SELECT da, db, ${estJaccardSql("siga", "sigb")} AS est_jaccard
        |           FROM cand2)
        |         WHERE est_jaccard >= 0.5)""".stripMargin
-  }
 
   private val dd2Oracle = s"WITH $dd2PairCtes SELECT da, db, est_jaccard FROM sel2"
 

@@ -140,6 +140,42 @@ object Pipeline {
        |WHERE b.doc_id < $BENCH_DOCS AND t.doc_id >= $BENCH_DOCS
        |GROUP BY 1, 2 HAVING count(*) >= $OVERLAP""".stripMargin
 
+  /** DC2 — FUZZY benchmark decontamination: flag training documents
+    * that are MinHash-near-duplicates of any benchmark document —
+    * catching paraphrased/reformatted contamination that dc1's exact
+    * shingle-overlap count misses at scale (dc1 must join every shared
+    * shingle; dc2 joins only band keys). Reuses dd2's engine-neutral
+    * signature pipeline ([[Dedup.rkBanded]]) verbatim, so the whole
+    * query is oracle-hash-checked; the benchmark side (≤ BENCH_DOCS
+    * docs × 8 bands) BROADCASTS like dc1's, and the corpus side never
+    * shuffles for the join. */
+  def dc2FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Dedup.rkBanded(spark, dir)
+    val bench = banded.filter(col("doc_id") < BENCH_DOCS)
+      .select(col("doc_id").as("bench_id"), col("sig").as("bsig"),
+        col("band"), col("bkey"))
+    val cand = banded.filter(col("doc_id") >= BENCH_DOCS)
+      .join(broadcast(bench), Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id"), col("sig"), col("bsig"))
+      .dropDuplicates("doc_id", "bench_id")
+    cand.withColumn("est_jaccard", Dedup.estJaccard(col("sig"), col("bsig")))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id"), col("bench_id"), col("est_jaccard"))
+  }
+
+  private val dc2Oracle =
+    s"""WITH ${Dedup.dd2SigCtes},
+       |candd AS (SELECT DISTINCT r.doc_id AS doc_id, l.doc_id AS bench_id,
+       |            r.sig AS sig, l.sig AS bsig
+       |          FROM bnd2 l JOIN bnd2 r
+       |            ON l.band = r.band AND l.bkey = r.bkey
+       |           AND l.doc_id < $BENCH_DOCS AND r.doc_id >= $BENCH_DOCS)
+       |SELECT doc_id, bench_id, est_jaccard FROM (
+       |  SELECT doc_id, bench_id,
+       |         ${Dedup.estJaccardSql("sig", "bsig")} AS est_jaccard
+       |  FROM candd)
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
   private val QUOTA = 2
 
   /** DQ1 — per-source quota: keep at most QUOTA documents per
@@ -299,6 +335,7 @@ object Pipeline {
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
     Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Oracle)),
+    Q("dc2_fuzzy_decontaminate", dc2FuzzyDecontaminate, Some(dc2Oracle)),
     Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)),
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),

@@ -38,6 +38,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0, "planted near-dups should trip the overlap flag")
   }
 
+  test("dc2: fuzzy decontamination equals dd2's pairs crossing the benchmark boundary") {
+    // bench ids are < 50 and corpus ids >= 50, so dc2's (bench_id,
+    // doc_id) rows must be EXACTLY the dd2 near-dup pairs with
+    // da < 50 <= db — same signatures, same banding, same threshold
+    val dc2 = Pipeline.dc2FuzzyDecontaminate(spark, sf)
+      .select(col("bench_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dd2cross = graft.ops.Dedup.dd2MinHashLsh(spark, sf)
+      .filter(col("da") < 50 && col("db") >= 50)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dc2 == dd2cross, s"dc2 $dc2 != dd2 boundary pairs $dd2cross")
+    assert(dc2.nonEmpty, "planted near-dups should cross the boundary")
+  }
+
   test("shf1: positions are a dense permutation honoring the hash order") {
     val rows = Pipeline.shf1Shuffle(spark, sf).collect()
     val pos = rows.map(_.getLong(2)).sorted

@@ -236,6 +236,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p) // vocab top-K, no global sort
   }
 
+  test("dc2: benchmark signature side broadcasts — corpus never shuffles for the join") {
+    val p = plan(graft.ops.Pipeline.dc2FuzzyDecontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dd6: boilerplate set joins broadcast; df-shuffle carries hashes, not text") {
     val p = plan(Dedup.dd6ChunkDedup(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
