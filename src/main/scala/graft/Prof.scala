@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+
+/** Scratch per-query profiler: times each named query twice (cold +
+  * warm) on a dir, printing plans on demand. Not part of the driver
+  * contract. Usage: runMain graft.Prof <sfDir> <q1,q2,...> [explain]
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(",").toSeq
+    val explain = args.length > 2 && args(2) == "explain"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+      ()
+    }
+    for (n <- names; fn = SparkEntry.queries(n)) {
+      if (explain) fn(spark, dir).explain("formatted")
+      for (i <- 1 to 2) {
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        consume(fn(spark, dir))
+        println(f"[prof] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
