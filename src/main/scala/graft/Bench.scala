@@ -22,6 +22,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scan-partition sizing for THIS environment (the knob SCALE.md's
+      // cluster template sets to 128-256m for TB inputs): the test SFs
+      // are ~10 MB/table, so the defaults (128m + 4m open cost) pack
+      // every file into 1-2 scan tasks and serialize the scan stage of
+      // every query regardless of core count. Sized so a 32-file sf1
+      // table fans out to ~one task per core. (Single-file driver SFs
+      // are 1 row group and cannot fan out either way.)
+      .config("spark.sql.files.maxPartitionBytes", "256k")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

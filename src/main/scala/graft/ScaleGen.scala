@@ -48,8 +48,17 @@ object ScaleGen {
 
     def off(c: String): Column = col(c) + col("rep") * KEY_OFFSET
 
+    // repartition, NOT coalesce: the source sf dirs are single-file,
+    // single-ROW-GROUP parquet, which reads as ONE scan task no matter
+    // what spark.sql.files.maxPartitionBytes says (byte-range splits
+    // can't divide a row group), and coalesce can only REDUCE the
+    // count — so round 2's coalesce(8) silently wrote every table back
+    // as one row group and serialized the scan stage of every sf1
+    // query (measured: a1's 1M-row scan+JSON-parse stage ran 1-task,
+    // 4.6 s warm). 32 output files ≈ one row group per local core,
+    // the shape a real corpus has anyway (100 TB is millions of files).
     def write(df: DataFrame, name: String): Unit =
-      df.drop("rep").coalesce(8).write.mode("overwrite")
+      df.drop("rep").repartition(32).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
 
     // fixed dimensions: straight copy
