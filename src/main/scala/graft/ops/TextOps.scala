@@ -275,6 +275,95 @@ object TextOps {
        |             / len(w)) / 1000000 AS common_ratio
        |FROM t CROSS JOIN tv""".stripMargin
 
+  private val COOC_MIN_SUPPORT = 5
+  private val COOC_TOPK = 100
+
+  /** COOC1 — word-association statistics (PMI-style lift over adjacent
+    * pairs): the corpus-statistics pass an embedding-training pipeline
+    * (GloVe-family) runs to build its co-occurrence matrix, scored here
+    * as lift = P(x,y) / (P(x)·P(y)) — the exponent of PMI, computed in
+    * EXACT integer-valued double arithmetic (counts < 2^53 are exact in
+    * IEEE doubles and both engines divide them in the identical order,
+    * so `floor(·1e6)` hash-matches without any log()).
+    *
+    * Shape: one pair aggregate (the only corpus-sized shuffle), then
+    * the vocabulary-sized unigram counts join back BROADCAST ×2, and
+    * the top-K is TakeOrdered — never a global sort. */
+  def cooc1PairLift(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).withColumn("w", words)
+    val uni = t.select(explode(col("w")).as("wd"))
+    val ucnt = uni.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(count(lit(1)).as("nt"))
+    val bg = t.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          least(element_at(col("w"), i), element_at(col("w"), i + 1)).as("x"),
+          greatest(element_at(col("w"), i), element_at(col("w"), i + 1)).as("y")))).as("u"))
+    val pc = bg.select(col("u.x").as("x"), col("u.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    pc.join(broadcast(ucnt.select(col("wd").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(ucnt.select(col("wd").as("y"), col("c").as("cy"))), "y")
+      .crossJoin(broadcast(n))
+      .filter(col("cxy") >= COOC_MIN_SUPPORT)
+      // cxy·nt < 2^53 and the ÷cx ÷cy ·1e6 chain is evaluated in the
+      // same order as the oracle — identical doubles, unambiguous floor
+      .withColumn("lift", floor(col("cxy").cast("double") * col("nt")
+        / col("cx") / col("cy") * 1000000) / 1e6)
+      .orderBy(col("lift").desc, col("x"), col("y")).limit(COOC_TOPK)
+      .select(col("x"), col("y"), col("cxy"), col("lift"))
+  }
+
+  private val cooc1Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT unnest(w) AS wd FROM t),
+       |ucnt AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY wd),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni),
+       |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+       |         i -> {'x': least(w[CAST(i AS INT)], w[CAST(i+1 AS INT)]),
+       |               'y': greatest(w[CAST(i AS INT)], w[CAST(i+1 AS INT)])})) AS u
+       |       FROM t WHERE len(w) >= 2),
+       |pc AS (SELECT u.x AS x, u.y AS y, CAST(count(*) AS BIGINT) AS cxy FROM bg GROUP BY 1, 2)
+       |SELECT x, y, cxy,
+       |       floor(CAST(cxy AS DOUBLE) * nt / a.c / b.c * 1000000) / 1000000 AS lift
+       |FROM pc JOIN ucnt a ON pc.x = a.wd JOIN ucnt b ON pc.y = b.wd CROSS JOIN n
+       |WHERE cxy >= $COOC_MIN_SUPPORT
+       |ORDER BY lift DESC, x, y LIMIT $COOC_TOPK""".stripMargin
+
+  private val POSTINGS_HEAD = 16
+
+  /** IDX1 — inverted-index construction: per word, its document
+    * frequency and the head of its sorted posting list — the index
+    * pass retrieval-augmented pipelines and exact-match
+    * decontamination tooling build over a corpus.
+    *
+    * Shape: a (word, doc_id) distinct aggregate (map-side partial
+    * distinct), then per-word df + a BOUNDED posting head via the
+    * TopNByKey sketch — per-task buffers hold at most HEAD entries per
+    * word, so no reducer ever materializes a full posting list (at
+    * corpus scale full postings are sharded storage, not one row; the
+    * head column is emitted as a comma-joined string because the
+    * compare gate hashes scalars). */
+  def idx1InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    docs(spark, dir).select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        call_function("topn_by_key", col("doc_id"), col("doc_id"),
+          lit(POSTINGS_HEAD)).as("head"))
+      .select(col("word"), col("df"), col("cf"),
+        array_join(col("head"), ",").as("postings_head"))
+  }
+
+  private val idx1Oracle =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |       CAST(count(*) AS BIGINT) AS cf,
+       |       array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[1:$POSTINGS_HEAD], ',')
+       |         AS postings_head
+       |FROM tok GROUP BY word""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
@@ -283,5 +372,7 @@ object TextOps {
     Q("ta5_rolling_hash", ta5RollingHash, Some(ta5Oracle)),
     Q("ng1_ngram_topk", ng1NgramTopk, Some(ng1Oracle)),
     Q("rep1_repetition", rep1Repetition, Some(rep1Oracle)),
-    Q("ta6_common_ratio", ta6CommonRatio, Some(ta6Oracle)))
+    Q("ta6_common_ratio", ta6CommonRatio, Some(ta6Oracle)),
+    Q("cooc1_pair_lift", cooc1PairLift, Some(cooc1Oracle)),
+    Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)))
 }

@@ -247,6 +247,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("cooc1: unigram sides broadcast; top-k is TakeOrdered, not a global sort") {
+    val p = plan(graft.ops.TextOps.cooc1PairLift(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort:\n" + p)
+  }
+
+  test("idx1: posting heads are a bounded sketch aggregate, not a collected list") {
+    val p = plan(graft.ops.TextOps.idx1InvertedIndex(spark, sf))
+    assert(p.contains("topn_by_key"), p)
+    assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
