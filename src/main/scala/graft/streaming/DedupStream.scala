@@ -1,0 +1,113 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.RkLsh
+
+/** Streaming near-duplicate detection: the dd2 banded-MinHash index
+  * maintained INCREMENTALLY as documents arrive — the "dedup on
+  * ingest" shape a continuously-crawling corpus pipeline needs, where
+  * re-running batch dedup over the full corpus per increment is the
+  * thing you're trying to avoid.
+  *
+  * Design: each document flatMaps to its 8 (band, bkey) rows (same
+  * signature arithmetic as batch dd2 — [[RkLsh]] end to end, so
+  * StreamingDedupSpec can assert streaming output == batch dd2 output
+  * on the same corpus); state is keyed by the band bucket and holds
+  * that bucket's (doc_id, signature) members; a new arrival compares
+  * against ONLY its bucket's members (the whole LSH point — candidate
+  * comparisons, never corpus comparisons) and emits pairs whose
+  * signature-estimated Jaccard clears the dd2 threshold.
+  *
+  * Emission is at-least-once per PAIR (a pair sharing two band buckets
+  * emits from both — buckets can't see each other's state); exact
+  * batch semantics come from a downstream `dropDuplicates`, or
+  * `dropDuplicatesWithinWatermark` once emissions carry event time.
+  * State is per-bucket and grows with the corpus by design (an index
+  * IS its members); production bounds it the same way batch LSH
+  * shards postings — band-key partitioning spreads it across
+  * executors, and a TTL (`GroupStateTimeout.ProcessingTimeTimeout`)
+  * ages out cold buckets when the dedup horizon is finite.
+  */
+object DedupStream {
+
+  final case class Banded(band: Int, bkey: Long, docId: Long, sig: Seq[Long])
+  final case class Member(id: Long, sig: Seq[Long])
+  final case class DupPair(da: Long, db: Long, est_jaccard: Double)
+
+  private val NUM_PERM = 32
+  private val BANDS = 8
+  private val ROWS = NUM_PERM / BANDS
+
+  /** (doc_id, text) rows → one row per (band, bucket): the exact dd2
+    * signature/banding arithmetic, computed per row (no aggregation —
+    * a streaming groupBy would itself be a stateful operator) from the
+    * same RkShingleHashes expression and [[RkLsh]] constants. */
+  def banded(docs: DataFrame): Dataset[Banded] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        call_function("rk_shingle_hashes", split(col("text"), " "), lit(3)).as("sh"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, sh) =>
+        if (sh.isEmpty) Seq.empty[Banded]
+        else {
+          val sig = Array.fill(NUM_PERM)(Long.MaxValue)
+          sh.foreach { h =>
+            var j = 0
+            while (j < NUM_PERM) {
+              val p = RkLsh.perm(j, h)
+              if (p < sig(j)) sig(j) = p
+              j += 1
+            }
+          }
+          val s = sig.toSeq
+          (0 until BANDS).map { b =>
+            var acc = 0L
+            var r = 0
+            while (r < ROWS) { acc = (acc * RkLsh.MUL + sig(b * ROWS + r)) % RkLsh.M40; r += 1 }
+            Banded(b, acc, id, s)
+          }
+        }
+      }
+  }
+
+  /** matching-permutation estimate, identical truncation to batch dd2's
+    * `Exact.intRatio(matches, 32)` (m·1e6/32 = m·31250 is exact) */
+  private def est(a: Seq[Long], b: Seq[Long]): Double = {
+    var m = 0; var i = 0
+    while (i < NUM_PERM) { if (a(i) == b(i)) m += 1; i += 1 }
+    (m * 1000000L / NUM_PERM) / 1e6
+  }
+
+  /** the incremental index: near-dup pairs (da < db, est ≥ 0.5),
+    * at-least-once per pair across bands (see scaladoc). */
+  def nearDupPairs(docs: DataFrame): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs)
+      .groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[Banded], state: GroupState[Seq[Member]]) => {
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = ArrayBuffer.empty[DupPair]
+          rows.foreach { r =>
+            if (!members.exists(_.id == r.docId)) {
+              members.foreach { m =>
+                val e = est(m.sig, r.sig)
+                if (e >= 0.5)
+                  out += DupPair(math.min(m.id, r.docId), math.max(m.id, r.docId), e)
+              }
+              members = members :+ Member(r.docId, r.sig)
+            }
+          }
+          state.update(members)
+          out.iterator
+        })
+  }
+}
