@@ -146,8 +146,95 @@ object Multimodal {
       |         i -> substr(text, CAST(least(i * stride, n - 1) + 1 AS INT), 1)), '') AS thumb_str
       |FROM p""".stripMargin
 
+  private val PGM_W = 16
+
+  /** Synthetic PGM encoder — the stand-in side (the corpus has no real
+    * images): wraps a document's utf-8 bytes as a PGM_W-wide 8-bit
+    * grayscale P5 image, complete with a comment line the decoder must
+    * skip. Truncates to whole rows (every SF's min document is ≥ 44
+    * bytes, so h ≥ 2 and no padding path exists to diverge from the
+    * oracle). */
+  private[graft] def encodePgm(bytes: Array[Byte]): Array[Byte] = {
+    val h = math.max(bytes.length / PGM_W, 1)
+    val header = s"P5\n# synthetic pgm\n$PGM_W $h\n255\n".getBytes("US-ASCII")
+    header ++ java.util.Arrays.copyOf(bytes, PGM_W * h)
+  }
+
+  /** ======================= REAL DECODER =======================
+    * A complete netpbm P5 parser — PGM is the mainstream image format
+    * that needs NO codec library (magic token, '#' comments, arbitrary
+    * header whitespace, maxval, then exactly one whitespace byte and
+    * w·h raw samples). Unlike mm2/mm4's marked fakes, a production
+    * pipeline can point THIS at actual .pgm payloads unchanged;
+    * MultimodalSpec parses a hand-built file with comments and odd
+    * spacing to prove it is format-general, not corpus-shaped. */
+  private[graft] def decodePgm(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    var pos = 0
+    def isWs(b: Byte): Boolean = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      var inComment = false
+      while (pos < bytes.length && (inComment || isWs(bytes(pos)) || bytes(pos) == '#')) {
+        if (inComment) { if (bytes(pos) == '\n') inComment = false }
+        else if (bytes(pos) == '#') inComment = true
+        pos += 1
+      }
+      val s = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      new String(bytes, s, pos - s, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P5", s"not a binary PGM (magic '$magic')")
+    val w = token().toInt; val h = token().toInt; val maxval = token().toInt
+    require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+    pos += 1 // the single whitespace byte the spec mandates after maxval
+    require(bytes.length >= pos + w * h, "truncated pixel data")
+    (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+  }
+
+  /** MM5 — REAL image decode: encode each document as a PGM (the
+    * synthetic stand-in), then run the real parser per partition and
+    * emit exact pixel statistics. Because the pixels are the document's
+    * own bytes, the full encode→parse→stats composite is DuckDB-
+    * replayable, so the decoder's output is hash-checked end to end —
+    * the oracle recomputes dimensions, pixel sum, truncating mean, and
+    * the first-row mod-2^40 fold straight from the text. */
+  def mm5PgmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, _, px) = decodePgm(encodePgm(payload))
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += (px(i) & 0xFF); i += 1 }
+        var row0 = 0L
+        i = 0
+        while (i < w) { row0 = (row0 * 31 + (px(i) & 0xFF)) % 1099511627776L; i += 1 }
+        // double division, NOT integer: DuckDB's `/` is double division,
+        // so the floor must see the identical IEEE quotient (Exact.intRatio
+        // has the same shape — Spark Column `/` is Divide-as-double too)
+        (id, w, h, sum, math.floor((sum * 1000000L).toDouble / (w.toLong * h)) / 1e6, row0)
+      })
+      .toDF("doc_id", "width", "height", "px_sum", "px_mean", "row0_hash")
+  }
+
+  private val mm5Oracle =
+    s"""WITH t AS (SELECT doc_id, text,
+       |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
+       |px AS (SELECT doc_id, h,
+       |         list_transform(range(1, $PGM_W * h + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |       FROM t)
+       |SELECT doc_id, $PGM_W AS width, CAST(h AS INT) AS height,
+       |       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       |       floor(list_sum(p) * 1000000 / ($PGM_W * h)) / 1000000 AS px_mean,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), p[1:$PGM_W]),
+       |         (a, x) -> (a * 31 + x) % 1099511627776) AS row0_hash
+       |FROM px""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
-    Q("mm4_resize", mm4Resize, Some(mm4Oracle)))
+    Q("mm4_resize", mm4Resize, Some(mm4Oracle)),
+    Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)))
 }

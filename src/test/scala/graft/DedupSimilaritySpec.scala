@@ -60,6 +60,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("mm5 PGM parser is format-general: comments, odd whitespace, round-trip") {
+    // a hand-built P5 file no corpus document produced: comment lines
+    // interleaved in the header, tabs/multi-space separators, maxval 200
+    val px = Array.tabulate(6)(i => (i * 40).toByte) // 3x2 image
+    val file = ("P5 # trailing comment\n# full comment line\n 3\t2 \n# again\n200\n"
+      .getBytes("US-ASCII")) ++ px
+    val (w, h, maxval, pixels) = Multimodal.decodePgm(file)
+    assert((w, h, maxval) == (3, 2, 200))
+    assert(pixels.toSeq == px.toSeq)
+    // encoder/decoder round-trip on arbitrary (incl. non-ascii) bytes
+    val payload = Array.tabulate(40)(i => (i * 7 - 128).toByte)
+    val (w2, h2, _, px2) = Multimodal.decodePgm(Multimodal.encodePgm(payload))
+    assert(w2 == 16 && h2 == 2)
+    assert(px2.toSeq == payload.take(32).toSeq)
+    // malformed input fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm("P2\n3 2\n255\n000000".getBytes("US-ASCII"))
+    }
+  }
+
   test("ta5 rolling hash collides exactly for identical texts") {
     val df = TextOps.ta5RollingHash(spark, sf)
     assert(df.count() > 0)
