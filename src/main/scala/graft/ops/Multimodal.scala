@@ -232,9 +232,117 @@ object Multimodal {
        |         (a, x) -> (a * 31 + x) % 1099511627776) AS row0_hash
        |FROM px""".stripMargin
 
+  private val WAV_RATE = 8000
+
+  /** Synthetic WAV encoder — stand-in side (no audio in the corpus):
+    * wraps a document's bytes as unsigned 8-bit mono PCM at 8 kHz, a
+    * complete RIFF file with a deliberately non-minimal layout (a LIST
+    * metadata chunk BEFORE data) so the decoder must actually walk the
+    * chunk structure rather than assume fixed offsets. */
+  private[graft] def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(58 + bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(50 + bytes.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WAV_RATE)
+      .putInt(WAV_RATE) // byte rate (1 ch × 1 byte)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    bb.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("INFOxx".getBytes("US-ASCII")) // chunk the parser must skip
+    bb.put("data".getBytes("US-ASCII")).putInt(bytes.length).put(bytes)
+    bb.array()
+  }
+
+  /** ======================= REAL DECODER =======================
+    * A real RIFF/WAVE PCM parser (the audio analog of [[decodePgm]] —
+    * WAV needs no codec library): validates the RIFF/WAVE container,
+    * then WALKS the chunk list honoring each chunk's declared size and
+    * word alignment (skipping unknown chunks like LIST/INFO) to find
+    * `fmt ` and `data`. Returns (sampleRate, channels, bitsPerSample,
+    * samples). Production code points this at real PCM .wav payloads
+    * unchanged; MultimodalSpec feeds it a hand-built file with an odd-
+    * sized chunk to prove the alignment walk is real. */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file")
+    bb.getInt // declared riff size
+    require(tag() == "WAVE", "not a WAVE file")
+    var rate = -1; var channels = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (bb.remaining() >= 8 && (data == null || rate < 0)) {
+      val id = tag(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          val codec = bb.getShort
+          require(codec == 1, s"only PCM supported, got codec $codec")
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort.toInt
+          bb.position(fmtEnd)
+        case "data" =>
+          data = new Array[Byte](size); bb.get(data)
+        case _ =>
+          bb.position(bb.position() + size + (size & 1)) // word-aligned skip
+      }
+    }
+    require(rate > 0 && data != null, "missing fmt/data chunk")
+    (rate, channels, bits, data)
+  }
+
+  /** MM6 — REAL audio decode: encode each document as an 8-bit PCM WAV
+    * (the synthetic stand-in), run the real RIFF parser per partition,
+    * and emit format fields + exact sample statistics (duration,
+    * peak-to-peak amplitude, integer-scaled mean). As with mm5, the
+    * samples are the document's own bytes, so the encode→parse→stats
+    * composite is DuckDB-replayable and the decoder output is
+    * hash-checked end to end. */
+  def mm6WavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, channels, bits, s) = decodeWav(encodeWav(payload))
+        var sum = 0L; var lo = 255; var hi = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i) & 0xFF
+          sum += v; if (v < lo) lo = v; if (v > hi) hi = v
+          i += 1
+        }
+        // duration in exact milliseconds (samples·1000/rate); double
+        // division on both engines, same IEEE quotient (mm5 note)
+        (id, rate, channels, bits, s.length.toLong,
+          math.floor(s.length * 1000000L.toDouble / rate) / 1e3,
+          hi - lo,
+          math.floor((sum * 1000000L).toDouble / s.length) / 1e6)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+        "duration_ms", "peak_to_peak", "mean_amp")
+  }
+
+  private val mm6Oracle =
+    s"""WITH t AS (SELECT doc_id, text,
+       |         list_transform(range(1, octet_length(text::BLOB) + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS s
+       |       FROM documents)
+       |SELECT doc_id, $WAV_RATE AS sample_rate, 1 AS channels, 8 AS bits,
+       |       CAST(len(s) AS BIGINT) AS n_samples,
+       |       floor(len(s) * 1000000 / $WAV_RATE) / 1000 AS duration_ms,
+       |       CAST(list_max(s) - list_min(s) AS INT) AS peak_to_peak,
+       |       floor(list_sum(s) * 1000000 / len(s)) / 1000000 AS mean_amp
+       |FROM t""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
     Q("mm4_resize", mm4Resize, Some(mm4Oracle)),
-    Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)))
+    Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)),
+    Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)))
 }
