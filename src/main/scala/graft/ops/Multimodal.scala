@@ -339,10 +339,114 @@ object Multimodal {
        |       floor(list_sum(s) * 1000000 / len(s)) / 1000000 AS mean_amp
        |FROM t""".stripMargin
 
+  private val Y4M_W = 4
+  private val Y4M_H = 4
+  private val Y4M_FRAME = Y4M_W * Y4M_H // mono (C400): Y plane only
+
+  /** Synthetic Y4M encoder — stand-in side (no video in the corpus):
+    * wraps a document's bytes as 4×4 monochrome (C400) frames at 25
+    * fps, whole frames only. Y4M is the codec-free video container:
+    * an ASCII parameter header, then `FRAME` markers with raw planar
+    * samples — the video analog of PGM/WAV. */
+  private[graft] def encodeY4m(bytes: Array[Byte]): Array[Byte] = {
+    val frames = math.max(bytes.length / Y4M_FRAME, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$Y4M_W H$Y4M_H F25:1 Ip A1:1 C400\n".getBytes("US-ASCII"))
+    val px = java.util.Arrays.copyOf(bytes, frames * Y4M_FRAME)
+    for (f <- 0 until frames) {
+      // a parameter-bearing FRAME marker: parsers must accept params
+      out.write((if (f == 0) "FRAME Xsynthetic\n" else "FRAME\n").getBytes("US-ASCII"))
+      out.write(px, f * Y4M_FRAME, Y4M_FRAME)
+    }
+    out.toByteArray
+  }
+
+  /** ======================= REAL DECODER =======================
+    * A real yuv4mpeg2 parser (video analog of [[decodePgm]]/
+    * [[decodeWav]] — Y4M needs no codec): validates the magic, parses
+    * the tagged parameter list (W/H/F rate, ignoring unknown tags),
+    * then iterates `FRAME` records (with optional frame parameters)
+    * collecting raw C400 planes. Returns (w, h, fpsNum, fpsDen,
+    * frames). */
+  private[graft] def decodeY4m(bytes: Array[Byte]): (Int, Int, Int, Int, Vector[Array[Byte]]) = {
+    var pos = 0
+    def line(): String = {
+      val s = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      require(pos < bytes.length, "unterminated y4m header line")
+      pos += 1
+      new String(bytes, s, pos - 1 - s, "US-ASCII")
+    }
+    val header = line().split(' ')
+    require(header(0) == "YUV4MPEG2", s"not a y4m stream (magic '${header(0)}')")
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var chroma = "420"
+    header.drop(1).foreach { tag =>
+      if (tag.nonEmpty) tag.head match {
+        case 'W' => w = tag.tail.toInt
+        case 'H' => h = tag.tail.toInt
+        case 'F' => val p = tag.tail.split(':'); fn = p(0).toInt; fd = p(1).toInt
+        case 'C' => chroma = tag.tail
+        case _ => () // Ip/A/X… — valid, irrelevant here
+      }
+    }
+    require(w > 0 && h > 0, "missing W/H in y4m header")
+    require(chroma == "400", s"only C400 (mono) supported, got C$chroma")
+    val frameBytes = w * h
+    var frames = Vector.empty[Array[Byte]]
+    while (pos < bytes.length) {
+      require(line().startsWith("FRAME"), "expected FRAME marker")
+      require(bytes.length >= pos + frameBytes, "truncated frame")
+      frames :+= java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      pos += frameBytes
+    }
+    (w, h, fn, fd, frames)
+  }
+
+  /** MM7 — REAL video decode: encode each document as a C400 Y4M clip
+    * (the synthetic stand-in), run the real parser per partition, and
+    * emit container fields + exact per-clip sample statistics. As with
+    * mm5/mm6, the samples are the document's own bytes, so the oracle
+    * replays encode→parse→stats and the decoder output is hash-checked
+    * end to end. */
+  def mm7Y4mDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, fn, fd, frames) = decodeY4m(encodeY4m(payload))
+        var sum = 0L
+        frames.foreach { f =>
+          var i = 0
+          while (i < f.length) { sum += (f(i) & 0xFF); i += 1 }
+        }
+        // duration in exact milliseconds: frames·fd·1000/fn (mm5 note:
+        // double division on both engines, identical IEEE quotient)
+        (id, w, h, frames.length,
+          math.floor(frames.length * fd * 1000000L.toDouble / fn) / 1e3,
+          sum,
+          math.floor((sum * 1000000L).toDouble / (frames.length.toLong * w * h)) / 1e6)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "duration_ms", "y_sum", "y_mean")
+  }
+
+  private val mm7Oracle =
+    s"""WITH t AS (SELECT doc_id, text,
+       |         greatest(octet_length(text::BLOB) // $Y4M_FRAME, 1) AS nf FROM documents),
+       |px AS (SELECT doc_id, nf,
+       |         list_transform(range(1, nf * $Y4M_FRAME + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |       FROM t)
+       |SELECT doc_id, $Y4M_W AS width, $Y4M_H AS height, CAST(nf AS INT) AS n_frames,
+       |       floor(nf * 1 * 1000000 / 25) / 1000 AS duration_ms,
+       |       CAST(list_sum(p) AS BIGINT) AS y_sum,
+       |       floor(list_sum(p) * 1000000 / (nf * $Y4M_FRAME)) / 1000000 AS y_mean
+       |FROM px""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
     Q("mm4_resize", mm4Resize, Some(mm4Oracle)),
     Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)),
-    Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)))
+    Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)),
+    Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)))
 }
