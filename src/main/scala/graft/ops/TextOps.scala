@@ -364,6 +364,53 @@ object TextOps {
        |         AS postings_head
        |FROM tok GROUP BY word""".stripMargin
 
+  /** TOK1 — vocabulary-id encoding: THE tokenize step between curation
+    * and packing — build a frequency-ranked vocabulary, then rewrite
+    * every document as its id sequence. Ids are dense ranks by
+    * (count desc, word), so the "model artifact" is engine-neutral and
+    * the encoded sequences hash-match the oracle (head + a mod-2^40
+    * fold of the FULL sequence, so the whole encoding is compared, not
+    * a prefix).
+    *
+    * Shape: the ranking window runs over the VOCABULARY table (output-
+    * sized — a model artifact built once), never the corpus; the
+    * word→id map collapses to ONE map-typed row that BROADCASTS onto a
+    * narrow per-document transform. The corpus is never shuffled and
+    * never row-joined against the vocabulary. */
+  def tok1VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir).withColumn("w", words)
+    val vocab = t.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("wd"))).cast("long"))
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(struct(col("wd"), col("id")))).as("vmap"))
+    t.crossJoin(broadcast(vmap))
+      .withColumn("ids", transform(col("w"), x => element_at(col("vmap"), x)))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        array_join(slice(col("ids"), 1, 16), ",").as("ids_head"),
+        aggregate(col("ids"), lit(0L),
+          (a, x) => (a * 1000003L + x) % 1099511627776L).as("ids_fold"))
+  }
+
+  private val tok1Oracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS wd FROM t),
+      |vocab AS (SELECT wd, CAST(row_number() OVER (ORDER BY count(*) DESC, wd) AS BIGINT) AS id
+      |          FROM uni GROUP BY wd),
+      |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+      |           i -> {'pos': i, 'wd': w[CAST(i AS INT)]})) AS u FROM t),
+      |tok AS (SELECT doc_id, u.pos AS pos, v.id AS id
+      |        FROM tok0 JOIN vocab v ON u.wd = v.wd),
+      |enc AS (SELECT doc_id, list(id ORDER BY pos) AS ids FROM tok GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+      |       array_to_string(ids[1:16], ',') AS ids_head,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+      |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
+      |FROM enc""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
@@ -374,5 +421,6 @@ object TextOps {
     Q("rep1_repetition", rep1Repetition, Some(rep1Oracle)),
     Q("ta6_common_ratio", ta6CommonRatio, Some(ta6Oracle)),
     Q("cooc1_pair_lift", cooc1PairLift, Some(cooc1Oracle)),
-    Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)))
+    Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)),
+    Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)))
 }

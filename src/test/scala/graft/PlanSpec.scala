@@ -260,6 +260,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("tok1: vocab map broadcasts; the corpus is never row-joined against it") {
+    val p = plan(graft.ops.TextOps.tok1VocabEncode(spark, sf))
+    // the word->id map is ONE row cross-joined broadcast; the only
+    // SinglePartition exchange is the vocabulary ranking window
+    // (output-sized model artifact), never the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
