@@ -257,6 +257,37 @@ object Pipeline {
        |       CAST((cum_tokens - 1) // $PACK_BUDGET AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  /** PK2 — the packed-bin manifest pk1's assignment feeds: one row per
+    * bin with its ordered document list, token total, and fill ratio
+    * against the budget — the "what got packed together" artifact a
+    * training-data loader consumes. One groupBy(bin) over pk1's
+    * output; bins hold ~budget/avg_doc documents, so per-group state is
+    * bounded by construction (oversize singleton bins show fill > 1). */
+  def pk2PackManifest(spark: SparkSession, dir: String): DataFrame =
+    pk1PackSequences(spark, dir)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_list"))
+      .withColumn("fill_ratio", Exact.intRatio(col("bin_tokens"), lit(PACK_BUDGET)))
+      .select(col("bin"), col("n_docs"), col("bin_tokens"), col("doc_list"),
+        col("fill_ratio"))
+
+  private val pk2Oracle =
+    s"""WITH t AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t),
+       |a AS (SELECT doc_id, n_tokens,
+       |         CAST((cum_tokens - 1) // $PACK_BUDGET AS BIGINT) AS bin FROM c)
+       |SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_list,
+       |       floor(sum(n_tokens) * 1000000 / $PACK_BUDGET) / 1000000 AS fill_ratio
+       |FROM a GROUP BY bin""".stripMargin
+
   private val SHUF_BUCKETS = 64L
   private val HASH_SPACE = 1L << 40 // rolling_hash folds mod 2^40
 
@@ -338,6 +369,7 @@ object Pipeline {
     Q("dc2_fuzzy_decontaminate", dc2FuzzyDecontaminate, Some(dc2Oracle)),
     Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)),
+    Q("pk2_pack_manifest", pk2PackManifest, Some(pk2Oracle)),
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
     Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)))
 }
