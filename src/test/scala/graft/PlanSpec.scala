@@ -269,6 +269,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime (SCALE.md's skew claim)") {
+    import org.apache.spark.sql.functions._
+    // 95% of the left side shares ONE key — the hot-partition shape that
+    // melts a reducer at 100 TB; with skew-join enabled AQE must split it
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") < 190000, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(2000).select(col("id").as("k2"))
+      // NOTE: no groupBy(k) downstream — a keyed agg on the join key pins
+      // the join's output partitioning and AQE then refuses to split it
+      // (splitting would violate the required distribution); a global agg
+      // imposes no distribution on the join output
+      val j = left.join(right, col("k") === col("k2"))
+        .agg(sum(col("payload")).as("s"))
+      val p = plan(j)
+      assert(p.contains("skew=true"), "AQE did not mark the skewed join:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dd1: shuffle key is the 8-byte hash, not the document text") {
     val p = plan(Dedup.dd1Exact(spark, sf))
     assert(p.contains("xxhash64"), p)
