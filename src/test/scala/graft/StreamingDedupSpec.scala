@@ -46,6 +46,58 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index state survives a checkpointed restart (cross-restart pairs still found)") {
+    // memory sinks don't support recovery; file source -> parquet sink
+    // (both recoverable), the same shape as StreamingSpec's S4 test
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("dedup_ckpt").toFile
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+
+    def jsonl(rows: Seq[(Long, String)]): String = rows.map { case (id, tx) =>
+      s"""{"doc_id":$id,"text":"$tx"}""" // corpus text is [a-z ]: no escaping needed
+    }.mkString("\n")
+    def start() = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(srcDir.getAbsolutePath)
+      DedupStream.nearDupPairs(src)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    java.nio.file.Files.write(new java.io.File(srcDir, "f1.json").toPath,
+      jsonl(first).getBytes)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // NEW query instance, same checkpoint: bucket members from run 1
+    // must be restored so cross-restart near-dup pairs are still found
+    java.nio.file.Files.write(new java.io.File(srcDir, "f2.json").toPath,
+      jsonl(second).getBytes)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("da", "db", "est_jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.dd2MinHashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"post-restart stream diverged — stream-only: ${streamed -- batch}; " +
+        s"batch-only: ${batch -- streamed}")
+    val crossRestart = batch.exists { case (da, db, _) =>
+      first.exists(_._1 == da) && second.exists(_._1 == db) ||
+        first.exists(_._1 == db) && second.exists(_._1 == da)
+    }
+    assert(crossRestart, "corpus must contain at least one cross-restart pair " +
+      "for this test to prove state recovery")
+  }
+
   test("re-arrival of a known doc_id emits nothing new (idempotent index)") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id").cast("long"), col("text").cast("string"))
