@@ -17,20 +17,22 @@ final case class MediaFeatures(
   * opaque `binary` column plus typed metadata, with decode /
   * feature-extract running batched per partition.
   *
-  * There is no media in the synthetic corpus and no codec libraries in
-  * this environment, so the payload is the utf-8 bytes of `text` and
-  * the decoder is a DETERMINISTIC FAKE (clearly marked below). What IS
-  * real — and what the tests pin down — is the Spark-side plumbing a
-  * production decode needs: binary column handling, schema of the
-  * decoded struct, per-partition batch iteration (the shape a JNI/
-  * subprocess codec wants), and partition-parallel execution with no
-  * driver-side collection.
+  * Two tiers, both fully oracle-hash-checked:
   *
-  * The fakes are arithmetic over the payload bytes (stepwise-mod
-  * polynomial hashes, stride sampling) precisely so that BOTH queries
-  * are DuckDB-expressible: every output column, stub features included,
-  * goes through the cross-engine hash-compare rather than a weaker
-  * rows-only check.
+  *  - REAL decoders for the codec-free formats — mm5 netpbm P5 images,
+  *    mm6 RIFF/WAVE PCM audio, mm7 yuv4mpeg2 video. These parse the
+  *    actual on-disk format grammar (headers, comments, chunk walks,
+  *    frame markers) and production code can point them at real
+  *    payloads unchanged; the corpus has no media, so each query feeds
+  *    them deterministic files synthesized around the document's bytes
+  *    (which is exactly what makes the encode→parse→stats composite
+  *    DuckDB-replayable).
+  *  - DETERMINISTIC FAKES, loudly marked, where a codec LIBRARY would
+  *    be required (mm2 "decode", mm4 "resize" — no JPEG/PNG/ffmpeg in
+  *    this environment): arithmetic over payload bytes chosen to stay
+  *    SQL-expressible, so even stub output hash-compares. The plumbing
+  *    around them (binary columns, batch iteration, schemas,
+  *    partition-parallelism) is the real thing.
   *
   * Scale notes: decode is a narrow per-partition map — zero shuffle;
   * at 100 TB you size `spark.sql.files.maxPartitionBytes` so one batch
