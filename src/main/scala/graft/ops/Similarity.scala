@@ -505,7 +505,62 @@ object Similarity {
       |              (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * s))) * 1000000) / 1000000 AS l2_err
       |FROM q""".stripMargin
 
+  private val EMB_Q = 512 // integer grid (the sim3 trick): exact, order-free sums
+
+  /** EMB1 — per-label centroid cohesion / outlier scoring: the
+    * embedding-QA pass that flags vectors far from their own label's
+    * centroid (mislabeled or junk embeddings before training). Uses the
+    * `label` column the other similarity ops don't touch.
+    *
+    * Arithmetic is engine-neutral end to end via the sim3 integer-grid
+    * trick: unit vectors floor-scale onto a 512-grid (exact in
+    * doubles), per-label sums run through ONE `vector_sum_long` sketch
+    * per label (order-free integer addition — a float sum would differ
+    * between engines by summation order), and cos(u, centroid) is
+    * computed against the raw SUM vector (cosine is scale-invariant,
+    * so the count never needs to divide). Products ≤ 512·(512·N) with
+    * 64-dim sums stay ≪ 2^53 — exact in both engines' doubles.
+    *
+    * Shape: one label-keyed sketch aggregate (10 rows out), centroids
+    * BROADCAST back, narrow per-vector score map. */
+  def emb1LabelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
+      .select(col("vec_id"), col("label"), col("uq"))
+    val ctr = e.groupBy(col("label"))
+      .agg(call_function("vector_sum_long", col("uq")).as("sn"))
+      .select(col("label"), col("sn.s").as("sl"))
+    e.join(broadcast(ctr), "label")
+      .withColumn("uqd", transform(col("uq"), x => x.cast("double")))
+      .withColumn("sld", transform(col("sl"), x => x.cast("double")))
+      .withColumn("cos_c", graft.ops.Exact.floorE6(
+        dot(col("uqd"), col("sld")) / (norm2(col("uqd")) * norm2(col("sld")))))
+      .select(col("vec_id"), col("label"), col("cos_c"),
+        (col("cos_c") < 0.0).as("outlier"))
+  }
+
+  private val emb1Oracle =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label,
+       |        list_transform(v, x -> CAST(floor(x / sqrt(list_dot_product(v, v)) * $EMB_Q) AS BIGINT)) AS uq
+       |      FROM e),
+       |d AS (SELECT label, g.i AS dim, sum(uq[CAST(g.i AS INT)]) AS s
+       |      FROM n CROSS JOIN range(1, 65) g(i) GROUP BY 1, 2),
+       |ctr AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS sld FROM d GROUP BY label),
+       |sc AS (SELECT vec_id, n.label AS label,
+       |         floor(list_dot_product(list_transform(uq, x -> CAST(x AS DOUBLE)), sld)
+       |           / (sqrt(list_dot_product(list_transform(uq, x -> CAST(x AS DOUBLE)),
+       |                                    list_transform(uq, x -> CAST(x AS DOUBLE))))
+       |              * sqrt(list_dot_product(sld, sld))) * 1000000) / 1000000 AS cos_c
+       |       FROM n JOIN ctr ON n.label = ctr.label)
+       |SELECT vec_id, label, cos_c, cos_c < 0.0 AS outlier FROM sc""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),

@@ -260,6 +260,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("emb1: label centroids aggregate as one sketch and broadcast back") {
+    val p = plan(graft.ops.Similarity.emb1LabelOutliers(spark, sf))
+    assert(p.contains("vector_sum_long"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("tok1: vocab map broadcasts; the corpus is never row-joined against it") {
     val p = plan(graft.ops.TextOps.tok1VocabEncode(spark, sf))
     // the word->id map is ONE row cross-joined broadcast; the only
