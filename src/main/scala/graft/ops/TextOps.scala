@@ -411,6 +411,77 @@ object TextOps {
       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
       |FROM enc""".stripMargin
 
+  private val IR_TERMS = Seq("join", "hash", "vector", "spark")
+  private val IR_TOPK = 100
+
+  /** IR1 — BM25 ranked retrieval: score every document against a fixed
+    * query-term set and keep the top-K — the relevance pass a
+    * retrieval-augmented or quality-filtered pipeline runs over a
+    * corpus (and the ranking function idx1's index exists to serve).
+    *
+    * Engine-neutral scoring without log(): the Robertson idf is kept in
+    * its rational form (N - df + 0.5)/(df + 0.5) — every operand is an
+    * exact integer-or-half double and IEEE division is correctly
+    * rounded, so both engines produce the identical double. Each term's
+    * score is floor-scaled to an e6 integer BEFORE the cross-term sum,
+    * making the sum order-free. Float literals are written `0.5e0` in
+    * the oracle so DuckDB parses DOUBLE, not DECIMAL.
+    *
+    * Shape: one corpus-stats aggregate (a single 1-row reduce: N,
+    * Σdl, per-term df — the terms are literals, so tf needs no explode
+    * and no shuffle), broadcast back onto a narrow per-document score
+    * map, then TakeOrdered — the corpus itself is never shuffled or
+    * globally sorted. */
+  def ir1Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(
+      col("doc_id") +: size(words).cast("long").as("dl") +:
+        IR_TERMS.zipWithIndex.map { case (t, i) =>
+          size(filter(words, w => w === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val aggs = sum(col("dl")).as("sumdl") +:
+      IR_TERMS.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val termScore = IR_TERMS.indices.map { i =>
+      val idf = (col("n").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5))
+      val num = col(s"tf$i").cast("double") * lit(2.2)
+      val den = col(s"tf$i").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+      floor(idf * num / den * lit(1000000))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+      .withColumn("score_e6", termScore)
+      .filter(col("score_e6") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(IR_TOPK)
+      .select(col("doc_id"), col("dl"), col("score_e6"))
+  }
+
+  private val ir1Oracle = {
+    val tfs = IR_TERMS.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n       |         ")
+    val dfs = IR_TERMS.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val score = IR_TERMS.indices.map(i =>
+      s"""CAST(floor((CAST(n AS DOUBLE) - df$i + 0.5e0) / (df$i + 0.5e0)
+         |           * (CAST(tf$i AS DOUBLE) * 2.2e0)
+         |           / (CAST(tf$i AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+         |           * 1000000) AS BIGINT)""".stripMargin).mkString("\n       + ")
+    s"""WITH b AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         $tfs
+       |       FROM documents),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+       |      FROM b),
+       |sc AS (SELECT doc_id, dl,
+       |         $score AS score_e6
+       |       FROM b CROSS JOIN (SELECT *, CAST(sumdl AS DOUBLE) / n AS avgdl FROM s))
+       |SELECT doc_id, dl, score_e6 FROM sc WHERE score_e6 > 0
+       |ORDER BY score_e6 DESC, doc_id LIMIT $IR_TOPK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
@@ -422,5 +493,6 @@ object TextOps {
     Q("ta6_common_ratio", ta6CommonRatio, Some(ta6Oracle)),
     Q("cooc1_pair_lift", cooc1PairLift, Some(cooc1Oracle)),
     Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)),
-    Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)))
+    Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)),
+    Q("ir1_bm25", ir1Bm25, Some(ir1Oracle)))
 }

@@ -260,6 +260,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("ir1: corpus stats broadcast; top-K is TakeOrdered, never a global sort") {
+    val p = plan(graft.ops.TextOps.ir1Bm25(spark, sf))
+    // the 1-row (N, Σdl, df…) stats reach the per-document score map as
+    // a broadcast nested-loop; tf needs no explode so the corpus never
+    // shuffles, and the top-K is TakeOrdered
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("emb1: label centroids aggregate as one sketch and broadcast back") {
     val p = plan(graft.ops.Similarity.emb1LabelOutliers(spark, sf))
     assert(p.contains("vector_sum_long"), p)
