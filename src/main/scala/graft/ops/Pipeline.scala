@@ -362,6 +362,81 @@ object Pipeline {
        |       substr(regexp_replace(text, '\\b(customer|supplier|order)\\b', '[REDACTED]', 'g'), 1, 64) AS clean_prefix
        |FROM documents""".stripMargin
 
+  private val CUR_MIN_TOKENS = 30L
+
+  /** CUR1 — the curation pipeline END TO END, the way cc2 is the dedup
+    * pipeline end to end: language gate + length gate (one narrow map
+    * fused into the scan) → exact-dedup keep-list (ONE shuffle on the
+    * 8-byte content hash; the survivor's attributes ride the aggregate
+    * as `min(struct(doc_id, …))`, so no join-back) → benchmark
+    * decontamination (dc1's flagged set is contamination-sized and
+    * BROADCASTS onto a left-anti hash join) → deterministic content-hash
+    * train/valid/test split (smp1's rule). The corpus is scanned, gated,
+    * shuffled once by hash, and never globally sorted or windowed.
+    *
+    * Every stage reuses the registry's verified building blocks (ta1's
+    * language rule, dd1's keep-list shape, dc1's flags verbatim, smp1's
+    * split), and the composed result is oracle-hash-checked end to end. */
+  def cur1CurationE2e(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def hitsIn(m: Seq[String]): Column =
+      size(filter(words, w => w.isin(m.map(x => x: Any): _*)))
+    val gated = docs(spark, dir)
+      .filter(col("doc_id") >= BENCH_DOCS) // the bench stand-in set is never training data
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("s_en", hitsIn(Seq("the", "and", "of", "to", "in")))
+      .withColumn("s_es", hitsIn(Seq("el", "la", "de", "los", "que")))
+      .withColumn("s_de", hitsIn(Seq("der", "und", "das", "ist", "nicht")))
+      .withColumn("s_fr", hitsIn(Seq("le", "et", "les", "des", "est")))
+      .filter(col("n_tokens") >= CUR_MIN_TOKENS && col("s_en") >= 1 &&
+        col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")))
+      .withColumn("h", fullHash(spark))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("h"))
+    val kept = gated.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.source").as("source"),
+        col("d.n_tokens").as("n_tokens"), col("h"))
+    val flagged = dc1Decontaminate(spark, dir).select(col("doc_id")).distinct()
+    kept.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .withColumn("bucket", pmod(col("h"), lit(100L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        when(col("bucket") === 0, "valid").when(col("bucket") === 1, "test")
+          .otherwise("train").as("split"))
+  }
+
+  private val cur1Oracle =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents WHERE doc_id >= $BENCH_DOCS),
+       |g0 AS (SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         len(list_filter(w, x -> list_contains(['the','and','of','to','in'], x))) AS s_en,
+       |         len(list_filter(w, x -> list_contains(['el','la','de','los','que'], x))) AS s_es,
+       |         len(list_filter(w, x -> list_contains(['der','und','das','ist','nicht'], x))) AS s_de,
+       |         len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS s_fr
+       |       FROM t),
+       |g AS (SELECT doc_id, source, w, n_tokens FROM g0
+       |      WHERE n_tokens >= $CUR_MIN_TOKENS AND s_en >= 1
+       |        AND s_en >= greatest(s_es, s_de, s_fr)),
+       |wh AS (SELECT doc_id, source, n_tokens,
+       |         list_transform(w, wd -> $rkWordSql) AS hs FROM g),
+       |fh AS (SELECT doc_id, source, n_tokens,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |           (a, x) -> (a * 1000003 + x) % 1099511627776) AS h
+       |       FROM wh),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fh),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+       |                 i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |flagp AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id FROM sh t JOIN sh b ON t.s = b.s
+       |          WHERE b.doc_id < $BENCH_DOCS AND t.doc_id >= $BENCH_DOCS
+       |          GROUP BY 1, 2 HAVING count(*) >= $OVERLAP),
+       |flag AS (SELECT DISTINCT doc_id FROM flagp)
+       |SELECT doc_id, source, n_tokens, h % 100 AS bucket,
+       |       CASE WHEN h % 100 = 0 THEN 'valid'
+       |            WHEN h % 100 = 1 THEN 'test'
+       |            ELSE 'train' END AS split
+       |FROM dd WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM flag)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
     Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
@@ -371,5 +446,6 @@ object Pipeline {
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)),
     Q("pk2_pack_manifest", pk2PackManifest, Some(pk2Oracle)),
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
-    Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)))
+    Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)),
+    Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)))
 }

@@ -260,6 +260,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("cur1: one hash shuffle, flags broadcast-anti-joined, no window/sort of the corpus") {
+    val p = plan(graft.ops.Pipeline.cur1CurationE2e(spark, sf))
+    // dedup survivors ride min(struct) through the one hash aggregate
+    // (no join-back); dc1's flag set and its bench side broadcast; the
+    // corpus is never sort-merge-joined, windowed, or globally sorted
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ir1: corpus stats broadcast; top-K is TakeOrdered, never a global sort") {
     val p = plan(graft.ops.TextOps.ir1Bm25(spark, sf))
     // the 1-row (N, Σdl, df…) stats reach the per-document score map as
