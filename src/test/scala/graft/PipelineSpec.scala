@@ -72,6 +72,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits > 0, "denylist should fire on this corpus")
   }
 
+  test("cur1: no bench doc, no duplicate content, no flagged doc survives curation") {
+    val out = Pipeline.cur1CurationE2e(spark, sf).cache()
+    try {
+      assert(out.count() > 0, "curation must keep something at sf0.001")
+      // the bench stand-in set (doc_id < 50, dc1's BENCH_DOCS) is input
+      // to decontamination, never output training data
+      assert(out.filter(col("doc_id") < 50).count() == 0)
+      // exact-dedup keep-list: no two survivors share identical text
+      val dupes = out.join(Tables.documents(spark, sf), "doc_id")
+        .groupBy(col("text")).count().filter(col("count") > 1)
+      assert(dupes.count() == 0, "two curated docs share identical content")
+      // decontamination: no survivor is dc1-flagged
+      val flagged = Pipeline.dc1Decontaminate(spark, sf)
+        .select(col("doc_id")).distinct()
+      assert(out.join(flagged, "doc_id").count() == 0,
+        "a dc1-flagged doc survived curation")
+    } finally out.unpersist()
+  }
+
   test("dd6: boilerplate chunks are removed everywhere or nowhere") {
     // a chunk is either below the df threshold (kept in every doc) or
     // boilerplate (cut from every doc) — per-document totals must be
