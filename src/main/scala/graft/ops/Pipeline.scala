@@ -362,6 +362,57 @@ object Pipeline {
        |       substr(regexp_replace(text, '\\b(customer|supplier|order)\\b', '[REDACTED]', 'g'), 1, 64) AS clean_prefix
        |FROM documents""".stripMargin
 
+  private val SRC_MIN_E6 = 400000L // sources averaging below 0.4 are dropped wholesale
+
+  /** SRC1 — source-level quality prior (domain filtering, the
+    * C4-family move): aggregate per-document quality to its source,
+    * then gate each document on BOTH the source prior (a source whose
+    * average quality is below SRC_MIN drops wholesale — the "bad
+    * domain" rule) and its own score relative to the source average
+    * (q·2 ≥ avg, an integer-only compare so no division enters the
+    * decision). Quality is ta2's score kept as an e6-scaled BIGINT so
+    * the per-source mean is exact integer-sum arithmetic in both
+    * engines.
+    *
+    * Shape: one narrow quality map, one source-keyed aggregate
+    * (source cardinality ≪ corpus — the prior table is a model-sized
+    * artifact), priors BROADCAST back onto a narrow decision map. The
+    * corpus shuffles only to build the per-source sums (map-side
+    * partial aggregation makes that shuffle source-cardinality-sized
+    * per task). */
+  def src1SourcePrior(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir)
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(words, w => w.isin("the", "and", "of", "to", "in"))).cast("long"))
+      .select(col("doc_id"), col("source"),
+        floor(least(col("n_words"), lit(100L)) * (col("n_words") - col("stop_hits"))
+          * lit(1000000L) / (lit(100L) * col("n_words"))).as("q_e6"))
+    val pri = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"),
+        floor(sum(col("q_e6")) / count(lit(1))).as("src_avg_q_e6"))
+    q.join(broadcast(pri), "source")
+      .select(col("doc_id"), col("source"), col("q_e6"),
+        col("n_src_docs"), col("src_avg_q_e6"),
+        (col("src_avg_q_e6") >= SRC_MIN_E6 &&
+          col("q_e6") * 2 >= col("src_avg_q_e6")).as("keep"))
+  }
+
+  private val src1Oracle =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |q0 AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','in'], x))) AS BIGINT) AS stop_hits
+       |       FROM t),
+       |q AS (SELECT doc_id, source,
+       |        CAST(floor(least(n_words, 100) * (n_words - stop_hits) * 1000000
+       |                   / (100 * n_words)) AS BIGINT) AS q_e6 FROM q0),
+       |pri AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src_docs,
+       |          CAST(floor(CAST(sum(q_e6) AS BIGINT) / count(*)) AS BIGINT) AS src_avg_q_e6
+       |        FROM q GROUP BY source)
+       |SELECT doc_id, q.source AS source, q_e6, n_src_docs, src_avg_q_e6,
+       |       (src_avg_q_e6 >= $SRC_MIN_E6 AND q_e6 * 2 >= src_avg_q_e6) AS keep
+       |FROM q JOIN pri ON q.source = pri.source""".stripMargin
+
   private val CUR_MIN_TOKENS = 30L
 
   /** CUR1 — the curation pipeline END TO END, the way cc2 is the dedup
@@ -447,5 +498,6 @@ object Pipeline {
     Q("pk2_pack_manifest", pk2PackManifest, Some(pk2Oracle)),
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
     Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)),
-    Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)))
+    Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)),
+    Q("src1_source_prior", src1SourcePrior, Some(src1Oracle)))
 }

@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("src1: the source-prior table broadcasts back; no sort-merge of the corpus") {
+    val p = plan(graft.ops.Pipeline.src1SourcePrior(spark, sf))
+    // the per-source prior is a model-sized artifact: it must come back
+    // to the per-document decision map as a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("cur1: one hash shuffle, flags broadcast-anti-joined, no window/sort of the corpus") {
     val p = plan(graft.ops.Pipeline.cur1CurationE2e(spark, sf))
     // dedup survivors ride min(struct) through the one hash aggregate
