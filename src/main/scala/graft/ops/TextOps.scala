@@ -482,6 +482,60 @@ object TextOps {
        |ORDER BY score_e6 DESC, doc_id LIMIT $IR_TOPK""".stripMargin
   }
 
+  /** LM1 — bigram-coherence scoring: the perplexity-style quality
+    * filter (KenLM-family) scored without log() so it stays
+    * engine-neutral — each adjacent pair contributes the e6-scaled
+    * conditional probability floor(c(w1,w2)·1e6 / c(w1)) (exact
+    * integers, the ta2 division pattern), and the document score is the
+    * floor-mean over its pairs. Junk text — rare transitions — scores
+    * low; the corpus's own statistics are the model, as with a real
+    * LM-based filter.
+    *
+    * Shape: the bigram and unigram count tables are VOCABULARY-sized
+    * (model artifacts, not corpus-sized), collapse to ONE map-typed row
+    * each, and broadcast onto a narrow per-document scoring map (a
+    * zip_with over the word array — no explode of the corpus, no
+    * join against it, no shuffle of it). */
+  def lm1BigramCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).withColumn("w", words)
+    val pairs = t.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pk"))
+    val pmap = pairs.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("c")))).as("pm"))
+    val umap = t.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("wd"), col("c")))).as("um"))
+    t.filter(size(col("w")) >= 2)
+      .crossJoin(broadcast(pmap)).crossJoin(broadcast(umap))
+      .withColumn("ps", zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => floor(element_at(col("pm"), concat(a, lit(" "), b))
+          * lit(1000000L) / element_at(col("um"), a))))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_pairs"),
+        floor(aggregate(col("ps"), lit(0L), (acc, x) => acc + x)
+          / size(col("ps"))).as("lm_score_e6"))
+  }
+
+  private val lm1Oracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> {'l': w[CAST(i AS INT)], 'r': w[CAST(i+1 AS INT)]})) AS u
+      |       FROM t WHERE len(w) >= 2),
+      |pc AS (SELECT u.l AS l, u.r AS r, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT unnest(w) AS wd FROM t),
+      |uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY wd),
+      |sc AS (SELECT doc_id, CAST(floor(cp * 1000000 / cu) AS BIGINT) AS s
+      |       FROM bg JOIN pc ON bg.u.l = pc.l AND bg.u.r = pc.r
+      |               JOIN uc ON bg.u.l = uc.wd)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(floor(CAST(sum(s) AS BIGINT) / count(*)) AS BIGINT) AS lm_score_e6
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ta1_langid", ta1LangId, Some(ta1Oracle)),
     Q("ta2_quality", ta2Quality, Some(ta2Oracle)),
@@ -494,5 +548,6 @@ object TextOps {
     Q("cooc1_pair_lift", cooc1PairLift, Some(cooc1Oracle)),
     Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)),
     Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)),
-    Q("ir1_bm25", ir1Bm25, Some(ir1Oracle)))
+    Q("ir1_bm25", ir1Bm25, Some(ir1Oracle)),
+    Q("lm1_bigram_coherence", lm1BigramCoherence, Some(lm1Oracle)))
 }

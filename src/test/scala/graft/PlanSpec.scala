@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("lm1: bigram/unigram count maps broadcast; the corpus is never row-joined") {
+    val p = plan(graft.ops.TextOps.lm1BigramCoherence(spark, sf))
+    // both count tables collapse to one map row each and reach the
+    // per-document scorer as broadcast nested-loops (1-row cross joins)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("src1: the source-prior table broadcasts back; no sort-merge of the corpus") {
     val p = plan(graft.ops.Pipeline.src1SourcePrior(spark, sf))
     // the per-source prior is a model-sized artifact: it must come back
