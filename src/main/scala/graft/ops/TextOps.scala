@@ -487,38 +487,36 @@ object TextOps {
     * engine-neutral — each adjacent pair contributes the e6-scaled
     * conditional probability floor(c(w1,w2)·1e6 / c(w1)) (exact
     * integers, the ta2 division pattern), and the document score is the
-    * floor-mean over its pairs. Junk text — rare transitions — scores
-    * low; the corpus's own statistics are the model, as with a real
-    * LM-based filter.
+    * floor-mean over its pairs (integer summands, so the re-aggregate
+    * is order-free). Junk text — rare transitions — scores low; the
+    * corpus's own statistics are the model, as with a real LM filter.
     *
     * Shape: the bigram and unigram count tables are VOCABULARY-sized
-    * (model artifacts, not corpus-sized), collapse to ONE map-typed row
-    * each, and broadcast onto a narrow per-document scoring map (a
-    * zip_with over the word array — no explode of the corpus, no
-    * join against it, no shuffle of it). */
+    * model artifacts and reach the corpus-sized pair stream as
+    * BROADCAST hash joins — O(1) codegen'd probes. (A first cut kept
+    * them as one map-typed row and scored via zip_with +
+    * element_at; Spark's MapData lookup is a LINEAR scan, so every
+    * pair paid O(|vocab²|) — 86 s at sf1. The join shape is 30×
+    * faster: the same lambda-vs-codegen trap class SCALE.md finding 1
+    * documents for qt1/ng1/rep1.) One doc-keyed re-aggregate (narrow
+    * 2-long rows, map-side partials) rebuilds the per-document mean. */
   def lm1BigramCoherence(spark: SparkSession, dir: String): DataFrame = {
-    val t = docs(spark, dir).withColumn("w", words)
-    val pairs = t.filter(size(col("w")) >= 2)
-      .select(explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("pk"))
-    val pmap = pairs.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      .agg(map_from_entries(collect_list(struct(col("pk"), col("c")))).as("pm"))
-    val umap = t.select(explode(col("w")).as("wd"))
-      .groupBy(col("wd")).agg(count(lit(1)).as("c"))
-      .agg(map_from_entries(collect_list(struct(col("wd"), col("c")))).as("um"))
-    t.filter(size(col("w")) >= 2)
-      .crossJoin(broadcast(pmap)).crossJoin(broadcast(umap))
-      .withColumn("ps", zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => floor(element_at(col("pm"), concat(a, lit(" "), b))
-          * lit(1000000L) / element_at(col("um"), a))))
+    val t = docs(spark, dir).withColumn("w", words).filter(size(col("w")) >= 2)
+    val pr = t.select(col("doc_id"), explode(zip_with(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val pc = pr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cp"))
+    val uc = t.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
+    pr.join(broadcast(pc), Seq("l", "r"))
+      .join(broadcast(uc), col("l") === col("wd"))
       .select(col("doc_id"),
-        size(col("ps")).cast("long").as("n_pairs"),
-        floor(aggregate(col("ps"), lit(0L), (acc, x) => acc + x)
-          / size(col("ps"))).as("lm_score_e6"))
+        floor(col("cp") * lit(1000000L) / col("cu")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("s")) / count(lit(1))).as("lm_score_e6"))
   }
 
   private val lm1Oracle =
@@ -527,7 +525,7 @@ object TextOps {
       |         i -> {'l': w[CAST(i AS INT)], 'r': w[CAST(i+1 AS INT)]})) AS u
       |       FROM t WHERE len(w) >= 2),
       |pc AS (SELECT u.l AS l, u.r AS r, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1, 2),
-      |uni AS (SELECT unnest(w) AS wd FROM t),
+      |uni AS (SELECT unnest(w) AS wd FROM t WHERE len(w) >= 2),
       |uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY wd),
       |sc AS (SELECT doc_id, CAST(floor(cp * 1000000 / cu) AS BIGINT) AS s
       |       FROM bg JOIN pc ON bg.u.l = pc.l AND bg.u.r = pc.r

@@ -260,11 +260,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
-  test("lm1: bigram/unigram count maps broadcast; the corpus is never row-joined") {
+  test("lm1: vocab-sized count tables broadcast-hash-join the pair stream") {
     val p = plan(graft.ops.TextOps.lm1BigramCoherence(spark, sf))
-    // both count tables collapse to one map row each and reach the
-    // per-document scorer as broadcast nested-loops (1-row cross joins)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // both count tables are model-sized and must probe as O(1) hash
+    // joins, never a sort-merge of the corpus-sized pair stream (and
+    // never the O(|vocab|²)-per-pair map-lookup shape — see scaladoc)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
