@@ -49,6 +49,12 @@ object Bench {
     // default run skips nothing.
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_WARM=0 disables the warm re-run (halves wall time);
+    // default ON so every artifact carries a JIT-settled column — the
+    // r3 "w3 3.2× regression" was pure cold-JIT suite-growth bleed and
+    // a warm column in the artifact makes that class of phantom visible
+    // without a separate Prof session
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
@@ -74,14 +80,34 @@ object Bench {
         }
       // failed queries report -1 and are excluded from the total, so the
       // aggregate never mixes real runtimes with time-to-failure
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val cold = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // warm pass immediately after the cold one: same plan, codegen and
+      // parquet footers already hot — the steady-state per-query cost
+      val w =
+        if (!ok || !warm) -1.0
+        else {
+          val t1 = System.nanoTime()
+          try { consume(fn(spark, sfDir)); (System.nanoTime() - t1) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+      (name, cold, w)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val warms = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
+    val warmTotal = results.filter(_._3 >= 0).map(_._3).sum
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures stdout and has truncated it mid-JSON before
+    // (BENCH_r03.json's tail) — also write the line to a file so the
+    // artifact is machine-readable end to end regardless of the pipe
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -421,12 +421,17 @@ object Dedup {
     *
     * Shape: one chunk explode → df-aggregate on an 8-byte chunk hash
     * (the shuffle carries hash + doc_id, never text; countDistinct
-    * dedups map-side) → the boilerplate set is BROADCAST back (it is
-    * the df≥3 tail of the chunk distribution — operationally tiny, the
-    * same bounded-model-state argument as dc1's benchmark side) → one
-    * groupBy(doc_id) reassembles kept chunks in position order. The
-    * reassembly shuffle carries the corpus once — irreducible for a
-    * transform that rewrites every document.
+    * dedups map-side) → the boilerplate set joins back UN-HINTED. It
+    * is the df≥3 tail of the chunk distribution — NOT bounded by
+    * construction: unlike dc1's fixed-size benchmark side it scales
+    * with corpus redundancy, and a duplication-heavy crawl (exactly
+    * what dedup targets) can push it toward the full distinct-chunk
+    * set. Un-hinted, the planner broadcasts it while it fits and AQE
+    * degrades to a shuffled hash join past the broadcast cap instead
+    * of OOMing at build time. → one groupBy(doc_id) reassembles kept
+    * chunks in position order. The reassembly shuffle carries the
+    * corpus once — irreducible for a transform that rewrites every
+    * document.
     *
     * The oracle joins raw chunk STRINGS (hash-free), so an xxhash64
     * collision merging two chunks' document-frequencies would surface
@@ -443,7 +448,7 @@ object Dedup {
       .filter(col("df") >= BOILER_DF)
       .select(col("h"))
     val flagged = ch
-      .join(broadcast(boiler), xxhash64(col("chunk")) === col("h"), "left")
+      .join(boiler, xxhash64(col("chunk")) === col("h"), "left")
       .select(col("doc_id"), col("pos"), col("chunk"), col("h").isNotNull.as("boiler"))
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -16,9 +15,17 @@ import graft.Tables
   * converges in O(log^2 n) rounds on any graph (2-3 rounds on the
   * near-clique components dedup produces), each round is two keyed
   * shuffles over the EDGE list only (never the corpus), and the driver
-  * sees one 16-byte checksum per round — model state, not data. A
-  * `Window.partitionBy(u)` min computes each node's neighborhood
-  * minimum without a self-join.
+  * sees one 16-byte checksum per round — model state, not data.
+  *
+  * Neighborhood minima are a groupBy(u).min + equi-join back, NOT a
+  * `Window.partitionBy(u)` min: a window puts a node's ENTIRE
+  * neighborhood in one task, and one viral boilerplate document with
+  * millions of near-dup edges would serialize a round behind a single
+  * straggler (AQE skew-split does not apply to Window). The groupBy
+  * computes the min with map-side partial aggregation (the hub's
+  * million edges partial-combine before the shuffle), and the join
+  * back is a plain equi-join — the operator class AQE's skew-join
+  * split DOES handle (the Kiveris paper's own implementation note).
   */
 object Graph {
 
@@ -27,11 +34,18 @@ object Graph {
     e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
 
+  /** per-node neighborhood minimum as partial-agg + join-back — the
+    * skew-safe form (see object scaladoc); `private[graft]` so
+    * GraphSpec can plan-assert the hub case on a single round */
+  private def withNbrMin(e: DataFrame): DataFrame =
+    e.join(e.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+
   /** large-star: every node links its LARGER neighbors to its
     * neighborhood minimum (cuts long chains in half each round) */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val nb = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    nb.withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+    withNbrMin(nb)
+      .withColumn("m", least(col("m"), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -39,9 +53,8 @@ object Graph {
 
   /** small-star: every node links its smaller neighbors (and itself) to
     * its smallest neighbor (flattens local trees into stars) */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val o = canon(e)
-    val withM = o.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val withM = withNbrMin(canon(e))
     withM.select(col("v").as("u"), col("m").as("v"))
       .union(withM.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v")).distinct()

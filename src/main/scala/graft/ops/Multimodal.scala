@@ -290,6 +290,10 @@ object Multimodal {
           bb.position(fmtEnd)
         case "data" =>
           data = new Array[Byte](size); bb.get(data)
+          // odd-size data chunks carry the same one-byte alignment pad
+          // as any other chunk — without the skip the walk misaligns
+          // for files where fmt FOLLOWS data
+          if ((size & 1) == 1 && bb.remaining() > 0) bb.get()
         case _ =>
           bb.position(bb.position() + size + (size & 1)) // word-aligned skip
       }
@@ -298,32 +302,57 @@ object Multimodal {
     (rate, channels, bits, data)
   }
 
+  /** Sample statistics honoring the DECLARED layout (bits × channels),
+    * not an assumed 8-bit mono: 8-bit PCM is unsigned, 16-bit PCM is
+    * signed little-endian; other widths fail loudly like the codec
+    * check. Returns (framesPerChannel, durationMs, peakToPeak,
+    * meanAmp) — amplitude stats run over every sample value across
+    * channels; duration is frames/rate. For the synthetic 8-bit-mono
+    * corpus this is byte-for-byte the old arithmetic, so the oracle is
+    * unchanged. `private[graft]` so the spec can feed it 16-bit-stereo
+    * layouts mm6's corpus never produces. */
+  private[graft] def wavStats(rate: Int, channels: Int, bits: Int,
+      raw: Array[Byte]): (Long, Double, Int, Double) = {
+    require(bits == 8 || bits == 16, s"unsupported bits/sample: $bits")
+    require(channels >= 1, s"invalid channel count: $channels")
+    val bytesPer = bits / 8
+    require(raw.length % (bytesPer * channels) == 0,
+      s"data chunk ${raw.length} B is not whole ${channels}ch ${bits}-bit frames")
+    val nFrames = raw.length / (bytesPer * channels)
+    var sum = 0L; var lo = Int.MaxValue; var hi = Int.MinValue
+    var i = 0
+    while (i < raw.length) {
+      val v =
+        if (bits == 8) raw(i) & 0xFF
+        else (raw(i) & 0xFF) | (raw(i + 1).toInt << 8) // signed 16-bit LE
+      sum += v; if (v < lo) lo = v; if (v > hi) hi = v
+      i += bytesPer
+    }
+    val nVals = raw.length / bytesPer // sample values across channels
+    // duration in exact milliseconds (frames·1000/rate); double
+    // division on both engines, same IEEE quotient (mm5 note)
+    (nFrames.toLong,
+      math.floor(nFrames * 1000000L.toDouble / rate) / 1e3,
+      hi - lo,
+      math.floor((sum * 1000000L).toDouble / nVals) / 1e6)
+  }
+
   /** MM6 — REAL audio decode: encode each document as an 8-bit PCM WAV
     * (the synthetic stand-in), run the real RIFF parser per partition,
     * and emit format fields + exact sample statistics (duration,
-    * peak-to-peak amplitude, integer-scaled mean). As with mm5, the
-    * samples are the document's own bytes, so the encode→parse→stats
-    * composite is DuckDB-replayable and the decoder output is
-    * hash-checked end to end. */
+    * peak-to-peak amplitude, integer-scaled mean) via [[wavStats]],
+    * which honors the parsed bits/channels rather than assuming the
+    * synthetic layout. As with mm5, the samples are the document's own
+    * bytes, so the encode→parse→stats composite is DuckDB-replayable
+    * and the decoder output is hash-checked end to end. */
   def mm6WavDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withBinary(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val (rate, channels, bits, s) = decodeWav(encodeWav(payload))
-        var sum = 0L; var lo = 255; var hi = 0
-        var i = 0
-        while (i < s.length) {
-          val v = s(i) & 0xFF
-          sum += v; if (v < lo) lo = v; if (v > hi) hi = v
-          i += 1
-        }
-        // duration in exact milliseconds (samples·1000/rate); double
-        // division on both engines, same IEEE quotient (mm5 note)
-        (id, rate, channels, bits, s.length.toLong,
-          math.floor(s.length * 1000000L.toDouble / rate) / 1e3,
-          hi - lo,
-          math.floor((sum * 1000000L).toDouble / s.length) / 1e6)
+        val (n, durMs, p2p, mean) = wavStats(rate, channels, bits, s)
+        (id, rate, channels, bits, n, durMs, p2p, mean)
       })
       .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
         "duration_ms", "peak_to_peak", "mean_amp")

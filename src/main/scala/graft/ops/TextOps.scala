@@ -287,8 +287,11 @@ object TextOps {
     * so `floor(·1e6)` hash-matches without any log()).
     *
     * Shape: one pair aggregate (the only corpus-sized shuffle), then
-    * the vocabulary-sized unigram counts join back BROADCAST ×2, and
-    * the top-K is TakeOrdered — never a global sort. */
+    * the vocabulary-sized unigram counts join back UN-HINTED ×2 (the
+    * planner broadcasts them while they fit, and a web-scale
+    * vocabulary past the broadcast cap degrades to a shuffled hash
+    * join instead of an OOM); the 1-row total stays a hinted
+    * broadcast, and the top-K is TakeOrdered — never a global sort. */
   def cooc1PairLift(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir).withColumn("w", words)
     val uni = t.select(explode(col("w")).as("wd"))
@@ -301,8 +304,8 @@ object TextOps {
           greatest(element_at(col("w"), i), element_at(col("w"), i + 1)).as("y")))).as("u"))
     val pc = bg.select(col("u.x").as("x"), col("u.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-    pc.join(broadcast(ucnt.select(col("wd").as("x"), col("c").as("cx"))), "x")
-      .join(broadcast(ucnt.select(col("wd").as("y"), col("c").as("cy"))), "y")
+    pc.join(ucnt.select(col("wd").as("x"), col("c").as("cx")), "x")
+      .join(ucnt.select(col("wd").as("y"), col("c").as("cy")), "y")
       .crossJoin(broadcast(n))
       .filter(col("cxy") >= COOC_MIN_SUPPORT)
       // cxy·nt < 2^53 and the ÷cx ÷cy ·1e6 chain is evaluated in the
@@ -364,6 +367,11 @@ object TextOps {
        |         AS postings_head
        |FROM tok GROUP BY word""".stripMargin
 
+  /** words with cnt ≤ TOK_TAIL sub-bucket by first codepoint: the Zipf
+    * tail (cnt=1,2,…) holds most of a web-scale vocabulary, so one
+    * bucket per cnt value would put half the vocab in one task */
+  private val TOK_TAIL = 8L
+
   /** TOK1 — vocabulary-id encoding: THE tokenize step between curation
     * and packing — build a frequency-ranked vocabulary, then rewrite
     * every document as its id sequence. Ids are dense ranks by
@@ -372,22 +380,48 @@ object TextOps {
     * fold of the FULL sequence, so the whole encoding is compared, not
     * a prefix).
     *
-    * Shape: the ranking window runs over the VOCABULARY table (output-
-    * sized — a model artifact built once), never the corpus; the
-    * word→id map collapses to ONE map-typed row that BROADCASTS onto a
-    * narrow per-document transform. The corpus is never shuffled and
-    * never row-joined against the vocabulary. */
+    * Shape (the shf1 two-phase recipe — a naive
+    * `row_number().over(Window.orderBy(…))` funnels the whole
+    * vocabulary through ONE reducer, and packing the word→id map into
+    * one map-typed broadcast row dies at web-scale vocab: 2 GB
+    * single-row limit, then the 8 GB broadcast cap):
+    *  1. deterministic buckets over the sort key — one bucket per cnt
+    *     for the small high-frequency groups, (cnt, first codepoint)
+    *     for the massive low-frequency tail (UTF-8 binary string order
+    *     is codepoint order, so bucket order extends word order);
+    *     per-bucket COUNTS collect to the driver (bucket-count rows of
+    *     model state, not the vocabulary) and prefix-sum into offsets;
+    *  2. a WITHIN-bucket window ranks in parallel; rank + offset is
+    *     exactly the global row_number.
+    * Encoding is then an ordinary (token → id) equi-join — UN-HINTED,
+    * so the planner broadcasts a small vocabulary and shuffles a
+    * web-scale one — and a per-document groupBy reassembles the
+    * sequence (array_sort on (pos, id) restores document order; the
+    * collected row is document-sized, the same bound as the output). */
   def tok1VocabEncode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val t = docs(spark, dir).withColumn("w", words)
-    val vocab = t.select(explode(col("w")).as("wd"))
+    val vc = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("wd"))).cast("long"))
-    val vmap = vocab
-      .agg(map_from_entries(collect_list(struct(col("wd"), col("id")))).as("vmap"))
-    t.crossJoin(broadcast(vmap))
-      .withColumn("ids", transform(col("w"), x => element_at(col("vmap"), x)))
+      .withColumn("sub",
+        when(col("cnt") <= TOK_TAIL, ascii(col("wd"))).otherwise(lit(-1)))
+    var acc = 0L
+    val offRows = vc.groupBy(col("cnt"), col("sub")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (c, s, _) => (-c, s) }
+      .map { case (c, s, n) => val o = acc; acc += n; (c, s, o) }
+    val offs = offRows.toSeq.toDF("cnt", "sub", "off")
+    val vocab = vc.join(broadcast(offs), Seq("cnt", "sub"))
+      .withColumn("id", row_number().over(
+        Window.partitionBy(col("cnt"), col("sub")).orderBy(col("wd"))).cast("long")
+        + col("off"))
+      .select(col("wd"), col("id"))
+    t.select(col("doc_id"), posexplode(col("w"))).withColumnRenamed("col", "wd")
+      .join(vocab, "wd")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("ps"))
+      .withColumn("ids", transform(col("ps"), x => x.getField("id")))
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_tokens"),
         array_join(slice(col("ids"), 1, 16), ",").as("ids_head"),
@@ -492,14 +526,18 @@ object TextOps {
     * corpus's own statistics are the model, as with a real LM filter.
     *
     * Shape: the bigram and unigram count tables are VOCABULARY-sized
-    * model artifacts and reach the corpus-sized pair stream as
-    * BROADCAST hash joins — O(1) codegen'd probes. (A first cut kept
-    * them as one map-typed row and scored via zip_with +
-    * element_at; Spark's MapData lookup is a LINEAR scan, so every
-    * pair paid O(|vocab²|) — 86 s at sf1. The join shape is 30×
-    * faster: the same lambda-vs-codegen trap class SCALE.md finding 1
-    * documents for qt1/ng1/rep1.) One doc-keyed re-aggregate (narrow
-    * 2-long rows, map-side partials) rebuilds the per-document mean. */
+    * model artifacts joined onto the corpus-sized pair stream as plain
+    * UN-HINTED equi-joins: at test SF the planner broadcasts them
+    * (O(1) codegen'd probes), and on a 100-TB corpus — where the
+    * bigram vocabulary is billions of entries, past the 8 GB broadcast
+    * hard cap — AQE falls back to a shuffled hash join instead of
+    * dying at broadcast-build time. (A first cut kept the tables as
+    * one map-typed row and scored via zip_with + element_at; Spark's
+    * MapData lookup is a LINEAR scan, so every pair paid O(|vocab²|) —
+    * 86 s at sf1. The join shape is 30× faster: the same
+    * lambda-vs-codegen trap class SCALE.md finding 1 documents for
+    * qt1/ng1/rep1.) One doc-keyed re-aggregate (narrow 2-long rows,
+    * map-side partials) rebuilds the per-document mean. */
   def lm1BigramCoherence(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir).withColumn("w", words).filter(size(col("w")) >= 2)
     val pr = t.select(col("doc_id"), explode(zip_with(
@@ -510,8 +548,8 @@ object TextOps {
     val pc = pr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cp"))
     val uc = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
-    pr.join(broadcast(pc), Seq("l", "r"))
-      .join(broadcast(uc), col("l") === col("wd"))
+    pr.join(pc, Seq("l", "r"))
+      .join(uc, col("l") === col("wd"))
       .select(col("doc_id"),
         floor(col("cp") * lit(1000000L) / col("cu")).as("s"))
       .groupBy(col("doc_id"))

@@ -29,8 +29,13 @@ import graft.functions.RkLsh
   * State is per-bucket and grows with the corpus by design (an index
   * IS its members); production bounds it the same way batch LSH
   * shards postings — band-key partitioning spreads it across
-  * executors, and a TTL (`GroupStateTimeout.ProcessingTimeTimeout`)
-  * ages out cold buckets when the dedup horizon is finite.
+  * executors, and the WIRED TTL (`ttlMs` →
+  * `GroupStateTimeout.ProcessingTimeTimeout`, re-armed on every
+  * arrival) ages out cold buckets when the dedup horizon is finite: a
+  * bucket untouched for `ttlMs` is removed on the next trigger and
+  * rebuilds from scratch on its next arrival (StreamingDedupSpec
+  * proves drop + clean re-create). `ttlMs = 0` (the default) keeps
+  * the index unbounded for exact batch-dd2 equivalence.
   */
 object DedupStream {
 
@@ -86,28 +91,48 @@ object DedupStream {
   }
 
   /** the incremental index: near-dup pairs (da < db, est ≥ 0.5),
-    * at-least-once per pair across bands (see scaladoc). */
-  def nearDupPairs(docs: DataFrame): Dataset[DupPair] = {
+    * at-least-once per pair across bands (see scaladoc). `ttlMs > 0`
+    * bounds state: each arrival re-arms its bucket's processing-time
+    * timeout, and a bucket cold for `ttlMs` is evicted wholesale. */
+  def nearDupPairs(docs: DataFrame, ttlMs: Long = 0L): Dataset[DupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // register the timeout machinery ONLY when a TTL is requested:
+    // with ProcessingTimeTimeout the engine treats every batch as
+    // "timeouts may fire" (shouldRunAnotherBatch == true) and an
+    // untriggered query busy-loops empty micro-batches — a TTL'd
+    // deployment pairs with a real trigger interval (see the spec)
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded(docs)
       .groupByKey(b => (b.band, b.bkey))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[Banded], state: GroupState[Seq[Member]]) => {
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = ArrayBuffer.empty[DupPair]
-          rows.foreach { r =>
-            if (!members.exists(_.id == r.docId)) {
-              members.foreach { m =>
-                val e = est(m.sig, r.sig)
-                if (e >= 0.5)
-                  out += DupPair(math.min(m.id, r.docId), math.max(m.id, r.docId), e)
+          if (state.hasTimedOut) {
+            // cold bucket past the dedup horizon: drop its members —
+            // the next arrival re-creates the bucket from scratch
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = ArrayBuffer.empty[DupPair]
+            rows.foreach { r =>
+              if (!members.exists(_.id == r.docId)) {
+                members.foreach { m =>
+                  val e = est(m.sig, r.sig)
+                  if (e >= 0.5)
+                    out += DupPair(math.min(m.id, r.docId), math.max(m.id, r.docId), e)
+                }
+                members = members :+ Member(r.docId, r.sig)
               }
-              members = members :+ Member(r.docId, r.sig)
             }
+            state.update(members)
+            // ProcessingTimeTimeout is per-key and must be re-armed on
+            // every invocation; with no TTL the key simply never fires
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(members)
-          out.iterator
         })
   }
 }

@@ -37,6 +37,28 @@ class GraphSpec extends AnyFunSuite {
     assert(reps(Seq((4L, 4L))).isEmpty)
   }
 
+  test("hub graph: neighborhood minima avoid per-node Windows (skew-splittable shape)") {
+    // one viral near-dup hub — node 0 joined to 1..N — is the
+    // degree-skew adversary: a Window.partitionBy(u) min would put the
+    // hub's ENTIRE neighborhood in one task, and AQE skew-split does
+    // not apply to Window. The groupBy+join form partial-aggregates the
+    // min map-side and leaves only equi-joins, the operator class AQE
+    // CAN split.
+    val n = 100000L
+    val hub = spark.range(1, n + 1).selectExpr("id AS u", "CAST(0 AS LONG) AS v")
+    for (step <- Seq(Graph.largeStar _, Graph.smallStar _)) {
+      val out = step(hub)
+      out.collect() // finalize AQE so the executed plan is real
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), "per-node Window min survived:\n" + p)
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        "neighborhood min must partial-aggregate before the shuffle:\n" + p)
+    }
+    // and the full closure still resolves the hub correctly
+    val m = reps((1L to 1000L).map(i => (i, 0L)))
+    assert((1L to 1000L).forall(m.get(_).contains(0L)))
+  }
+
   test("cc2 (LSH pairs) assignment is a closure of the dd2 pair set") {
     val asg = Graph.cc2DedupClustersLsh(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

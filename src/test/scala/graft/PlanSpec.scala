@@ -241,14 +241,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("dd6: boilerplate set joins broadcast; df-shuffle carries hashes, not text") {
+  test("dd6: boilerplate set broadcasts at test SF (planner's choice); df-shuffle carries hashes") {
     val p = plan(Dedup.dd6ChunkDedup(spark, sf))
+    // un-hinted since round 4 (the set is NOT bounded by construction —
+    // see scaladoc); at this SF the planner still picks broadcast
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("xxhash64"), p)
   }
 
-  test("cooc1: unigram sides broadcast; top-k is TakeOrdered, not a global sort") {
+  test("cooc1: unigram sides hash-join broadcast at test SF; top-k is TakeOrdered") {
     val p = plan(graft.ops.TextOps.cooc1PairLift(spark, sf))
+    // un-hinted since round 4: the planner broadcasts the vocab-sized
+    // sides while they fit (the broadcast-cap test pins the fallback)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), "global sort:\n" + p)
@@ -260,13 +264,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
-  test("lm1: vocab-sized count tables broadcast-hash-join the pair stream") {
+  test("lm1: count tables probe as hash joins at test SF (planner's choice, un-hinted)") {
     val p = plan(graft.ops.TextOps.lm1BigramCoherence(spark, sf))
-    // both count tables are model-sized and must probe as O(1) hash
-    // joins, never a sort-merge of the corpus-sized pair stream (and
+    // at this SF the PLANNER (not a hint — see the broadcast-cap test
+    // below) broadcasts the model-sized count tables: O(1) codegen'd
+    // probes, never a sort-merge of the corpus-sized pair stream (and
     // never the O(|vocab|²)-per-pair map-lookup shape — see scaladoc)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("lm1/cooc1/dd6: model tables are un-hinted — a model past the broadcast cap " +
+      "degrades to a shuffle join instead of an OOM-by-construction") {
+    import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
+    // simulate "corpus-derived model table exceeds
+    // autoBroadcastJoinThreshold" (a 100-TB bigram vocabulary blows the
+    // 8 GB broadcast hard cap): with broadcast disabled entirely, a
+    // broadcast() HINT would still force the doomed build — these
+    // queries must replan to a shuffle join AND return identical rows
+    def sig(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(struct(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)).as("h"))
+        .agg(bit_xor(org.apache.spark.sql.functions.col("h"))).head().getLong(0)
+    val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(("lm1", graft.ops.TextOps.lm1BigramCoherence _),
+        ("cooc1", graft.ops.TextOps.cooc1PairLift _),
+        ("dd6", Dedup.dd6ChunkDedup _))
+    val hinted = fns.map { case (n, fn) => n -> sig(fn(spark, sf)) }.toMap
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try fns.foreach { case (n, fn) =>
+      val df = fn(spark, sf)
+      assert(sig(df) == hinted(n), s"$n rows changed under shuffle-join plan")
+      val p = plan(df)
+      // the model-table equi-joins must have replanned away from
+      // broadcast; cooc1's 1-row totals crossJoin (BroadcastNestedLoop)
+      // is genuinely bounded and exempt
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$n still broadcast-builds with the cap exceeded:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("src1: the source-prior table broadcasts back; no sort-merge of the corpus") {
@@ -304,13 +344,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("tok1: vocab map broadcasts; the corpus is never row-joined against it") {
+  test("tok1: vocab rank is two-phase distributed; encode is an ordinary equi-join") {
     val p = plan(graft.ops.TextOps.tok1VocabEncode(spark, sf))
-    // the word->id map is ONE row cross-joined broadcast; the only
-    // SinglePartition exchange is the vocabulary ranking window
-    // (output-sized model artifact), never the corpus
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // the round-3 shape funneled the vocabulary through ONE reducer
+    // (global Window.orderBy) and packed the word→id map into ONE
+    // map-typed broadcast row (2 GB row limit, then the broadcast
+    // cap); the shf1 two-phase rank windows WITHIN (cnt, sub) buckets
+    // and encodes via a plain equi-join instead
+    assert(!p.contains("Exchange SinglePartition"),
+      "single-reducer vocabulary rank survived:\n" + p)
+    assert(!p.contains("map_from_entries"), "one-row vocab map survived:\n" + p)
+    assert(p.contains("Window"), p) // the within-bucket rank
   }
 
   test("AQE splits a skewed join partition at runtime (SCALE.md's skew claim)") {

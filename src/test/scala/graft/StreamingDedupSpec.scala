@@ -98,6 +98,63 @@ class StreamingDedupSpec extends AnyFunSuite {
       "for this test to prove state recovery")
   }
 
+  test("TTL evicts a cold bucket past the horizon; the bucket re-creates cleanly") {
+    // ttlMs bounds index state on an unbounded stream: a bucket that
+    // sees no arrivals for the TTL is dropped wholesale — near-dups
+    // that STRADDLE the horizon are (by design) no longer reported,
+    // and the bucket rebuilds from scratch on its next arrival.
+    //
+    // ProcessingTimeTimeout makes the engine re-run batches to fire
+    // timers (shouldRunAnotherBatch), so a TTL'd query needs a REAL
+    // trigger interval (an untriggered one busy-loops empty batches
+    // and processAllAvailable never settles) — hence trigger + polling
+    // here instead of processAllAvailable.
+    val ttlMs = 8000L
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textX = "completely unrelated words about spark shuffles and parquet row groups"
+    val input = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING), spark)
+    val stream = DedupStream.nearDupPairs(
+      input.toDF().withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"),
+      ttlMs = ttlMs)
+    val q = stream.writeStream.format("memory").queryName("dedup_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode("append").start()
+    def pollUntil(what: String, deadlineMs: Long = 60000L)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    def rowsIn: Long = q.recentProgress.map(_.numInputRows).sum
+    try {
+      input.addData(Seq(1L -> textA)) // doc 1 populates its band buckets
+      pollUntil("doc 1 ingested")(rowsIn >= 1)
+      Thread.sleep(ttlMs + 2000) // doc 1's buckets go cold past the TTL
+      // the continuously-running trigger has fired the timeout sweep by
+      // now; an unrelated doc keeps the stream demonstrably live
+      input.addData(Seq(50L -> textX))
+      pollUntil("doc 50 ingested")(rowsIn >= 2)
+      // doc 2 = same text as doc 1: if the bucket had survived, this
+      // would emit (1,2); an evicted bucket re-creates with doc 2 alone
+      input.addData(Seq(2L -> textA))
+      pollUntil("doc 2 ingested")(rowsIn >= 3)
+      // doc 3 arrives INSIDE doc 2's TTL: the re-created bucket works
+      input.addData(Seq(3L -> textA))
+      pollUntil("pair (2,3) emitted") {
+        spark.table("dedup_ttl").filter("da = 2 AND db = 3").count() > 0
+      }
+      val pairs = spark.table("dedup_ttl").select("da", "db").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+        s"evicted doc 1 still pairing: $pairs")
+      assert(pairs == Set(2L -> 3L),
+        s"re-created bucket must pair docs 2 and 3: $pairs")
+    } finally q.stop()
+  }
+
   test("re-arrival of a known doc_id emits nothing new (idempotent index)") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id").cast("long"), col("text").cast("string"))

@@ -7,6 +7,19 @@ rows by value, and compares. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
     python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+
+sf1 mode (the scale-frontier pass COVERAGE.md documents — catches
+overflow/layout bugs the small SFs can't see, e.g. the q1 DECIMAL(38)
+widening): generate sf1 with graft.ScaleGen, dump everything except
+the declared-quadratic oracle twins, then compare only what was dumped:
+
+    sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10"
+    SPARK_GRAFT_CPUS=32 sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1 <scale-path queries...>"
+    python3 tools/oracle_check.py /tmp/sf1 /tmp/verify_sf1 --only-present
+
+--only-present skips oracle entries with no Spark dump (reported as
+`skip`, not FAIL) so a subset Verify run can gate green; the default
+strict mode still fails on missing outputs.
 """
 import json
 import math
@@ -15,6 +28,7 @@ import sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+QUADRATIC = {"cc1_dedup_clusters", "dd4_ngram_jaccard", "dd5_embedding_cosine"}
 
 
 def norm(v):
@@ -27,13 +41,19 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_present=False):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if only_present:
+            import glob
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+                print(f"skip {name}: no spark dump (subset run)")
+                n_skip += 1
+                continue
         try:
             rel = con.sql(sql)
             want = rel.fetchall()
@@ -72,9 +92,11 @@ def main(sf_dir, out_dir):
             for r in only_g:
                 print(f"     spark-only:  {r}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    print(f"\n{n_ok} ok, {n_bad} failed" + (f", {n_skip} skipped" if n_skip else ""))
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sys.exit(main(args[0], args[1], only_present="--only-present" in flags))
