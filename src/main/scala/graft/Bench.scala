@@ -49,55 +49,54 @@ object Bench {
     // default run skips nothing.
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    // SPARK_GRAFT_WARM=0 disables the warm re-run (halves wall time);
+    // SPARK_GRAFT_WARM=0 disables the warm pass (halves wall time);
     // default ON so every artifact carries a JIT-settled column — the
     // r3 "w3 3.2× regression" was pure cold-JIT suite-growth bleed and
     // a warm column in the artifact makes that class of phantom visible
-    // without a separate Prof session
+    // without a separate Prof session. The warm pass runs as a SECOND
+    // full sweep AFTER every cold measurement: interleaving (cold,
+    // warm, cold, …) was measured to pollute the NEXT query's cold
+    // time with the warm run's GC/code-cache churn (f-series queries
+    // read 3-4× their true cold cost), and it would break
+    // comparability with the cold-only r1-r3 artifacts.
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val active = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
-      .map { case (name, fn) =>
-      // settle between queries (NOT counted in the query's time): a
-      // large join's garbage + deoptimization churn otherwise bleeds
-      // into the NEXT query's measurement — at sf1 a post-dd3
-      // p2_filter_nonzero measured 280 s cold vs 6 s after a GC+settle,
-      // a 40x phantom. Standard harness hygiene (JMH does the same
-      // between iterations).
-      System.gc()
-      Thread.sleep(200)
-      val t0 = System.nanoTime()
-      val ok =
-        try { consume(fn(spark, sfDir)); true }
-        catch {
-          case e: Throwable =>
-            // record the failure loudly — a swallowed exception would read
-            // as a near-zero (i.e. improved) time in the bench line
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
-        }
-      // failed queries report -1 and are excluded from the total, so the
-      // aggregate never mixes real runtimes with time-to-failure
-      val cold = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // warm pass immediately after the cold one: same plan, codegen and
-      // parquet footers already hot — the steady-state per-query cost
-      val w =
-        if (!ok || !warm) -1.0
-        else {
-          val t1 = System.nanoTime()
-          try { consume(fn(spark, sfDir)); (System.nanoTime() - t1) / 1e9 }
-          catch { case _: Throwable => -1.0 }
-        }
-      (name, cold, w)
-    }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def sweep(record: (String, Boolean) => Unit): Seq[(String, Double)] =
+      active.map { case (name, fn) =>
+        // settle between queries (NOT counted in the query's time): a
+        // large join's garbage + deoptimization churn otherwise bleeds
+        // into the NEXT query's measurement — at sf1 a post-dd3
+        // p2_filter_nonzero measured 280 s cold vs 6 s after a
+        // GC+settle, a 40x phantom. Standard harness hygiene (JMH does
+        // the same between iterations).
+        System.gc()
+        Thread.sleep(200)
+        val t0 = System.nanoTime()
+        val ok =
+          try { consume(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              // record the failure loudly — a swallowed exception would
+              // read as a near-zero (improved) time in the bench line
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        record(name, ok)
+        // failed queries report -1 and are excluded from the total, so
+        // the aggregate never mixes real runtimes with time-to-failure
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val results = sweep((name, ok) => if (!ok) failed ::= name)
+    val warmResults =
+      if (warm) sweep((_, _) => ()) else active.map { case (n, _) => (n, -1.0) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val warms = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
+    val warms = warmResults.map { case (k, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    val warmTotal = results.filter(_._3 >= 0).map(_._3).sum
+    val warmTotal = warmResults.filter(_._2 >= 0).map(_._2).sum
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""

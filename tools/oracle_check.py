@@ -42,9 +42,24 @@ def norm(v):
 
 
 def main(sf_dir, out_dir, only_present=False):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver SFs are single files; ScaleGen output is a directory of
+        # part files (Spark layout) — glob it for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        sel = f"SELECT * FROM '{path}'"
+        if t == "events":
+            # ScaleGen output stores ts as raw int64 nanos (no parquet
+            # TIMESTAMP(NANOS) annotation), the same thing Tables.events
+            # self-configures on the Spark side — convert here
+            (ts_type,) = [r[1] for r in con.sql(f"DESCRIBE {sel}").fetchall()
+                          if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                sel = f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{path}'"
+        con.sql(f"CREATE VIEW {t} AS {sel}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
