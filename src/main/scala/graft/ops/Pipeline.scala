@@ -335,6 +335,63 @@ object Pipeline {
        |       row_number() OVER (ORDER BY h, doc_id) AS shuf_pos
        |FROM fh""".stripMargin
 
+  private val MIX_SHARE_DEN = 4L // overall budget = corpus tokens / 4
+
+  /** MIX1 — mixture-weighted sampling to a token budget: the
+    * data-mixing pass that turns per-source mixture weights (the
+    * "40% web / 30% books / …" recipe every training run publishes)
+    * into a deterministic per-document keep decision. Source s with
+    * weight w_s gets token budget B·w_s/Σw of the overall budget
+    * B = corpus_tokens/MIX_SHARE_DEN; its acceptance rate is
+    * budget_s/tokens_s capped at 1, e6-scaled in EXACT left-to-right
+    * BIGINT arithmetic (every division is integer DIV, mirrored
+    * operation-for-operation in the oracle), and acceptance is the
+    * engine-neutral content hash mod 1e6 — re-runs, engine swaps, and
+    * repartitions keep the sample byte-identical (smp1's property,
+    * weighted). Weights derive from the source index (idx%4+1) so the
+    * op exercises real mixture skew at every SF without a hardcoded
+    * source list.
+    *
+    * Shape: one per-source token aggregate (source-cardinality rows —
+    * genuinely model-sized, the src1 argument) broadcasts back onto a
+    * narrow accept map; the corpus never shuffles. */
+  def mix1MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(words).cast("long").as("n_tokens"), fullHash(spark).as("h"))
+    val bySrc = t.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_s"))
+      .withColumn("wnum", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+    val totals = bySrc.agg(sum(col("tok_s")).as("tok_total"),
+      sum(col("wnum")).as("wden"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .withColumn("rate_e6", least(lit(1000000L), expr(
+        s"((((tok_total DIV $MIX_SHARE_DEN) * wnum) DIV wden) * 1000000) DIV tok_s")))
+      .select(col("source"), col("rate_e6"))
+    t.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_e6"),
+        (pmod(col("h"), lit(1000000L)) < col("rate_e6")).as("sampled"))
+  }
+
+  private val mix1Oracle =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |wh AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         list_transform(w, wd -> $rkWordSql) AS hs FROM t),
+       |fh AS (SELECT doc_id, source, n_tokens,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |           (a, x) -> (a * 1000003 + x) % 1099511627776) AS h FROM wh),
+       |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_s,
+       |         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wnum
+       |       FROM fh GROUP BY source),
+       |tt AS (SELECT CAST(sum(tok_s) AS BIGINT) AS tok_total,
+       |              CAST(sum(wnum) AS BIGINT) AS wden FROM bs),
+       |rt AS (SELECT source, least(CAST(1000000 AS BIGINT),
+       |         ((((tok_total // $MIX_SHARE_DEN) * wnum) // wden) * 1000000) // tok_s)
+       |         AS rate_e6
+       |       FROM bs CROSS JOIN tt)
+       |SELECT f.doc_id, f.source, f.n_tokens, r.rate_e6,
+       |       (f.h % 1000000) < r.rate_e6 AS sampled
+       |FROM fh f JOIN rt r USING (source)""".stripMargin
+
   private val PII_RE = "\\b(customer|supplier|order)\\b"
   private val REDACTED = "[REDACTED]"
 
@@ -499,5 +556,6 @@ object Pipeline {
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
     Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)),
     Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)),
-    Q("src1_source_prior", src1SourcePrior, Some(src1Oracle)))
+    Q("src1_source_prior", src1SourcePrior, Some(src1Oracle)),
+    Q("mix1_mixture_sample", mix1MixtureSample, Some(mix1Oracle)))
 }

@@ -322,6 +322,30 @@ object Similarity {
     * Final rerank is the floor-scaled exact cosine over the original
     * doubles, as in sim1. */
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    // queries probe their IVF_PROBES best cells
+    val q = assigned.filter(col("vec_id") < NQ)
+      .withColumn("probe", explode(expr(
+        // indices of the IVF_PROBES largest dots: sort (−dot, idx)
+        // structs lexicographically, take the head slice
+        s"""transform(slice(array_sort(transform(sequence(0, ${IVF_K - 1}),
+           |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
+           |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("probe"))
+    val cand = assigned.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    topK(cand, K)
+  }
+
+  /** The sim3 trainer, shared with dd7: the FULL corpus with
+    * (vec_id, v, nrm, uq, dots, cell) after IVF_ITERS engine-neutral
+    * integer-grid Lloyd iterations (see [[sim3AnnIvf]]'s scaladoc for
+    * the determinism argument; the oracle replay lives in
+    * [[ivfOracleCtes]]). */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
       .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
@@ -377,26 +401,11 @@ object Similarity {
       }.toArray
     }
 
-    // training is done: release the cached sample (the final query
-    // below scans the full corpus once; keeping the cache would pin
+    // training is done: release the cached sample (the downstream
+    // query scans the full corpus once; keeping the cache would pin
     // storage for the rest of the session)
     train.unpersist()
-    val assigned = withCell(e)
-    // queries probe their IVF_PROBES best cells
-    val q = assigned.filter(col("vec_id") < NQ)
-      .withColumn("probe", explode(expr(
-        // indices of the IVF_PROBES largest dots: sort (−dot, idx)
-        // structs lexicographically, take the head slice
-        s"""transform(slice(array_sort(transform(sequence(0, ${IVF_K - 1}),
-           |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
-           |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
-        col("probe"))
-    val cand = assigned.join(broadcast(q),
-        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", graft.ops.Exact.floorE6(
-        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
-    topK(cand, K)
+    withCell(e)
   }
 
   /** DuckDB replay of [[sim3AnnIvf]]: quantize to the integer grid,
@@ -406,7 +415,11 @@ object Similarity {
     * probe + floor-scaled rerank. Every arithmetic step is the exact
     * integer (or fixed-order scalar double) sequence the Spark side
     * runs — see the sim3 scaladoc for why this is bit-stable. */
-  private val sim3Oracle: String = {
+  /** The sim3 trainer's CTE block, shared with dd7's oracle: quantize
+    * to the grid, unroll the IVF_ITERS Lloyd iterations, assign the
+    * FULL corpus — leaves `af(vec_id, uq, cell)` and `e(vec_id, v,
+    * nrm)` in scope for the caller's continuation. */
+  private val ivfOracleCtes: String = {
     def assign(src: String, cents: String): String =
       s"""SELECT vec_id, uq, cell FROM (
          |  SELECT t.vec_id, t.uq, c.pid AS cell,
@@ -430,7 +443,7 @@ object Similarity {
          |         END AS c
          |  FROM $prev p LEFT JOIN m$i m ON m.cell = p.pid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
        |uqt AS (SELECT vec_id,
        |          list_transform(v, x -> floor((x / nrm) * $IVF_Q)) AS uq FROM e),
@@ -438,7 +451,11 @@ object Similarity {
        |c0 AS (SELECT CAST(vec_id // 4 AS INT) AS pid, uq AS c
        |       FROM tr WHERE vec_id < ${IVF_K * 4}),
        |$iters,
-       |af AS (${assign("uqt", s"c$IVF_ITERS")}),
+       |af AS (${assign("uqt", s"c$IVF_ITERS")})""".stripMargin
+  }
+
+  private val sim3Oracle: String =
+    s"""WITH $ivfOracleCtes,
        |qp AS (
        |  SELECT vec_id AS qid, pid AS probe FROM (
        |    SELECT u.vec_id, c.pid,
@@ -456,7 +473,61 @@ object Similarity {
        |  SELECT qid, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= $K""".stripMargin
+
+  private val DD7_TAU = 0.45 // same near-dup threshold as dd5
+
+  /** DD7 — SEMANTIC dedup (the SemDeDup move, Abbas et al. 2023):
+    * cluster the embedding corpus with the sim3 k-means trainer
+    * (identical engine-neutral integer-grid Lloyd iterations), then
+    * compare vectors ONLY within their cell and drop every vector that
+    * has a same-cell neighbor with a smaller id and cosine ≥ τ —
+    * near-duplicate MEANING, not near-duplicate text, which is what
+    * dd2/dd3 (lexical) structurally cannot catch for paraphrases.
+    *
+    * Scale shape vs dd5 (the exact all-pairs oracle twin): the pair
+    * join is an EQUI-join on the cell id, so the comparison count is
+    * Σ|cell|² — with K scaling alongside the corpus (K≈N/target_cell
+    * on a real deployment; fixed 16 here to match sim3's registered
+    * trainer) cells stay bounded and the join stays bucketed, never
+    * all-pairs. Per-vector verdicts are one aggregate over the dup
+    * edges + a left join back; cosine is the floor-scaled exact form,
+    * so the whole pipeline — training included — hash-checks. */
+  def dd7SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssigned(spark, dir)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    val dups = a.select(col("cell"), col("vec_id").as("da"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(a.select(col("cell"), col("vec_id").as("db"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("da") < col("db"))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= DD7_TAU)
+      .groupBy(col("db"))
+      .agg(count(lit(1)).as("n_near"), max(col("cos")).as("max_cos"))
+      .withColumnRenamed("db", "vec_id")
+    a.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_cos"),
+        col("n_near").isNull.as("keep"))
   }
+
+  private val dd7Oracle: String =
+    s"""WITH $ivfOracleCtes,
+       |p AS (
+       |  SELECT y.vec_id AS db,
+       |         floor(list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) * 1000000) / 1000000 AS cos
+       |  FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id),
+       |d AS (SELECT db AS vec_id, CAST(count(*) AS BIGINT) AS n_near, max(cos) AS max_cos
+       |      FROM p WHERE cos >= $DD7_TAU GROUP BY db)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |       coalesce(d.n_near, CAST(0 AS BIGINT)) AS n_near,
+       |       d.max_cos, d.n_near IS NULL AS keep
+       |FROM af a LEFT JOIN d USING (vec_id)""".stripMargin
 
   /** QT1 — scalar int8 quantization of the embedding column: per-vector
     * max-abs scale, symmetric round-half-up to [-127, 127], plus the
@@ -565,5 +636,6 @@ object Similarity {
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),
     Q("sim4_ann_banded", sim4AnnBanded, Some(sim4Oracle)),
-    Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)))
+    Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)),
+    Q("dd7_semantic_dedup", dd7SemanticDedup, Some(dd7Oracle)))
 }

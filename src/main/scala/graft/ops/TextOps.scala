@@ -445,6 +445,63 @@ object TextOps {
       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
       |FROM enc""".stripMargin
 
+  private val TOK2_CAP = 16
+
+  /** TOK2 — capped-vocabulary encoding with OOV: the production
+    * tokenizer contract — a FIXED vocabulary size (the top-CAP words
+    * by (count desc, word); real tokenizers ship 32k-256k entries),
+    * with every out-of-vocabulary token mapping to the reserved id 0.
+    * Adds the per-document OOV count — the coverage metric vocab-size
+    * decisions are made on.
+    *
+    * The cap inverts tok1's scale shape: the vocabulary is bounded by
+    * a CONSTANT, so TakeOrdered (per-partition heaps, no global sort)
+    * plus a BROADCAST left join is the right plan at any corpus size,
+    * and the id-rank window runs over ≤CAP rows of model state (the
+    * bounded-broadcast class of ta6's top-16, NOT the corpus-derived
+    * class tok1/lm1 must avoid). Reassembly is the tok1 groupBy. */
+  def tok2CappedEncode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir).withColumn("w", words)
+    val vocab = t.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("wd")).limit(TOK2_CAP)
+      // window over ≤CAP rows post-limit — bounded model state
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("wd"))).cast("long"))
+      .select(col("wd"), col("id"))
+    t.select(col("doc_id"), posexplode(col("w"))).withColumnRenamed("col", "wd")
+      .join(broadcast(vocab), Seq("wd"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("ps"))
+      .withColumn("ids", transform(col("ps"), x => x.getField("id")))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), x => x === 0L)).cast("long").as("n_oov"),
+        array_join(slice(col("ids"), 1, 16), ",").as("ids_head"),
+        aggregate(col("ids"), lit(0L),
+          (a, x) => (a * 1000003L + x) % 1099511627776L).as("ids_fold"))
+  }
+
+  private val tok2Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT unnest(w) AS wd FROM t),
+       |vc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY wd),
+       |vocab AS (SELECT wd, CAST(row_number() OVER (ORDER BY cnt DESC, wd) AS BIGINT) AS id
+       |          FROM vc ORDER BY cnt DESC, wd LIMIT $TOK2_CAP),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |           i -> {'pos': i, 'wd': w[CAST(i AS INT)]})) AS u FROM t),
+       |tok AS (SELECT doc_id, u.pos AS pos, coalesce(v.id, CAST(0 AS BIGINT)) AS id
+       |        FROM tok0 LEFT JOIN vocab v ON u.wd = v.wd),
+       |enc AS (SELECT doc_id, list(id ORDER BY pos) AS ids FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_oov,
+       |       array_to_string(ids[1:16], ',') AS ids_head,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
+       |FROM enc""".stripMargin
+
   private val IR_TERMS = Seq("join", "hash", "vector", "spark")
   private val IR_TOPK = 100
 
@@ -584,6 +641,7 @@ object TextOps {
     Q("cooc1_pair_lift", cooc1PairLift, Some(cooc1Oracle)),
     Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)),
     Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)),
+    Q("tok2_capped_encode", tok2CappedEncode, Some(tok2Oracle)),
     Q("ir1_bm25", ir1Bm25, Some(ir1Oracle)),
     Q("lm1_bigram_coherence", lm1BigramCoherence, Some(lm1Oracle)))
 }

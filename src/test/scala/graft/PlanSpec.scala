@@ -357,6 +357,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p) // the within-bucket rank
   }
 
+  test("tok2/mix1/dd7: new-op scale shapes — bounded broadcasts, bucketed pairs") {
+    // tok2: the CAP-bounded vocab broadcasts (a constant-sized model,
+    // legitimately hinted); the corpus side never sort-merges
+    val p2 = plan(graft.ops.TextOps.tok2CappedEncode(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+    // mix1: the per-source rate table broadcasts back; the corpus's
+    // only shuffle is the narrow per-source token aggregate
+    val p3 = plan(graft.ops.Pipeline.mix1MixtureSample(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("SortMergeJoin"), p3)
+    // dd7: the within-cell pair comparison is an EQUI-join on the cell
+    // id — never a cartesian/nested-loop all-pairs
+    val p4 = plan(graft.ops.Similarity.dd7SemanticDedup(spark, sf))
+    assert(!p4.contains("CartesianProduct"), p4)
+    assert(!p4.contains("BroadcastNestedLoopJoin"), p4)
+  }
+
   test("AQE splits a skewed join partition at runtime (SCALE.md's skew claim)") {
     import org.apache.spark.sql.functions._
     // 95% of the left side shares ONE key — the hot-partition shape that
