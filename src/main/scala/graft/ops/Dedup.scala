@@ -421,14 +421,15 @@ object Dedup {
     *
     * Shape: one chunk explode → df-aggregate on an 8-byte chunk hash
     * (the shuffle carries hash + doc_id, never text; countDistinct
-    * dedups map-side) → the boilerplate set joins back UN-HINTED. It
-    * is the df≥3 tail of the chunk distribution — NOT bounded by
-    * construction: unlike dc1's fixed-size benchmark side it scales
-    * with corpus redundancy, and a duplication-heavy crawl (exactly
-    * what dedup targets) can push it toward the full distinct-chunk
-    * set. Un-hinted, the planner broadcasts it while it fits and AQE
-    * degrades to a shuffled hash join past the broadcast cap instead
-    * of OOMing at build time. → one groupBy(doc_id) reassembles kept
+    * dedups map-side) → the boilerplate set joins back behind
+    * [[Model.guardedBroadcast]]. It is the df≥3 tail of the chunk
+    * distribution — NOT bounded by construction: unlike dc1's
+    * fixed-size benchmark side it scales with corpus redundancy, and a
+    * duplication-heavy crawl (exactly what dedup targets) can push it
+    * toward the full distinct-chunk set. The guard broadcasts it while
+    * it is provably small and degrades to the planner's shuffle join
+    * past the threshold instead of OOMing at build time.
+    * → one groupBy(doc_id) reassembles kept
     * chunks in position order. The reassembly shuffle carries the
     * corpus once — irreducible for a transform that rewrites every
     * document.
@@ -448,7 +449,7 @@ object Dedup {
       .filter(col("df") >= BOILER_DF)
       .select(col("h"))
     val flagged = ch
-      .join(boiler, xxhash64(col("chunk")) === col("h"), "left")
+      .join(Model.guardedBroadcast(boiler), xxhash64(col("chunk")) === col("h"), "left")
       .select(col("doc_id"), col("pos"), col("chunk"), col("h").isNotNull.as("boiler"))
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -23,6 +23,36 @@ object Fmt {
   val DUCK_MICRO = "%Y-%m-%d %H:%M:%S.%f"
 }
 
+/** Broadcast guard for CORPUS-DERIVED model tables (bigram/unigram
+  * counts, vocabularies, boilerplate chunk sets). These grow with the
+  * corpus, so an unconditional `broadcast()` hint is an
+  * OOM-by-construction at a 100-TB vocabulary (the 8 GB broadcast hard
+  * cap, hit at build time) — but leaving the join entirely to the
+  * planner is not free either: static estimates at scale pick
+  * SortMergeJoin and AQE was MEASURED not converting back (lm1 at
+  * sf10: two full sorts of the 30M-row pair stream). The guard is the
+  * middle path the round-3 advice proposed: ONE count job on the
+  * already-aggregated table (map-side partials; the driver sees a
+  * single long) decides — provably small tables broadcast (zero
+  * probe-side shuffle), anything past the threshold falls back to the
+  * planner's shuffle join. `graft.model.broadcast.maxEntries` sets the
+  * threshold; 0 disables broadcasting entirely (PlanSpec uses this to
+  * pin the fallback shape and result-equality). */
+object Model {
+  val MaxEntriesConf = "graft.model.broadcast.maxEntries"
+  private val DefaultMaxEntries = 4000000L
+
+  /** true when the model table is provably broadcast-safe */
+  def fits(df: DataFrame): Boolean = {
+    val max = df.sparkSession.conf.getOption(MaxEntriesConf)
+      .map(_.toLong).getOrElse(DefaultMaxEntries)
+    max > 0 && df.count() <= max
+  }
+
+  def guardedBroadcast(df: DataFrame): DataFrame =
+    if (fits(df)) org.apache.spark.sql.functions.broadcast(df) else df
+}
+
 /** Exact cross-engine arithmetic for compared columns.
   *
   * Floating aggregation is bit-identical across engines only by luck:

@@ -287,11 +287,11 @@ object TextOps {
     * so `floor(·1e6)` hash-matches without any log()).
     *
     * Shape: one pair aggregate (the only corpus-sized shuffle), then
-    * the vocabulary-sized unigram counts join back UN-HINTED ×2 (the
-    * planner broadcasts them while they fit, and a web-scale
-    * vocabulary past the broadcast cap degrades to a shuffled hash
-    * join instead of an OOM); the 1-row total stays a hinted
-    * broadcast, and the top-K is TakeOrdered — never a global sort. */
+    * the vocabulary-sized unigram counts join back ×2 behind ONE
+    * [[Model.fits]] check (broadcast while provably small; a web-scale
+    * vocabulary past the guard degrades to the planner's shuffle join
+    * instead of an OOM); the 1-row total stays a hinted broadcast, and
+    * the top-K is TakeOrdered — never a global sort. */
   def cooc1PairLift(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir).withColumn("w", words)
     val uni = t.select(explode(col("w")).as("wd"))
@@ -304,8 +304,10 @@ object TextOps {
           greatest(element_at(col("w"), i), element_at(col("w"), i + 1)).as("y")))).as("u"))
     val pc = bg.select(col("u.x").as("x"), col("u.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-    pc.join(ucnt.select(col("wd").as("x"), col("c").as("cx")), "x")
-      .join(ucnt.select(col("wd").as("y"), col("c").as("cy")), "y")
+    val fits = Model.fits(ucnt)
+    def maybe(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    pc.join(maybe(ucnt.select(col("wd").as("x"), col("c").as("cx"))), "x")
+      .join(maybe(ucnt.select(col("wd").as("y"), col("c").as("cy"))), "y")
       .crossJoin(broadcast(n))
       .filter(col("cxy") >= COOC_MIN_SUPPORT)
       // cxy·nt < 2^53 and the ÷cx ÷cy ·1e6 chain is evaluated in the
@@ -393,11 +395,13 @@ object TextOps {
     *     model state, not the vocabulary) and prefix-sum into offsets;
     *  2. a WITHIN-bucket window ranks in parallel; rank + offset is
     *     exactly the global row_number.
-    * Encoding is then an ordinary (token → id) equi-join — UN-HINTED,
-    * so the planner broadcasts a small vocabulary and shuffles a
-    * web-scale one — and a per-document groupBy reassembles the
-    * sequence (array_sort on (pos, id) restores document order; the
-    * collected row is document-sized, the same bound as the output). */
+    * Encoding is then an ordinary (token → id) equi-join behind
+    * [[Model.guardedBroadcast]] — a provably-small vocabulary
+    * broadcasts (saving the token-stream join shuffle), a web-scale
+    * one falls back to the planner's shuffle join — and a per-document
+    * groupBy reassembles the sequence (array_sort on (pos, id)
+    * restores document order; the collected row is document-sized, the
+    * same bound as the output). */
   def tok1VocabEncode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -418,7 +422,7 @@ object TextOps {
         + col("off"))
       .select(col("wd"), col("id"))
     t.select(col("doc_id"), posexplode(col("w"))).withColumnRenamed("col", "wd")
-      .join(vocab, "wd")
+      .join(Model.guardedBroadcast(vocab), "wd")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("ps"))
       .withColumn("ids", transform(col("ps"), x => x.getField("id")))
@@ -583,12 +587,15 @@ object TextOps {
     * corpus's own statistics are the model, as with a real LM filter.
     *
     * Shape: the bigram and unigram count tables are VOCABULARY-sized
-    * model artifacts joined onto the corpus-sized pair stream as plain
-    * UN-HINTED equi-joins: at test SF the planner broadcasts them
-    * (O(1) codegen'd probes), and on a 100-TB corpus — where the
-    * bigram vocabulary is billions of entries, past the 8 GB broadcast
-    * hard cap — AQE falls back to a shuffled hash join instead of
-    * dying at broadcast-build time. (A first cut kept the tables as
+    * model artifacts joined onto the corpus-sized pair stream behind
+    * [[Model.guardedBroadcast]]: provably-small tables broadcast (O(1)
+    * codegen'd probes, zero probe-side shuffle — measured necessary:
+    * fully un-hinted, the static planner picked SortMergeJoin at sf10
+    * and AQE never converted, paying two sorts of the 30M-row pair
+    * stream), and on a 100-TB corpus — where the bigram vocabulary is
+    * billions of entries, past the 8 GB broadcast hard cap — the guard
+    * falls back to the planner's shuffle join instead of dying at
+    * broadcast-build time. (A first cut kept the tables as
     * one map-typed row and scored via zip_with + element_at; Spark's
     * MapData lookup is a LINEAR scan, so every pair paid O(|vocab²|) —
     * 86 s at sf1. The join shape is 30× faster: the same
@@ -605,8 +612,8 @@ object TextOps {
     val pc = pr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cp"))
     val uc = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
-    pr.join(pc, Seq("l", "r"))
-      .join(uc, col("l") === col("wd"))
+    pr.join(Model.guardedBroadcast(pc), Seq("l", "r"))
+      .join(Model.guardedBroadcast(uc), col("l") === col("wd"))
       .select(col("doc_id"),
         floor(col("cp") * lit(1000000L) / col("cu")).as("s"))
       .groupBy(col("doc_id"))

@@ -274,24 +274,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("lm1/cooc1/dd6: model tables are un-hinted — a model past the broadcast cap " +
-      "degrades to a shuffle join instead of an OOM-by-construction") {
+  test("lm1/cooc1/dd6/tok1: model tables past the broadcast guard " +
+      "degrade to a shuffle join instead of an OOM-by-construction") {
     import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
-    // simulate "corpus-derived model table exceeds
-    // autoBroadcastJoinThreshold" (a 100-TB bigram vocabulary blows the
-    // 8 GB broadcast hard cap): with broadcast disabled entirely, a
-    // broadcast() HINT would still force the doomed build — these
-    // queries must replan to a shuffle join AND return identical rows
+    // simulate "corpus-derived model table exceeds the broadcast
+    // budget" (a 100-TB bigram vocabulary blows the 8 GB broadcast
+    // hard cap): Model.guardedBroadcast's threshold drops to 0 (no
+    // table fits) and the planner's own broadcasts are disabled —
+    // every query must take the shuffle-join path AND return
+    // identical rows
     def sig(df: org.apache.spark.sql.DataFrame): Long =
       df.select(xxhash64(struct(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)).as("h"))
         .agg(bit_xor(org.apache.spark.sql.functions.col("h"))).head().getLong(0)
     val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq(("lm1", graft.ops.TextOps.lm1BigramCoherence _),
         ("cooc1", graft.ops.TextOps.cooc1PairLift _),
-        ("dd6", Dedup.dd6ChunkDedup _))
+        ("dd6", Dedup.dd6ChunkDedup _),
+        ("tok1", graft.ops.TextOps.tok1VocabEncode _))
     val hinted = fns.map { case (n, fn) => n -> sig(fn(spark, sf)) }.toMap
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      graft.ops.Model.MaxEntriesConf -> "0")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try fns.foreach { case (n, fn) =>
@@ -299,10 +302,13 @@ class PlanSpec extends AnyFunSuite {
       assert(sig(df) == hinted(n), s"$n rows changed under shuffle-join plan")
       val p = plan(df)
       // the model-table equi-joins must have replanned away from
-      // broadcast; cooc1's 1-row totals crossJoin (BroadcastNestedLoop)
-      // is genuinely bounded and exempt
-      assert(!p.contains("BroadcastHashJoin"),
-        s"$n still broadcast-builds with the cap exceeded:\n" + p)
+      // broadcast (tok1's driver-built bucket-offset table is bucket-
+      // count model state, not corpus-derived — it may still hash-join
+      // broadcast, so assert on the heavier signal instead)
+      if (n != "tok1")
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$n still broadcast-builds with the cap exceeded:\n" + p)
+      assert(!p.contains("CartesianProduct") || n == "cooc1", p)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
