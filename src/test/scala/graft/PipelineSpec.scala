@@ -113,6 +113,33 @@ class PipelineSpec extends AnyFunSuite {
       s"flagged-occurrence total $boilerTotal != independent recount $expected")
   }
 
+  test("mix1: acceptance rates realize the weighted token budget") {
+    val rows = Pipeline.mix1MixtureSample(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // rates are valid probabilities (e6-scaled) and every source has one
+    rows.foreach { case (src, _, rate, _) =>
+      assert(rate > 0 && rate <= 1000000L, s"$src rate $rate out of range")
+    }
+    // heavier mixture weight ⇒ higher acceptance rate: the generator
+    // gives each source a similar token mass, so the wnum=4 sources
+    // must out-rate the wnum=1 sources on average
+    val bySrc = rows.groupBy(_._1).map { case (s, rs) => s -> rs.head._3 }
+    def wnum(s: String) = s.drop(3).toLong % 4 + 1
+    val hi = bySrc.collect { case (s, r) if wnum(s) == 4 => r }
+    val lo = bySrc.collect { case (s, r) if wnum(s) == 1 => r }
+    assert(hi.nonEmpty && lo.nonEmpty)
+    assert(hi.sum / hi.size > lo.sum / lo.size,
+      s"weight-4 sources must out-rate weight-1: $bySrc")
+    // the realized sample lands near the overall budget (1/4 of corpus
+    // tokens); the hash is uniform but the corpus is finite, so allow
+    // a wide band — the point is the BUDGET is what shapes the sample
+    val total = rows.map(_._2).sum.toDouble
+    val sampled = rows.collect { case (_, n, _, true) => n }.sum.toDouble
+    assert(sampled / total > 0.12 && sampled / total < 0.40,
+      s"sampled token share ${sampled / total} far from the 0.25 budget")
+  }
+
   test("pk1: bins respect the running token budget semantics") {
     val rows = Pipeline.pk1PackSequences(spark, sf)
       .orderBy(col("doc_id")).collect()
