@@ -83,10 +83,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // drop model tables the broadcast guard cached for this query
+        // (outside the timed window, like the gc settle above)
+        graft.ops.Model.release()
         record(name, ok)
         // failed queries report -1 and are excluded from the total, so
         // the aggregate never mixes real runtimes with time-to-failure
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (name, dt)
       }
     val results = sweep((name, ok) => if (!ok) failed ::= name)
     val warmResults =

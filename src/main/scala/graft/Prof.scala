@@ -33,6 +33,7 @@ object Prof {
         val t0 = System.nanoTime()
         consume(fn(spark, dir))
         println(f"[prof] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.ops.Model.release()
       }
     }
     spark.stop()

@@ -292,6 +292,10 @@ class PlanSpec extends AnyFunSuite {
         ("dd6", Dedup.dd6ChunkDedup _),
         ("tok1", graft.ops.TextOps.tok1VocabEncode _))
     val hinted = fns.map { case (n, fn) => n -> sig(fn(spark, sf)) }.toMap
+    // drop the model tables the guard cached for the hinted runs, so
+    // the cap-0 rebuild really replans the aggregates (a leftover
+    // InMemoryRelation would be silently substituted into the plan)
+    graft.ops.Model.release()
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       graft.ops.Model.MaxEntriesConf -> "0")
