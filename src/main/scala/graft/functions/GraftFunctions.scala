@@ -81,6 +81,11 @@ object GraftFunctions {
       arity("vector_sum_long", 1)(exprs)
       VectorSumLong(Cast(exprs.head, ArrayType(LongType)))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("matrix_dots", exprs => {
+      arity("matrix_dots", 2)(exprs)
+      MatrixDots(Cast(exprs(0), ArrayType(DoubleType)),
+        Cast(exprs(1), ArrayType(ArrayType(DoubleType))))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", exprs => {
       arity("rolling_hash", 2)(exprs)
       RollingHashFp(exprs(0), foldableInt("rolling_hash", exprs(1)))

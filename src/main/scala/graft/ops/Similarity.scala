@@ -286,10 +286,35 @@ object Similarity {
        |  FROM scored) WHERE rank <= $K""".stripMargin
   }
 
-  private val IVF_K = 16 // centroids
   private val IVF_ITERS = 3
   private val IVF_PROBES = 4 // clusters probed per query
   private val IVF_Q = 512 // integer grid: uq[i] = floor(u[i] * 512)
+
+  /** The cell count K is CORPUS-PROPORTIONAL: K = ceil(trainN / target),
+    * target = sampled rows per cell. With K fixed (16 through round 4)
+    * cells grow linearly with the corpus and dd7's within-cell pair
+    * join — Σ|cell|² — grows quadratically (the sf10 probe measured 22×
+    * cost for 10× data); with K ∝ N, |cell| stays ≈ 4·target rows and
+    * Σ|cell|² ≈ N·4·target is linear. Both knobs are session confs; the
+    * DuckDB oracle derives K from the SAME train count with the SAME
+    * integer formula (defaults baked into the SQL text), so the query
+    * stays hash-checkable at every SF — overriding the confs is a
+    * deployment move that forfeits only the oracle twin. The cap bounds
+    * driver/model state (maxK × 64 longs ≈ 32 MB at the default) — at a
+    * corpus big enough to hit it, cells grow again and the real fix is
+    * a hierarchical (two-level) trainer, not a bigger flat K. */
+  val TargetCellConf = "graft.ivf.targetCell"
+  val MaxKConf = "graft.ivf.maxK"
+  private val DefaultTargetCell = 32L
+  private val DefaultMaxK = 65536L
+
+  private def ivfK(spark: SparkSession, trainN: Long): Int = {
+    val target = spark.conf.getOption(TargetCellConf).map(_.toLong)
+      .getOrElse(DefaultTargetCell)
+    val maxK = spark.conf.getOption(MaxKConf).map(_.toLong)
+      .getOrElse(DefaultMaxK)
+    math.min(maxK, math.max(1L, (trainN + target - 1) / target)).toInt
+  }
 
   /** SIM3 — IVF (inverted-file) ANN: k-means partitions the corpus into
     * K cells; a query probes only its IVF_PROBES nearest cells and
@@ -322,13 +347,14 @@ object Similarity {
     * Final rerank is the floor-scaled exact cosine over the original
     * doubles, as in sim1. */
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssigned(spark, dir)
+    val model = ivfAssigned(spark, dir)
+    val assigned = model.assigned
     // queries probe their IVF_PROBES best cells
     val q = assigned.filter(col("vec_id") < NQ)
       .withColumn("probe", explode(expr(
         // indices of the IVF_PROBES largest dots: sort (−dot, idx)
         // structs lexicographically, take the head slice
-        s"""transform(slice(array_sort(transform(sequence(0, ${IVF_K - 1}),
+        s"""transform(slice(array_sort(transform(sequence(0, ${model.k - 1}),
            |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
            |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -345,12 +371,16 @@ object Similarity {
     * integer-grid Lloyd iterations (see [[sim3AnnIvf]]'s scaladoc for
     * the determinism argument; the oracle replay lives in
     * [[ivfOracleCtes]]). */
-  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+  /** A trained IVF model: the assigned corpus plus the derived cell
+    * count (callers need K for probe expressions and loop bounds). */
+  private[graft] final case class IvfModel(assigned: DataFrame, k: Int)
+
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): IvfModel = {
     graft.functions.GraftFunctions.registerAll(spark)
     val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
       .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
       // integer grid (Spark floor returns BIGINT → array<long>); the
-      // cell dots cast back through the codegen'd DoubleDot, exact
+      // cell dots cast back through the codegen'd MatrixDots, exact
       // (products ≤ 2^18, 64-term sums ≤ 2^24 — order- and engine-free)
       .withColumn("uq", transform(col("u"), x => floor(x * IVF_Q)))
       .select(col("vec_id"), col("v"), col("nrm"), col("uq"))
@@ -359,19 +389,28 @@ object Similarity {
     // needs representative cluster shapes, not every point; at 100 TB
     // the training scan is the dominant cost and subsampling is the
     // standard fix). Only the sample is cached — a few MB here, and at
-    // scale a bounded fraction of the corpus.
+    // scale a bounded fraction of the corpus. The count that sizes K
+    // doubles as the cache materialization (the Model.fits pattern —
+    // no second corpus pass).
     val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
       .select(col("vec_id"), col("uq"))
     train.cache()
+    val k = ivfK(spark, train.count())
 
-    // deterministic init: the first K training vectors by id
-    var centroids: Array[Seq[Long]] = train.filter(col("vec_id") < IVF_K * 4)
-      .orderBy(col("vec_id")).limit(IVF_K).select(col("uq")).collect()
+    // deterministic init: the first K training vectors by id (a
+    // distributed TakeOrdered over the cached sample — rank-based, so
+    // no density assumption on vec_id; the oracle ranks identically)
+    var centroids: Array[Seq[Long]] = train
+      .orderBy(col("vec_id")).limit(k).select(col("uq")).collect()
       .map(_.getSeq[Long](0))
 
-    def centroidCols = centroids.map(c => array(c.map(x => lit(x.toDouble)): _*))
+    // dots against the whole centroid matrix via ONE codegen'd
+    // expression carrying the model as a reference object — plan size
+    // and generated code are O(1) in K (the unrolled per-centroid
+    // literal form detonates past K≈500; see MatrixDots)
     def withCell(df: DataFrame) = df
-      .withColumn("dots", array(centroidCols.map(c => dot(col("uq"), c)): _*))
+      .withColumn("dots", call_function("matrix_dots", col("uq"),
+        typedLit(centroids.map(_.map(_.toDouble)).toSeq)))
       // argmax with FIRST-index tie-break (array_position returns the
       // first occurrence) — mirrored by the oracle's ORDER BY d DESC, pid
       .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
@@ -387,7 +426,7 @@ object Similarity {
         .select(col("cell"), col("sn.s").as("s"))
         .collect()
       val byCell = sums.map(r => r.getLong(0).toInt -> r.getSeq[Long](1)).toMap
-      centroids = (0 until IVF_K).map { c =>
+      centroids = (0 until k).map { c =>
         byCell.get(c) match {
           case Some(s) =>
             val r2 = s.map(x => x * x).sum // exact: |S| ≤ n·512, ΣS² ≤ 64·(n·512)²
@@ -405,7 +444,7 @@ object Similarity {
     // query scans the full corpus once; keeping the cache would pin
     // storage for the rest of the session)
     train.unpersist()
-    withCell(e)
+    IvfModel(withCell(e), k)
   }
 
   /** DuckDB replay of [[sim3AnnIvf]]: quantize to the integer grid,
@@ -448,8 +487,12 @@ object Similarity {
        |uqt AS (SELECT vec_id,
        |          list_transform(v, x -> floor((x / nrm) * $IVF_Q)) AS uq FROM e),
        |tr AS (SELECT vec_id, uq FROM uqt WHERE vec_id % 4 = 0),
-       |c0 AS (SELECT CAST(vec_id // 4 AS INT) AS pid, uq AS c
-       |       FROM tr WHERE vec_id < ${IVF_K * 4}),
+       |kk AS (SELECT LEAST($DefaultMaxK,
+       |         GREATEST(1, (count(*) + ${DefaultTargetCell - 1}) // $DefaultTargetCell)) AS k
+       |       FROM tr),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS pid, uq AS c FROM (
+       |         SELECT row_number() OVER (ORDER BY vec_id) AS rn, uq FROM tr)
+       |       WHERE rn <= (SELECT k FROM kk)),
        |$iters,
        |af AS (${assign("uqt", s"c$IVF_ITERS")})""".stripMargin
   }
@@ -486,14 +529,16 @@ object Similarity {
     *
     * Scale shape vs dd5 (the exact all-pairs oracle twin): the pair
     * join is an EQUI-join on the cell id, so the comparison count is
-    * Σ|cell|² — with K scaling alongside the corpus (K≈N/target_cell
-    * on a real deployment; fixed 16 here to match sim3's registered
-    * trainer) cells stay bounded and the join stays bucketed, never
-    * all-pairs. Per-vector verdicts are one aggregate over the dup
-    * edges + a left join back; cosine is the floor-scaled exact form,
-    * so the whole pipeline — training included — hash-checks. */
+    * Σ|cell|² — and since round 5 K scales with the corpus
+    * (K = ceil(trainN / targetCell), see [[TargetCellConf]]), so cells
+    * stay ≈ 4·target rows and Σ|cell|² ≈ 4·target·N is LINEAR in the
+    * corpus; the join stays bucketed, never all-pairs. Per-vector
+    * verdicts are one aggregate over the dup edges + a left join back;
+    * cosine is the floor-scaled exact form and the oracle derives K
+    * from the same train count, so the whole pipeline — training
+    * included — hash-checks at every SF. */
   def dd7SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val a = ivfAssigned(spark, dir)
+    val a = ivfAssigned(spark, dir).assigned
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     val dups = a.select(col("cell"), col("vec_id").as("da"),
         col("v").as("va"), col("nrm").as("na"))
