@@ -35,6 +35,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Scale-frontier testing seam for the DECLARED-QUADRATIC oracle
+    * twins (cc1/dd4/dd5): when set, documents and embeddings are
+    * truncated to ids below the cap. The quadratic twins are O(N²) by
+    * role, so an uncapped sf1 oracle run never terminates in DuckDB;
+    * capping the corpus on BOTH engines (oracle_check.py --id-cap
+    * builds identically filtered views) gives them a real correctness
+    * check at the scale frontier instead of an exclusion. The filter is
+    * an id predicate on the scan (pushed down), so capped runs still
+    * exercise sf1's multi-file layout and wide-id space. NEVER set in
+    * production paths — Verify wires it from SPARK_GRAFT_ID_CAP only. */
+  val IdCapConf = "graft.tables.idCap"
+
+  private def capped(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    spark.conf.getOption(IdCapConf).map(_.toLong) match {
+      case Some(cap) => df.filter(col(idCol) < cap)
+      case None => df
+    }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    capped(spark, table(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    capped(spark, table(spark, dir, "embeddings"), "vec_id")
 }

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale-frontier mode for the declared-quadratic oracle twins: cap
+    // documents/embeddings ids so the DuckDB side terminates at sf1
+    // (pair with oracle_check.py --id-cap N; see Tables.IdCapConf)
+    sys.env.get("SPARK_GRAFT_ID_CAP").foreach(c =>
+      spark.conf.set(Tables.IdCapConf, c))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -107,8 +107,8 @@ object Pipeline {
        |SELECT doc_id, lang, pos_in_stratum FROM r
        |WHERE pos_in_stratum <= $STRATUM_N""".stripMargin
 
-  private val BENCH_DOCS = 50 // stand-in "benchmark" set: doc_id < 50
-  private val OVERLAP = 5 // shared 3-gram shingles to flag
+  private[graft] val BENCH_DOCS = 50 // stand-in "benchmark" set: doc_id < 50
+  private[graft] val OVERLAP = 5 // shared 3-gram shingles to flag
 
   /** DC1 — benchmark decontamination: flag training documents sharing
     * ≥ OVERLAP word-3-gram shingles with any "benchmark" document (the
@@ -360,7 +360,10 @@ object Pipeline {
       size(words).cast("long").as("n_tokens"), fullHash(spark).as("h"))
     val bySrc = t.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tok_s"))
-      .withColumn("wnum", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      // substr to END-OF-STRING (no length cap), exactly like the
+      // oracle's substr(source, 4) — a fixed-width substring would
+      // silently diverge if source names ever exceed 13 chars
+      .withColumn("wnum", expr("substr(source, 4)").cast("long") % 4 + 1)
     val totals = bySrc.agg(sum(col("tok_s")).as("tok_total"),
       sum(col("wnum")).as("wden"))
     val rates = bySrc.crossJoin(broadcast(totals))
@@ -485,11 +488,20 @@ object Pipeline {
     * Every stage reuses the registry's verified building blocks (ta1's
     * language rule, dd1's keep-list shape, dc1's flags verbatim, smp1's
     * split), and the composed result is oracle-hash-checked end to end. */
-  def cur1CurationE2e(spark: SparkSession, dir: String): DataFrame = {
+  /** cur1's STATELESS prefix — benchmark exclusion, language + length
+    * gate, content hash, and the doc's 3-gram shingles — factored out
+    * so the streaming variant ([[graft.streaming.CurationStream]])
+    * runs the IDENTICAL expressions and cannot drift from the batch
+    * oracle. Works on batch and streaming DataFrames alike (every
+    * expression is a narrow map). The `sh` column is only consumed by
+    * the streaming contamination check; batch cur1 never references
+    * it, so Catalyst prunes it out of the batch plan. */
+  private[graft] def curGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.GraftFunctions.registerAll(spark)
     def hitsIn(m: Seq[String]): Column =
       size(filter(words, w => w.isin(m.map(x => x: Any): _*)))
-    val gated = docs(spark, dir)
+    docs
       .filter(col("doc_id") >= BENCH_DOCS) // the bench stand-in set is never training data
       .withColumn("n_tokens", size(words).cast("long"))
       .withColumn("s_en", hitsIn(Seq("the", "and", "of", "to", "in")))
@@ -499,6 +511,12 @@ object Pipeline {
       .filter(col("n_tokens") >= CUR_MIN_TOKENS && col("s_en") >= 1 &&
         col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")))
       .withColumn("h", fullHash(spark))
+      .withColumn("sh", call_function("shingle_hashes", words, lit(3)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("h"), col("sh"))
+  }
+
+  def cur1CurationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val gated = curGate(docs(spark, dir))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("h"))
     val kept = gated.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("d"))

@@ -449,7 +449,20 @@ object TextOps {
       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
       |FROM enc""".stripMargin
 
-  private val TOK2_CAP = 16
+  /** tok2's vocabulary cap. The production contract is 32k-256k
+    * entries; the default stays 16 so the driver-SF corpus is mostly
+    * OOV and the contract's distinctive parts (reserved id 0, per-doc
+    * OOV counts) are actually exercised there. Scale runs override via
+    * -Dgraft.tok2.cap or SPARK_GRAFT_TOK2_CAP — a `def`, so the query
+    * reads it at build time (PlanSpec pins the 32k shape in-process),
+    * and the oracle SQL interpolates the same value in the same JVM,
+    * so overridden Verify runs stay hash-checkable. Any cap is still a
+    * CONSTANT: TakeOrdered + broadcast stays the right plan (256k ids
+    * ≈ a few MB, far under the 8 GB broadcast ceiling tok1's
+    * corpus-derived vocabulary can pierce). */
+  private def TOK2_CAP: Int =
+    sys.props.get("graft.tok2.cap").orElse(sys.env.get("SPARK_GRAFT_TOK2_CAP"))
+      .map(_.toInt).getOrElse(16)
 
   /** TOK2 — capped-vocabulary encoding with OOV: the production
     * tokenizer contract — a FIXED vocabulary size (the top-CAP words

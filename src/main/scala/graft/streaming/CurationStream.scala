@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming curation: batch cur1's gate → exact-dedup → benchmark
+  * decontamination → split assignment, run INCREMENTALLY on ingest —
+  * the companion to [[DedupStream]] that completes the "curate as you
+  * crawl" story: a document's keep/drop/split verdict is issued the
+  * moment it arrives, instead of re-running batch curation over the
+  * whole corpus per increment.
+  *
+  * Stage mapping (each reuses the batch-verified building block):
+  *  - gate + content hash + shingles: [[graft.ops.Pipeline.curGate]],
+  *    the IDENTICAL Column expressions as batch cur1 (shared code, so
+  *    the two cannot drift) — stateless narrow maps, stream-safe as-is.
+  *  - exact dedup: keyed state on the content hash `h`. Batch cur1
+  *    keeps min(doc_id) per hash; the stream keeps the FIRST ARRIVAL
+  *    (ingest rule), resolving within-micro-batch ties to min doc_id
+  *    (batch rule). Fed in doc_id order — or any corpus in one batch —
+  *    the two rules coincide exactly, which is what the spec asserts.
+  *    State per hash is ONE boolean-sized record (contrast DedupStream,
+  *    whose index holds signatures by design); it partitions by hash
+  *    across executors like any streaming aggregation.
+  *  - decontamination: dc1's rule — ≥ OVERLAP distinct shared 3-gram
+  *    shingles with any single benchmark doc — evaluated per WINNER
+  *    against a driver-built inverted index of the STATIC benchmark
+  *    set (eval corpora are fixed, tiny-by-construction artifacts; at
+  *    100 TB of training data the bench index is still a few MB that
+  *    ships once per executor, the same argument as batch dc1's
+  *    broadcast). Checking only dedup winners mirrors batch order:
+  *    cur1 anti-joins the flagged set AFTER dedup, so a contaminated
+  *    winner's duplicates are NOT resurrected — here, the winner
+  *    occupies the hash state even when contamination then drops it.
+  *  - split: smp1's pure content-hash bucketing — stateless.
+  *
+  * Emission is exactly-once per kept document (state dedups), append
+  * mode, recoverable from a checkpoint (the spec proves a restart
+  * preserves hash occupancy across runs).
+  */
+object CurationStream {
+
+  final case class GatedDoc(doc_id: Long, source: String, n_tokens: Long,
+      h: Long, sh: Seq[Long])
+  final case class Curated(doc_id: Long, source: String, n_tokens: Long,
+      bucket: Long, split: String)
+
+  /** Inverted index of the static benchmark set: shingle hash → ids of
+    * benchmark docs containing it (distinct by construction —
+    * ShingleHashes dedups in place). Built once per query from the
+    * batch tables; bounded by the benchmark corpus size. */
+  def benchIndex(spark: SparkSession, dir: String): Map[Long, Seq[Long]] = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < graft.ops.Pipeline.BENCH_DOCS)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", split(col("text"), " "), lit(3))).as("s"))
+      .collect()
+      .groupBy(_.getLong(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(0)).toSeq }
+  }
+
+  /** dc1's verdict for one document against the inverted bench index:
+    * true iff some single bench doc shares ≥ OVERLAP distinct shingles. */
+  private def contaminated(sh: Seq[Long], bench: Map[Long, Seq[Long]]): Boolean = {
+    val perBench = scala.collection.mutable.HashMap.empty[Long, Int]
+    var hit = false
+    val it = sh.iterator
+    while (!hit && it.hasNext) {
+      bench.getOrElse(it.next(), Nil).foreach { b =>
+        val n = perBench.getOrElse(b, 0) + 1
+        perBench.update(b, n)
+        if (n >= graft.ops.Pipeline.OVERLAP) hit = true
+      }
+    }
+    hit
+  }
+
+  /** (doc_id, source, text) stream → curated keep decisions. `bench` is
+    * the static benchmark index from [[benchIndex]]. */
+  def curated(docs: DataFrame, bench: Map[Long, Seq[Long]]): Dataset[Curated] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Pipeline.curGate(docs)
+      .as[GatedDoc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (h: Long, rows: Iterator[GatedDoc], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty // hash already kept (or kept-then-flagged)
+          else {
+            // within-batch ties resolve to min doc_id — the batch rule
+            val winner = rows.minBy(_.doc_id)
+            state.update(true) // occupy the hash even if contamination drops it
+            if (contaminated(winner.sh, bench)) Iterator.empty
+            else {
+              val bucket = java.lang.Math.floorMod(h, 100L)
+              val split =
+                if (bucket == 0L) "valid" else if (bucket == 1L) "test" else "train"
+              Iterator.single(
+                Curated(winner.doc_id, winner.source, winner.n_tokens, bucket, split))
+            }
+          }
+        })
+  }
+}

@@ -373,6 +373,15 @@ class PlanSpec extends AnyFunSuite {
     val p2 = plan(graft.ops.TextOps.tok2CappedEncode(spark, sf))
     assert(p2.contains("BroadcastHashJoin"), p2)
     assert(!p2.contains("SortMergeJoin"), p2)
+    // the production-sized cap (32k) keeps the same shape: the vocab is
+    // still a constant-bounded model — TakeOrdered heaps + broadcast
+    System.setProperty("graft.tok2.cap", "32768")
+    try {
+      val p2b = plan(graft.ops.TextOps.tok2CappedEncode(spark, sf))
+      assert(p2b.contains("BroadcastHashJoin"), p2b)
+      assert(!p2b.contains("SortMergeJoin"), p2b)
+      assert(p2b.contains("TakeOrdered"), p2b)
+    } finally System.clearProperty("graft.tok2.cap")
     // mix1: the per-source rate table broadcasts back; the corpus's
     // only shuffle is the narrow per-source token aggregate
     val p3 = plan(graft.ops.Pipeline.mix1MixtureSample(spark, sf))

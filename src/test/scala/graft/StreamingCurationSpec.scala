@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CurationStream
+
+/** The streaming curation chain must agree EXACTLY with batch cur1 on
+  * the same corpus: identical gate expressions (shared code), identical
+  * dedup winners (first-arrival == min doc_id when fed in id order),
+  * identical contamination verdicts (dc1's rule against the static
+  * bench index), identical split assignment. */
+class StreamingCurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val tuple3Enc = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaLong,
+    org.apache.spark.sql.Encoders.STRING,
+    org.apache.spark.sql.Encoders.STRING)
+
+  private def corpus(): Seq[(Long, String, String)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+
+  private def batchRows(): Set[(Long, String, Long, Long, String)] =
+    graft.ops.Pipeline.cur1CurationE2e(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+
+  test("streaming curation equals batch cur1 on the same corpus") {
+    val docs = corpus()
+    val bench = CurationStream.benchIndex(spark, sf)
+    assert(bench.nonEmpty, "benchmark index must not be empty")
+    val input = MemoryStream[(Long, String, String)](tuple3Enc, spark)
+    val stream = CurationStream.curated(
+      input.toDF().withColumnRenamed("_1", "doc_id")
+        .withColumnRenamed("_2", "source").withColumnRenamed("_3", "text"), bench)
+    val q = stream.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches in doc_id order: cross-batch duplicates must
+      // be suppressed by persisted hash state
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+
+      val streamed = spark.table("cur_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val batch = batchRows()
+      assert(streamed == batch,
+        s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+      assert(streamed.nonEmpty, "curation must keep documents")
+      // the corpus must actually exercise every stage: duplicates exist
+      // (kept < gated) and at least one doc is contamination-flagged
+      val gated = graft.ops.Pipeline.curGate(
+        Tables.documents(spark, sf)).count()
+      assert(streamed.size < gated, "corpus must contain duplicates")
+    } finally q.stop()
+  }
+
+  test("curation hash state survives a checkpointed restart") {
+    // memory sinks don't support recovery; file source -> parquet sink,
+    // the same recoverable shape as StreamingDedupSpec's restart test
+    val docs = corpus()
+    val bench = CurationStream.benchIndex(spark, sf)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("cur_ckpt").toFile
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+
+    def jsonl(rows: Seq[(Long, String, String)]): String =
+      rows.map { case (id, src, tx) =>
+        s"""{"doc_id":$id,"source":"$src","text":"$tx"}""" // [a-z ] corpus: no escaping
+      }.mkString("\n")
+    def start() = {
+      val src = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .json(srcDir.getAbsolutePath)
+      CurationStream.curated(src, bench)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    java.nio.file.Files.write(new java.io.File(srcDir, "f1.json").toPath,
+      jsonl(first).getBytes)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // NEW query instance, same checkpoint: hashes kept in run 1 must
+    // stay occupied so run-2 duplicates of run-1 docs are suppressed
+    java.nio.file.Files.write(new java.io.File(srcDir, "f2.json").toPath,
+      jsonl(second).getBytes)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bucket"),
+        r.getAs[String]("split"))).toSet
+    assert(streamed == batchRows(),
+      s"post-restart stream diverged from batch cur1 (${streamed.size} rows)")
+  }
+}

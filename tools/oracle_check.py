@@ -20,6 +20,17 @@ the declared-quadratic oracle twins, then compare only what was dumped:
 --only-present skips oracle entries with no Spark dump (reported as
 `skip`, not FAIL) so a subset Verify run can gate green; the default
 strict mode still fails on missing outputs.
+
+--id-cap=N (pairs with a Verify run under SPARK_GRAFT_ID_CAP=N): the
+scale-frontier mode for the declared-quadratic oracle twins (the
+QUADRATIC set). Truncates documents/embeddings to ids < N on BOTH
+engines so cc1's recursive-CTE closure and dd4/dd5's O(N^2) pair joins
+terminate at sf1; only the QUADRATIC queries are compared (a cap
+changes every other query's answer). Example:
+
+    SPARK_GRAFT_ID_CAP=2000 SPARK_GRAFT_CPUS=32 sbt "runMain graft.Verify \
+      /tmp/sf1 /tmp/verify_sf1_quad cc1_dedup_clusters dd4_ngram_jaccard dd5_embedding_cosine"
+    python3 tools/oracle_check.py /tmp/sf1 /tmp/verify_sf1_quad --id-cap=2000 --only-present
 """
 import json
 import math
@@ -41,7 +52,7 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir, only_present=False):
+def main(sf_dir, out_dir, only_present=False, id_cap=None):
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +62,14 @@ def main(sf_dir, out_dir, only_present=False):
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         sel = f"SELECT * FROM '{path}'"
+        # --id-cap N: the scale-frontier mode for the declared-quadratic
+        # oracle twins — truncate documents/embeddings to ids below the
+        # cap, mirroring the Spark side's SPARK_GRAFT_ID_CAP (see
+        # Tables.IdCapConf), so cc1's recursive CTE / dd4/dd5's O(N^2)
+        # pair joins terminate at sf1
+        if id_cap is not None and t in ("documents", "embeddings"):
+            idc = "doc_id" if t == "documents" else "vec_id"
+            sel += f" WHERE {idc} < {id_cap}"
         if t == "events":
             # ScaleGen output stores ts as raw int64 nanos (no parquet
             # TIMESTAMP(NANOS) annotation), the same thing Tables.events
@@ -63,6 +82,13 @@ def main(sf_dir, out_dir, only_present=False):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if id_cap is not None and name not in QUADRATIC:
+            # capping changes every corpus query's answer — in id-cap
+            # mode only the quadratic twins (whose dumps were produced
+            # under the same cap) are comparable
+            print(f"skip {name}: --id-cap mode checks only {sorted(QUADRATIC)}")
+            n_skip += 1
+            continue
         if only_present:
             import glob
             if not glob.glob(f"{out_dir}/{name}/*.parquet"):
@@ -114,4 +140,9 @@ def main(sf_dir, out_dir, only_present=False):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    sys.exit(main(args[0], args[1], only_present="--only-present" in flags))
+    cap = None
+    for f in flags:
+        if f.startswith("--id-cap="):
+            cap = int(f.split("=", 1)[1])
+    sys.exit(main(args[0], args[1], only_present="--only-present" in flags,
+                  id_cap=cap))
