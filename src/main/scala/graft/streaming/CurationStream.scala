@@ -78,20 +78,46 @@ object CurationStream {
   }
 
   /** (doc_id, source, text) stream → curated keep decisions. `bench` is
-    * the static benchmark index from [[benchIndex]]. */
-  def curated(docs: DataFrame, bench: Map[Long, Seq[Long]]): Dataset[Curated] = {
+    * the static benchmark index from [[benchIndex]].
+    *
+    * `ttlMs > 0` bounds the hash state to a FINITE DEDUP HORIZON, the
+    * same contract as [[DedupStream]]'s TTL: each arrival re-arms its
+    * hash's processing-time timeout, a hash cold for `ttlMs` is
+    * forgotten, and a duplicate arriving after the horizon is
+    * re-admitted (by design — an unbounded crawl cannot hold every
+    * content hash forever; the occupied state here is one boolean per
+    * hash, ~16 bytes, so the horizon can be very long before this
+    * matters). `ttlMs = 0` (default) keeps exact batch-cur1
+    * equivalence. A TTL'd query needs a real trigger interval —
+    * ProcessingTimeTimeout makes an untriggered query busy-loop (see
+    * DedupStream's scaladoc). */
+  def curated(docs: DataFrame, bench: Map[Long, Seq[Long]],
+      ttlMs: Long = 0L): Dataset[Curated] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     graft.ops.Pipeline.curGate(docs)
       .as[GatedDoc]
       .groupByKey(_.h)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (h: Long, rows: Iterator[GatedDoc], state: GroupState[Boolean]) => {
-          if (state.exists) Iterator.empty // hash already kept (or kept-then-flagged)
-          else {
+          if (state.hasTimedOut) {
+            // hash past the dedup horizon: forget it — the next
+            // duplicate of this content is re-admitted as a new doc
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // hash already kept (or kept-then-flagged); keep the
+            // horizon rolling from the latest sighting
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            Iterator.empty
+          } else {
             // within-batch ties resolve to min doc_id — the batch rule
             val winner = rows.minBy(_.doc_id)
             state.update(true) // occupy the hash even if contamination drops it
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
             if (contaminated(winner.sh, bench)) Iterator.empty
             else {
               val bucket = java.lang.Math.floorMod(h, 100L)

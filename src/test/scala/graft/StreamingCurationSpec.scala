@@ -64,6 +64,48 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL re-admits duplicates past the dedup horizon; suppresses inside it") {
+    // ttlMs bounds hash state on an unbounded crawl: a content hash
+    // cold for the TTL is forgotten, so a later duplicate is
+    // re-admitted (finite dedup horizon, DedupStream's contract).
+    // ProcessingTimeTimeout needs a real trigger + polling — an
+    // untriggered query busy-loops (see DedupStream's scaladoc).
+    val ttlMs = 8000L
+    val textA = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val textX = ("some completely unrelated words about the spark shuffle " * 4).trim
+    val input = MemoryStream[(Long, String, String)](tuple3Enc, spark)
+    val stream = CurationStream.curated(
+      input.toDF().withColumnRenamed("_1", "doc_id")
+        .withColumnRenamed("_2", "source").withColumnRenamed("_3", "text"),
+      Map.empty, ttlMs = ttlMs)
+    val q = stream.writeStream.format("memory").queryName("cur_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode("append").start()
+    def pollUntil(what: String, deadlineMs: Long = 60000L)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    def kept(id: Long): Boolean =
+      spark.table("cur_ttl").filter(s"doc_id = $id").count() > 0
+    def rowsIn: Long = q.recentProgress.map(_.numInputRows).sum
+    try {
+      input.addData(Seq((100L, "src_1", textA)))
+      pollUntil("doc 100 kept")(kept(100L))
+      Thread.sleep(ttlMs + 2000) // hash goes cold past the horizon
+      input.addData(Seq((150L, "src_1", textX))) // unrelated doc keeps the stream live
+      pollUntil("doc 150 kept")(kept(150L))
+      input.addData(Seq((200L, "src_1", textA))) // duplicate PAST the horizon
+      pollUntil("doc 200 re-admitted")(kept(200L))
+      input.addData(Seq((300L, "src_1", textA))) // duplicate INSIDE doc 200's horizon
+      pollUntil("doc 300 ingested")(rowsIn >= 4)
+      Thread.sleep(1500) // a few more triggers: 300 would surface if kept
+      assert(!kept(300L), "in-horizon duplicate must stay suppressed")
+    } finally q.stop()
+  }
+
   test("curation hash state survives a checkpointed restart") {
     // memory sinks don't support recovery; file source -> parquet sink,
     // the same recoverable shape as StreamingDedupSpec's restart test
