@@ -81,6 +81,11 @@ object GraftFunctions {
       arity("vector_sum_long", 1)(exprs)
       VectorSumLong(Cast(exprs.head, ArrayType(LongType)))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_unit", exprs => {
+      arity("quantize_unit", 2)(exprs)
+      QuantizeUnit(Cast(exprs(0), ArrayType(DoubleType)),
+        foldableInt("quantize_unit", exprs(1)))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("matrix_dots", exprs => {
       arity("matrix_dots", 2)(exprs)
       MatrixDots(Cast(exprs(0), ArrayType(DoubleType)),

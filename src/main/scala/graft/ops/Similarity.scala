@@ -377,12 +377,15 @@ object Similarity {
 
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): IvfModel = {
     graft.functions.GraftFunctions.registerAll(spark)
+    // unit-normalize + integer-grid quantize in ONE codegen'd pass
+    // (QuantizeUnit; the HOF transform chain evaluated its lambdas
+    // interpreted on every corpus row) — the exact scalar sequence of
+    // the oracle's list_transform(v, x -> floor((x / nrm) * 512)), so
+    // hashes are unchanged; cell dots then go through the codegen'd
+    // MatrixDots, exact (products ≤ 2^18, 64-term sums ≤ 2^24 —
+    // order- and engine-free)
     val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
-      .withColumn("u", transform(col("v"), x => x / col("nrm"))) // unit sphere
-      // integer grid (Spark floor returns BIGINT → array<long>); the
-      // cell dots cast back through the codegen'd MatrixDots, exact
-      // (products ≤ 2^18, 64-term sums ≤ 2^24 — order- and engine-free)
-      .withColumn("uq", transform(col("u"), x => floor(x * IVF_Q)))
+      .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
       .select(col("vec_id"), col("v"), col("nrm"), col("uq"))
 
     // Lloyd's iterations see a deterministic 1-in-4 sample (k-means
