@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -678,7 +678,156 @@ object Similarity {
        |       FROM n JOIN ctr ON n.label = ctr.label)
        |SELECT vec_id, label, cos_c, cos_c < 0.0 AS outlier FROM sc""".stripMargin
 
+  private val PQ_S = 8 // subspaces
+  private val PQ_D = DIM / PQ_S // dims per subspace
+  private val PQ_K = 16 // codes per subspace → 4 bits/code
+  private val PQ_ITERS = 3
+
+  /** PQ1 — PRODUCT QUANTIZATION (Jégou et al., TPAMI'11): the
+    * billion-scale ANN compression standard (IVF-PQ). The 64-dim
+    * vector splits into PQ_S=8 subvectors; each subspace trains its own
+    * PQ_K=16-entry codebook by k-means, and a vector is stored as 8
+    * 4-bit codes — 4 bytes instead of 512, the 128× shrink that lets a
+    * 100 TB embedding corpus serve ANN from RAM (qt1's scalar int8 is
+    * the 8× step; PQ is the production end of that axis).
+    *
+    * ENGINE-NEUTRAL throughout, like sim3's trainer but simpler — PQ
+    * k-means needs no unit sphere, so the whole pipeline is INTEGER
+    * arithmetic with zero floating-point: inputs quantize to the
+    * IVF_Q grid (floor(x·512), |q| ≤ 2^10); assignment minimizes the
+    * exact integer L2 distance (ties → smallest code, both engines);
+    * the update is a componentwise floor-division mean (Math.floorDiv
+    * ↔ the oracle's (x − floorMod)/n — NOT `/` or `//`, whose
+    * negative-operand truncation differs); empty cells keep their
+    * centroid. Spark evaluates argmin via [[MatrixDots]] on the
+    * identity ‖s−c‖² = ‖s‖² + (‖c‖² − 2·s·c): the bracket is an exact
+    * integer-valued double (|terms| ≤ 2^21), ‖s‖² is constant per row,
+    * so the argmin and its ties match the oracle's direct-distance
+    * ORDER BY dist, pid exactly.
+    *
+    * Scale shape: training is PQ_ITERS jobs over the cached 1-in-4
+    * sample (all 8 subspaces assign in one pass, melt to (s, cell)
+    * rows, ONE aggregate); driver state is 8×16×8 longs. Encoding is a
+    * narrow map — the corpus never shuffles; the output is
+    * (vec_id, packed code, exact reconstruction error). */
+  def pq1ProductQuantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = vecs(spark, dir)
+      .withColumn("qx", expr(s"transform(v, x -> floor(x * $IVF_Q))"))
+      .select(col("vec_id"), col("qx"))
+    val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    train.cache()
+    train.count() // materialize the cache (the Model.fits pattern)
+
+    // init: subvectors of the first PQ_K training vectors by id
+    val initRows: Array[Seq[Long]] = train.orderBy(col("vec_id")).limit(PQ_K)
+      .select(col("qx")).collect().map(_.getSeq[Long](0))
+    var books: Array[Array[Array[Long]]] = Array.tabulate(PQ_S, PQ_K)((s, p) =>
+      initRows(p).slice(s * PQ_D, (s + 1) * PQ_D).toArray)
+
+    def subCol(s: Int): Column = expr(s"slice(qx, ${s * PQ_D + 1}, $PQ_D)")
+    // scores[p] = ‖c_p‖² − 2·sub·c_p; argmin with first-index (smallest
+    // code) tie-break — the same order as the oracle's exact distance
+    def scoresCol(s: Int): Column = {
+      val mat = books(s).map(_.map(_.toDouble).toSeq).toSeq
+      val c2 = books(s).map(c => c.map(x => x * x).sum.toDouble).toSeq
+      zip_with(typedLit(c2),
+        call_function("matrix_dots", subCol(s), typedLit(mat)),
+        (a, b) => a - lit(2.0) * b)
+    }
+    def withCells(df: DataFrame): DataFrame =
+      (0 until PQ_S).foldLeft(df) { (d, s) =>
+        d.withColumn(s"sc$s", scoresCol(s))
+          .withColumn(s"cell$s", expr(s"array_position(sc$s, array_min(sc$s)) - 1"))
+      }
+
+    for (_ <- 1 to PQ_ITERS) {
+      // ONE job: assign every subspace, melt to (s, cell, sub) rows,
+      // aggregate integer sums + counts per (subspace, cell)
+      val melted = withCells(train).select(explode(array((0 until PQ_S).map(s =>
+        struct(lit(s).as("s"), col(s"cell$s").as("cell"), subCol(s).as("sub"))): _*)).as("m"))
+        .select(col("m.s"), col("m.cell"), col("m.sub"))
+      val sums = melted.groupBy(col("s"), col("cell"))
+        .agg(call_function("vector_sum_long", col("sub")).as("sn"), count(lit(1)).as("n"))
+        .select(col("s"), col("cell"), col("sn.s").as("sv"), col("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getLong(1).toInt) -> (r.getSeq[Long](2), r.getLong(3))).toMap
+      books = Array.tabulate(PQ_S, PQ_K) { (s, p) =>
+        byKey.get((s, p)) match {
+          // floor-division mean: exact, order-free, engine-identical
+          case Some((sv, n)) => sv.map(x => Math.floorDiv(x, n)).toArray
+          case None => books(s)(p) // empty cell keeps its centroid
+        }
+      }
+    }
+    train.unpersist()
+
+    // encode the full corpus: 8 codes pack into one BIGINT nibble per
+    // subspace; reconstruction error is the exact integer Σ‖sub−c‖²
+    val coded = withCells(e)
+    val code = (0 until PQ_S).map(s =>
+      col(s"cell$s") * lit(1L << (4 * s))).reduce(_ + _)
+    val err = (0 until PQ_S).map(s =>
+      element_at(col(s"sc$s"), (col(s"cell$s") + 1).cast("int")) +
+        dot(subCol(s), subCol(s))).reduce(_ + _)
+    coded.select(col("vec_id"), code.cast("long").as("code"),
+      err.cast("long").as("l2_err"))
+  }
+
+  private val pq1Oracle: String = {
+    val dist = s"""list_sum(list_transform(range(1, ${PQ_D + 1}),
+                  |  j -> (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])
+                  |     * (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])))""".stripMargin
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, s, sub, cell, dist FROM (
+         |  SELECT t.vec_id, t.s, t.sub, c.pid AS cell, $dist AS dist,
+         |         row_number() OVER (PARTITION BY t.vec_id, t.s
+         |           ORDER BY $dist, c.pid) AS rn
+         |  FROM $src t JOIN $cents c ON c.s = t.s) WHERE rn = 1""".stripMargin
+    val iters = (1 to PQ_ITERS).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""a$i AS (${assign("trs", prev)}),
+         |s$i AS (
+         |  SELECT s, cell, d, CAST(sum(sub[CAST(d AS INT)]) AS BIGINT) AS sm,
+         |         count(*) AS n
+         |  FROM a$i CROSS JOIN range(1, ${PQ_D + 1}) r(d) GROUP BY s, cell, d),
+         |m$i AS (
+         |  SELECT s, cell, list(sm ORDER BY d) AS sv, min(n) AS n
+         |  FROM s$i GROUP BY s, cell),
+         |cb$i AS (
+         |  SELECT p.s, p.pid,
+         |         CASE WHEN m.n IS NULL THEN p.c
+         |              -- floor division via floorMod, matching Math.floorDiv
+         |              ELSE list_transform(m.sv,
+         |                     x -> (x - ((x % m.n) + m.n) % m.n) // m.n)
+         |         END AS c
+         |  FROM $prev p LEFT JOIN m$i m ON m.s = p.s AND m.cell = p.pid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * $IVF_Q) AS BIGINT)) AS qx
+       |  FROM embeddings),
+       |melt AS (
+       |  SELECT vec_id, CAST(s AS INT) AS s,
+       |         qx[CAST(s * $PQ_D + 1 AS INT) : CAST((s + 1) * $PQ_D AS INT)] AS sub
+       |  FROM base CROSS JOIN range(0, $PQ_S) r(s)),
+       |trs AS (SELECT * FROM melt WHERE vec_id % 4 = 0),
+       |ini AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS pid
+       |        FROM base WHERE vec_id % 4 = 0 QUALIFY pid < $PQ_K),
+       |cb0 AS (SELECT t.s, i.pid, t.sub AS c
+       |        FROM trs t JOIN ini i ON t.vec_id = i.vec_id),
+       |$iters,
+       |enc AS (${assign("melt", s"cb$PQ_ITERS")})
+       |SELECT vec_id,
+       |       CAST(sum(cell * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS code,
+       |       CAST(sum(dist) AS BIGINT) AS l2_err
+       |FROM enc GROUP BY vec_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("pq1_product_quantize", pq1ProductQuantize, Some(pq1Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
