@@ -710,7 +710,15 @@ object Similarity {
     * rows, ONE aggregate); driver state is 8×16×8 longs. Encoding is a
     * narrow map — the corpus never shuffles; the output is
     * (vec_id, packed code, exact reconstruction error). */
-  def pq1ProductQuantize(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqSubCol(s: Int): Column =
+    expr(s"slice(qx, ${s * PQ_D + 1}, $PQ_D)")
+
+  /** The trained PQ model: per-subspace codebooks plus the corpus with
+    * per-subspace score arrays (`sc0..7`: ‖c_p‖² − 2·sub·c_p) and code
+    * columns (`cell0..7`) attached. Shared by pq1 (storage) and sim5
+    * (ADC search). */
+  private def pqModel(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Long]]], DataFrame) = {
     graft.functions.GraftFunctions.registerAll(spark)
     val e = vecs(spark, dir)
       .withColumn("qx", expr(s"transform(v, x -> floor(x * $IVF_Q))"))
@@ -725,14 +733,13 @@ object Similarity {
     var books: Array[Array[Array[Long]]] = Array.tabulate(PQ_S, PQ_K)((s, p) =>
       initRows(p).slice(s * PQ_D, (s + 1) * PQ_D).toArray)
 
-    def subCol(s: Int): Column = expr(s"slice(qx, ${s * PQ_D + 1}, $PQ_D)")
     // scores[p] = ‖c_p‖² − 2·sub·c_p; argmin with first-index (smallest
     // code) tie-break — the same order as the oracle's exact distance
     def scoresCol(s: Int): Column = {
       val mat = books(s).map(_.map(_.toDouble).toSeq).toSeq
       val c2 = books(s).map(c => c.map(x => x * x).sum.toDouble).toSeq
       zip_with(typedLit(c2),
-        call_function("matrix_dots", subCol(s), typedLit(mat)),
+        call_function("matrix_dots", pqSubCol(s), typedLit(mat)),
         (a, b) => a - lit(2.0) * b)
     }
     def withCells(df: DataFrame): DataFrame =
@@ -745,7 +752,7 @@ object Similarity {
       // ONE job: assign every subspace, melt to (s, cell, sub) rows,
       // aggregate integer sums + counts per (subspace, cell)
       val melted = withCells(train).select(explode(array((0 until PQ_S).map(s =>
-        struct(lit(s).as("s"), col(s"cell$s").as("cell"), subCol(s).as("sub"))): _*)).as("m"))
+        struct(lit(s).as("s"), col(s"cell$s").as("cell"), pqSubCol(s).as("sub"))): _*)).as("m"))
         .select(col("m.s"), col("m.cell"), col("m.sub"))
       val sums = melted.groupBy(col("s"), col("cell"))
         .agg(call_function("vector_sum_long", col("sub")).as("sn"), count(lit(1)).as("n"))
@@ -762,28 +769,86 @@ object Similarity {
       }
     }
     train.unpersist()
+    (books, withCells(e))
+  }
 
+  def pq1ProductQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val (_, coded) = pqModel(spark, dir)
     // encode the full corpus: 8 codes pack into one BIGINT nibble per
     // subspace; reconstruction error is the exact integer Σ‖sub−c‖²
-    val coded = withCells(e)
     val code = (0 until PQ_S).map(s =>
       col(s"cell$s") * lit(1L << (4 * s))).reduce(_ + _)
     val err = (0 until PQ_S).map(s =>
       element_at(col(s"sc$s"), (col(s"cell$s") + 1).cast("int")) +
-        dot(subCol(s), subCol(s))).reduce(_ + _)
+        dot(pqSubCol(s), pqSubCol(s))).reduce(_ + _)
     coded.select(col("vec_id"), code.cast("long").as("code"),
       err.cast("long").as("l2_err"))
   }
 
-  private val pq1Oracle: String = {
-    val dist = s"""list_sum(list_transform(range(1, ${PQ_D + 1}),
-                  |  j -> (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])
-                  |     * (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])))""".stripMargin
+  private val PQ_RERANK = 50 // ADC shortlist size fed to the exact rerank
+
+  /** SIM5 — ADC search over the PQ codes + exact rerank, the search
+    * half of IVF-PQ (Jégou et al. TPAMI'11): the candidate sweep reads
+    * ONLY each vector's 8 4-bit codes — per query and subspace, a
+    * 16-entry table of exact integer distances to the codebook is
+    * precomputed, and scoring a candidate is 8 table lookups instead of
+    * 64 multiplies. The ADC top-PQ_RERANK shortlist is then reranked
+    * with the EXACT grid distance (production PQ always reranks: with
+    * 4-bit codes the quantization error swamps the tiny gaps between
+    * near-equidistant neighbors — measured here as raw-ADC recall@5 of
+    * only ~0.2 on this weakly-clustered corpus, vs ≥0.6 after rerank).
+    * At 100 TB this is the compressed-domain scan: stage 1 reads 4
+    * bytes per vector (128× less IO than raw fp64) with the query
+    * tables on a tiny broadcast; stage 2 touches raw vectors for only
+    * PQ_RERANK rows per query; the corpus never shuffles before
+    * ranking. All-integer like pq1, so shortlist, rerank, and ties
+    * (distance, then vec_id) replay exactly in the oracle. */
+  def sim5PqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (_, coded) = pqModel(spark, dir)
+    // per-query per-subspace lookup tables: tbl_s[p] = ‖q_s − c_p‖² =
+    // ‖q_s‖² + (‖c_p‖² − 2·q_s·c_p) — sc_s already holds the bracket
+    val q = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < NQ)) { (d, s) =>
+      d.withColumn(s"tbl$s",
+        transform(col(s"sc$s"), x => x + dot(pqSubCol(s), pqSubCol(s))))
+    }.select(col("vec_id").as("qid") +: col("qx").as("qqx") +:
+      (0 until PQ_S).map(s => col(s"tbl$s")): _*)
+    val adc = (0 until PQ_S).map(s =>
+      element_at(col(s"tbl$s"), (col(s"cell$s") + 1).cast("int"))).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = coded
+      .select(col("vec_id") +: col("qx") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc.cast("long"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PQ_RERANK)
+    // exact rerank on the grid vectors: ‖x‖² + ‖q‖² − 2x·q, exact
+    // integer-valued doubles through the codegen'd DoubleDot
+    val d2 = (dot(col("qx"), col("qx")) + dot(col("qqx"), col("qqx"))
+      - lit(2.0) * dot(col("qx"), col("qqx"))).cast("long")
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))
+    shortlist.withColumn("l2", d2)
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id"), col("l2"), col("rank"))
+  }
+
+  /** exact integer subspace distance between `t.sub` and `c.c` */
+  private val pqDistSql =
+    s"""list_sum(list_transform(range(1, ${PQ_D + 1}),
+       |  j -> (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])
+       |     * (t.sub[CAST(j AS INT)] - c.c[CAST(j AS INT)])))""".stripMargin
+
+  /** The PQ trainer's CTE block, shared by the pq1 and sim5 oracles:
+    * grid-quantize, melt to subvectors, unroll the PQ_ITERS all-integer
+    * k-means iterations, and assign the FULL corpus — leaves
+    * `enc(vec_id, s, sub, cell, dist)`, `melt`, and `cb$PQ_ITERS` in
+    * scope for the caller's continuation. */
+  private val pqOracleCtes: String = {
     def assign(src: String, cents: String): String =
       s"""SELECT vec_id, s, sub, cell, dist FROM (
-         |  SELECT t.vec_id, t.s, t.sub, c.pid AS cell, $dist AS dist,
+         |  SELECT t.vec_id, t.s, t.sub, c.pid AS cell, $pqDistSql AS dist,
          |         row_number() OVER (PARTITION BY t.vec_id, t.s
-         |           ORDER BY $dist, c.pid) AS rn
+         |           ORDER BY $pqDistSql, c.pid) AS rn
          |  FROM $src t JOIN $cents c ON c.s = t.s) WHERE rn = 1""".stripMargin
     val iters = (1 to PQ_ITERS).map { i =>
       val prev = s"cb${i - 1}"
@@ -804,7 +869,7 @@ object Similarity {
          |         END AS c
          |  FROM $prev p LEFT JOIN m$i m ON m.s = p.s AND m.cell = p.pid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[],
        |           x -> CAST(floor(x * $IVF_Q) AS BIGINT)) AS qx
@@ -819,15 +884,45 @@ object Similarity {
        |cb0 AS (SELECT t.s, i.pid, t.sub AS c
        |        FROM trs t JOIN ini i ON t.vec_id = i.vec_id),
        |$iters,
-       |enc AS (${assign("melt", s"cb$PQ_ITERS")})
+       |enc AS (${assign("melt", s"cb$PQ_ITERS")})""".stripMargin
+  }
+
+  private val pq1Oracle: String =
+    s"""WITH $pqOracleCtes
        |SELECT vec_id,
        |       CAST(sum(cell * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS code,
        |       CAST(sum(dist) AS BIGINT) AS l2_err
        |FROM enc GROUP BY vec_id""".stripMargin
-  }
+
+  private val sim5Oracle: String =
+    s"""WITH $pqOracleCtes,
+       |qd AS (
+       |  SELECT t.vec_id AS qid, t.s, c.pid, $pqDistSql AS dq
+       |  FROM melt t JOIN cb$PQ_ITERS c ON c.s = t.s WHERE t.vec_id < $NQ),
+       |adc AS (
+       |  SELECT q.qid, e.vec_id, CAST(sum(q.dq) AS BIGINT) AS adc
+       |  FROM enc e JOIN qd q ON q.s = e.s AND q.pid = e.cell AND e.vec_id <> q.qid
+       |  GROUP BY q.qid, e.vec_id),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS arank
+       |    FROM adc) WHERE arank <= $PQ_RERANK),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+       |           j -> (x.qx[CAST(j AS INT)] - q.qx[CAST(j AS INT)])
+       |              * (x.qx[CAST(j AS INT)] - q.qx[CAST(j AS INT)]))) AS BIGINT) AS l2
+       |  FROM short s JOIN base x ON x.vec_id = s.vec_id
+       |  JOIN base q ON q.vec_id = s.qid)
+       |SELECT qid, vec_id, l2, rank FROM (
+       |  SELECT qid, vec_id, l2,
+       |         row_number() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rank
+       |  FROM rr) WHERE rank <= $K""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("pq1_product_quantize", pq1ProductQuantize, Some(pq1Oracle)),
+    Q("sim5_pq_adc", sim5PqAdcTopK, Some(sim5Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
