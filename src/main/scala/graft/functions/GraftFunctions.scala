@@ -100,6 +100,10 @@ object GraftFunctions {
       // k must be a compile-time constant (it shapes the generated code)
       ShingleHashes(exprs(0), foldableInt("shingle_hashes", exprs(1)))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes_pos", exprs => {
+      arity("shingle_hashes_pos", 2)(exprs)
+      ShingleHashesPos(exprs(0), foldableInt("shingle_hashes_pos", exprs(1)))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("rk_shingle_hashes", exprs => {
       arity("rk_shingle_hashes", 2)(exprs)
       RkShingleHashes(exprs(0), foldableInt("rk_shingle_hashes", exprs(1)))

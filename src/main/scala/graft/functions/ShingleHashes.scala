@@ -55,6 +55,37 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Positional variant of [[ShingleHashes]]: the same word-`k`-gram
+  * hashes, position-ordered and NOT deduplicated — element `i` of the
+  * output is the hash of the shingle starting at token `i`, so
+  * `posexplode` recovers (position, shingle) pairs. Duplicated-span
+  * detection (dd8) needs every occurrence: a gram repeated WITHIN one
+  * document is a duplicate too, and each occurrence covers a different
+  * token span. Windowing matches [[ShingleHashes]] exactly (documents
+  * shorter than k words yield one clamped shingle at position 0). */
+case class ShingleHashesPos(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_pos expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.computePos(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.computePos($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
 
   private final val MIX1 = 0xFF51AFD7ED558CCDL
@@ -98,5 +129,25 @@ object ShingleHashes {
       i += 1
     }
     new GenericArrayData(if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** [[ShingleHashesPos]] kernel: position-ordered, no dedup. */
+  def computePos(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    val m = math.max(n - k + 1, 1)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = wordHash(words.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = GOLDEN
+      var j = i
+      val e = math.min(i + k, n)
+      while (j < e) { h = mix(h ^ wh(j)) + GOLDEN * (j - i + 1); j += 1 }
+      out(i) = mix(h)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

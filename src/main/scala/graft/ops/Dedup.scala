@@ -481,11 +481,141 @@ object Dedup {
        |         AS clean_prefix
        |FROM fl GROUP BY doc_id""".stripMargin
 
+  /** dd8's span width, in words. 8 is a few times smaller than the
+    * 50-token threshold the substring-dedup literature uses for exact
+    * duplicated spans — at the test corpus's document lengths a wider
+    * window would never fire; the machinery is width-independent. */
+  private val SPAN_K = 8
+
+  /** DD8 — duplicated-span detection (the substring-level half of
+    * training-data dedup, cf. suffix-array substring dedup; this is the
+    * scalable n-gram formulation): a token position is "duplicated"
+    * when it is covered by any word-8-gram that occurs at least twice
+    * in the corpus (across documents OR repeated within one). Output
+    * per document: token count, duplicated-token count, and the
+    * duplicated fraction — the signal used to drop or trim documents
+    * whose content is mostly boilerplate shared with others.
+    *
+    * Shape (100 TB): positional gram hashes come from one codegen'd
+    * pass ([[graft.functions.ShingleHashesPos]]); the duplicate-gram
+    * table is a groupBy on the 8-byte hash (map-side partials, shuffle
+    * carries hash+count) and joins back behind [[Model.guardedBroadcast]]
+    * — broadcast while provably small, shuffle-equi-join on the hash
+    * past the cap. Span coverage explodes ONLY duplicated grams (≤ K×
+    * on the duplicated subset, not the corpus) and aggregates with
+    * countDistinct per doc — one shuffle on doc_id. Nothing ever
+    * shuffles gram text; the oracle groups raw gram strings, so a hash
+    * collision (2^-64/pair) would surface as a gate mismatch. */
+  def dd8DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val grams = docs(spark, dir).select(
+      col("doc_id"), size(words).as("n_tokens"),
+      posexplode(call_function("shingle_hashes_pos", words, lit(SPAN_K)))
+        .as(Seq("pos", "h")))
+    val dup = Model.guardedBroadcast(
+      grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h")))
+    val cov = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + SPAN_K - 1, col("n_tokens") - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_tokens"))
+    docs(spark, dir).select(col("doc_id"), size(words).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Exact.intRatio(coalesce(col("dup_tokens"), lit(0L)), col("n_tokens"))
+          .as("dup_fraction"))
+  }
+
+  private val dd8Oracle =
+    s"""WITH t8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g80 AS (SELECT doc_id, len(w) AS n_tokens,
+       |          unnest(list_transform(range(0, greatest(len(w) - $SPAN_K, 0) + 1),
+       |            i -> {'pos': i,
+       |                  'gram': array_to_string(
+       |                    w[CAST(i + 1 AS INT):CAST(least(i + $SPAN_K, len(w)) AS INT)],
+       |                    ' ')})) AS u
+       |        FROM t8),
+       |g8 AS (SELECT doc_id, n_tokens, u.pos AS pos, u.gram AS gram FROM g80),
+       |dup8 AS (SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 2),
+       |cov8 AS (SELECT doc_id,
+       |           unnest(range(pos, least(pos + $SPAN_K, n_tokens))) AS p
+       |         FROM g8 WHERE gram IN (SELECT gram FROM dup8)),
+       |c8 AS (SELECT doc_id, count(DISTINCT p) AS dup_tokens FROM cov8 GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.w) AS n_tokens,
+       |       CAST(coalesce(c8.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       floor(coalesce(c8.dup_tokens, 0) * 1000000 / len(t.w)) / 1000000
+       |         AS dup_fraction
+       |FROM t8 t LEFT JOIN c8 ON t.doc_id = c8.doc_id""".stripMargin
+
+  /** DD9 — incremental dedup: a "new batch" (odd doc_ids) deduplicated
+    * against the "existing corpus" (even doc_ids) — the batch shape of
+    * dedup-on-arrival (the streaming twin is
+    * [[graft.streaming.DedupStream]]). A new document is flagged
+    * `dropped_exact` when its text hash matches any existing document,
+    * `dropped_near` when it shares an LSH band bucket with an existing
+    * document AND the signature-estimated Jaccard ≥ 0.5 (identical
+    * banding + estimate as dd2, so the same engine-neutral oracle
+    * replays it).
+    *
+    * Shape (100 TB): in production the even side is a PRECOMPUTED
+    * signature store (signatures persist from the previous batches;
+    * only the new batch pays shingling), and both probes are
+    * equi-joins on 8-byte keys: text-hash semi join + (band, bkey)
+    * candidate join verified in place. Nothing quadratic, nothing
+    * broadcast that grows with the corpus. */
+  def dd9Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val newDocs = d.filter(col("doc_id") % 2 === 1)
+    val oldDocs = d.filter(col("doc_id") % 2 === 0)
+    val exactIds = newDocs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .join(oldDocs.select(xxhash64(col("text")).as("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val banded = rkBanded(spark, dir)
+    val nearIds = banded.filter(col("doc_id") % 2 === 1).as("l")
+      .join(banded.filter(col("doc_id") % 2 === 0).as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.doc_id").as("doc_id"), col("l.sig").as("siga"),
+        col("r.sig").as("sigb"))
+      .withColumn("est", estJaccard(col("siga"), col("sigb")))
+      .filter(col("est") >= 0.5)
+      .select(col("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(exactIds.withColumn("de", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("dn", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(0L)).as("dropped_exact"),
+        coalesce(col("dn"), lit(0L)).as("dropped_near"),
+        when(col("de").isNull && col("dn").isNull, lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+  }
+
+  private val dd9Oracle =
+    s"""WITH $dd2SigCtes,
+       |nw9 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       |od9 AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+       |ex9 AS (SELECT DISTINCT n.doc_id FROM nw9 n JOIN od9 o ON n.text = o.text),
+       |nr9 AS (SELECT DISTINCT l.doc_id
+       |        FROM bnd2 l JOIN bnd2 r
+       |          ON l.band = r.band AND l.bkey = r.bkey
+       |         AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+       |        WHERE ${estJaccardSql("l.sig", "r.sig")} >= 0.5)
+       |SELECT n.doc_id,
+       |  CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped_exact,
+       |  CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped_near,
+       |  CAST(CASE WHEN e.doc_id IS NULL AND r.doc_id IS NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM nw9 n LEFT JOIN ex9 e ON n.doc_id = e.doc_id
+       |          LEFT JOIN nr9 r ON n.doc_id = r.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
     Q("dd2_minhash_lsh", dd2MinHashLsh, Some(dd2Oracle)),
     Q("dd3_simhash", dd3SimHash, Some(dd3Oracle)),
     Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
     Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)),
-    Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)))
+    Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)),
+    Q("dd8_dup_spans", dd8DupSpans, Some(dd8Oracle)),
+    Q("dd9_incremental", dd9Incremental, Some(dd9Oracle)))
 }

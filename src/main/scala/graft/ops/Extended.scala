@@ -355,6 +355,79 @@ object Extended {
       |             * 1000000) / 1000000 AS rev_dot
       |FROM embeddings""".stripMargin
 
+  /** bits per dimension of the Z-order curve (16 → a 32-bit z-value) */
+  private val ZBITS = 16
+
+  /** keep the top 6 interleaved bits → 64 layout buckets, each
+    * constraining BOTH dimensions to one of 8 slabs (2^13 wide) */
+  private val ZSHIFT = 2 * ZBITS - 6
+
+  /** Z1 — Z-order (Morton-curve) layout clustering: interleave the low
+    * 16 bits of two query dimensions (customer key, order day) and
+    * bucket rows by the top interleaved bits. This is the multi-column
+    * data-layout technique behind file skipping in modern lakehouse
+    * tables: sorting by the z-value makes file-level min/max ranges
+    * TIGHT IN BOTH dimensions at once (each of the 64 buckets here
+    * spans ≤ 1/8 of the key range AND ≤ 1/8 of the date range —
+    * ZorderSpec pins that), so a predicate on either column prunes
+    * ~7/8 of the files, where a lexicographic sort prunes only its
+    * leading column. The emitted per-bucket min/max stats are exactly
+    * the footer stats a scan would prune on.
+    *
+    * Shape (100 TB): the z-value is a 16-term codegen'd bit-arithmetic
+    * expression (no UDF); the stats roll up in one hash aggregate.
+    * The production write path is `repartitionByRange($"z")` +
+    * `sortWithinPartitions($"z")` before the parquet write — the
+    * stats query itself is how you VERIFY the layout. */
+  def z1ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_custkey").as("x0"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        .as("y0"))
+    // dimension ranges: 4 longs of driver state (in production these
+    // come free from the table's column statistics — no extra scan)
+    val s = base.agg(min(col("x0")), max(col("x0")),
+      min(col("y0")), max(col("y0"))).head()
+    val (minX, maxX, minY, maxY) = (s.getLong(0), s.getLong(1),
+      s.getLong(2), s.getLong(3))
+    // scale each dimension to the 16-bit grid with INTEGER division
+    // (both operands nonnegative, so div == floor; doubles would lose
+    // exactness once range*65535 passes 2^53)
+    val scaled = base.select(
+      expr(s"((x0 - $minX) * 65535) div greatest($maxX - $minX, 1)").as("x"),
+      expr(s"((y0 - $minY) * 65535) div greatest($maxY - $minY, 1)").as("y"),
+      col("x0"), col("y0"))
+    val z = (0 until ZBITS).map { b =>
+      shiftleft(shiftright(col("x"), b).bitwiseAND(lit(1L)), 2 * b)
+        .plus(shiftleft(shiftright(col("y"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ + _)
+    scaled.select(col("x0"), col("y0"), z.as("z"))
+      .groupBy(shiftright(col("z"), ZSHIFT).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x0")).as("min_key"), max(col("x0")).as("max_key"),
+        min(col("y0")).as("min_day"), max(col("y0")).as("max_day"))
+  }
+
+  private val z1Terms = (0 until ZBITS).map(b =>
+    s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+    .mkString(" + ")
+
+  private val z1Oracle =
+    s"""WITH b0 AS (SELECT CAST(o_custkey AS BIGINT) AS x0,
+       |              CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y0
+       |            FROM orders),
+       |st AS (SELECT min(x0) AS minx, max(x0) AS maxx,
+       |              min(y0) AS miny, max(y0) AS maxy FROM b0),
+       |b AS (SELECT x0, y0,
+       |        ((x0 - minx) * 65535) // greatest(maxx - minx, 1) AS x,
+       |        ((y0 - miny) * 65535) // greatest(maxy - miny, 1) AS y
+       |      FROM b0, st),
+       |z AS (SELECT x0, y0, ($z1Terms) AS z FROM b)
+       |SELECT z >> $ZSHIFT AS zbucket, count(*) AS n_rows,
+       |       min(x0) AS min_key, max(x0) AS max_key,
+       |       min(y0) AS min_day, max(y0) AS max_day
+       |FROM z GROUP BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
     Q("apx1_hll_distinct", apx1HllDistinct, Some(apx1Oracle)),
@@ -365,5 +438,6 @@ object Extended {
     Q("rj1_range_join", rj1RangeJoin, Some(rj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
     Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)),
-    Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)))
+    Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)),
+    Q("z1_zorder_layout", z1ZorderLayout, Some(z1Oracle)))
 }
