@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *  - `embeddings` components get a small deterministic per-(id, dim,
   *    replica) perturbation for the same reason (replica 0 is pristine,
   *    so the `vec_id < 10` query vectors are unchanged);
-  *  - `events.ts` stays int64-nanos on disk (replicas add users, not
-  *    time — matching how the driver's generator scales event density),
-  *    readable by the same `Tables.events` nanos path.
+  *  - `events.ts` keeps the SOURCE dir's physical shape on disk
+  *    (int64-nanos or native timestamp micros, depending on testdata
+  *    generation; replicas add users, not time — matching how the
+  *    driver's generator scales event density), readable by the same
+  *    schema-dispatching `Tables.events` loader either way.
   *
   * Usage: `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`
   */
@@ -80,9 +82,9 @@ object ScaleGen {
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey")), "lineitem")
 
-    // events: keep ts as raw int64 nanos (read WITHOUT the Tables
-    // conversion so the written file round-trips through the same
-    // nanos-aware loader)
+    // events: keep ts in the source dir's physical shape (read WITHOUT
+    // the Tables conversion so the written file round-trips through the
+    // same schema-dispatching loader)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write(replicate(spark.read.parquet(s"$srcDir/events.parquet"))
       .withColumn("event_id", off("event_id"))

@@ -11,17 +11,28 @@ import org.apache.spark.sql.functions._
   * code reads a partitioned table; nothing here is local-mode-specific.
   */
 object Tables {
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default. We read it as raw nanos (legacy conf) and
-    * truncate to microseconds ourselves — the exact truncation DuckDB
-    * applies when it reads the same file, so oracle comparisons agree.
+  /** The events table's `ts` has shipped in two physical shapes across
+    * driver testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects by default — read as raw nanos via the
+    * legacy conf and truncate to micros ourselves, the exact truncation
+    * DuckDB applies to the same file) and plain TIMESTAMP micros (read
+    * as TIMESTAMP_NTZ — cast to session-TZ TimestampType, a micros
+    * identity under the UTC sessions every entrypoint pins, so all
+    * downstream window/compare code sees one type). Dispatch on the
+    * actual file schema so both generations load identically; DuckDB's
+    * side is the same conditional in tools/oracle_check.py.
     * The conf is a runtime SQLConf, set here so any session (including
     * the driver's own) can load the table.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
