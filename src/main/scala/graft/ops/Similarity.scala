@@ -346,17 +346,20 @@ object Similarity {
     *    their centroid on both engines.
     * Final rerank is the floor-scaled exact cosine over the original
     * doubles, as in sim1. */
+  /** A query row's IVF_PROBES best cells, from its `dots` column:
+    * indices of the largest dots — sort (−dot, idx) structs
+    * lexicographically, take the head slice. Shared by sim3 and sim6. */
+  private def probesCol(k: Int): Column = explode(expr(
+    s"""transform(slice(array_sort(transform(sequence(0, ${k - 1}),
+       |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
+       |  1, $IVF_PROBES), s -> s.idx)""".stripMargin))
+
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val model = ivfAssigned(spark, dir)
     val assigned = model.assigned
     // queries probe their IVF_PROBES best cells
     val q = assigned.filter(col("vec_id") < NQ)
-      .withColumn("probe", explode(expr(
-        // indices of the IVF_PROBES largest dots: sort (−dot, idx)
-        // structs lexicographically, take the head slice
-        s"""transform(slice(array_sort(transform(sequence(0, ${model.k - 1}),
-           |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
-           |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)))
+      .withColumn("probe", probesCol(model.k))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("probe"))
     val cand = assigned.join(broadcast(q),
@@ -718,12 +721,22 @@ object Similarity {
     * columns (`cell0..7`) attached. Shared by pq1 (storage) and sim5
     * (ADC search). */
   private def pqModel(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Long]]], DataFrame) =
+    pqModelOn(spark, vecs(spark, dir)
+      .withColumn("qx", expr(s"transform(v, x -> floor(x * $IVF_Q))"))
+      .select(col("vec_id"), col("qx")))
+
+  /** The PQ trainer on ANY integer-grid corpus: `e` must carry
+    * (vec_id, qx: array<long>); extra columns ride through to the coded
+    * output untouched (sim6 threads the IVF cell and the raw vector
+    * through for the probe join and the rerank). Training semantics are
+    * identical for every caller — the 1-in-4 sample, first-PQ_K init,
+    * and floor-division means are all keyed on vec_id/qx only. */
+  private def pqModelOn(spark: SparkSession, e: DataFrame)
       : (Array[Array[Array[Long]]], DataFrame) = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val e = vecs(spark, dir)
-      .withColumn("qx", expr(s"transform(v, x -> floor(x * $IVF_Q))"))
-      .select(col("vec_id"), col("qx"))
-    val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val train = e.select(col("vec_id"), col("qx"))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
     train.cache()
     train.count() // materialize the cache (the Model.fits pattern)
 
@@ -832,6 +845,68 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("l2"), col("rank"))
   }
 
+  /** SIM6 — IVF-PQ END TO END (Jégou et al. TPAMI'11, the billion-scale
+    * ANN architecture: FAISS's IVFPQ index): sim3's IVF coarse
+    * quantizer prunes WHICH vectors to look at (a query probes its
+    * IVF_PROBES nearest cells — candidates fall from N to
+    * ≈ N·probes/K), and sim5's PQ codes shrink WHAT is read per
+    * candidate (8 nibble lookups instead of a 64-double dot). Both
+    * quantizers operate on ONE domain — the unit-grid vectors `uq` the
+    * IVF trainer already produces — so the PQ trainer runs verbatim on
+    * the IVF model's corpus and the ADC tables are inner-product tables
+    * (cosine on unit vectors ≡ dot), not sim5's L2: per query and
+    * subspace, a 16-entry table of exact integer dots to the codebook;
+    * candidate score = Σ of 8 lookups; top-PQ_RERANK rerank with the
+    * exact floor-scaled cosine over the raw doubles (sim1's form), so
+    * the output shape and semantics match sim3's.
+    *
+    * At 100 TB this is the full production read path: the probed cells
+    * are partition directories (sim3's write-time bucketing, PlanSpec
+    * scan-metrics-proven), the compressed-domain scan inside them reads
+    * 4 bytes/vector with the query tables on a tiny broadcast, and only
+    * PQ_RERANK rows per query ever touch the raw vector store (here: an
+    * equi-join of the broadcast shortlist against the corpus — no
+    * shuffle of the big side). All-integer training and scoring, so
+    * cells, codes, shortlist, rerank, and every tie replay exactly in
+    * the oracle — training loops of BOTH quantizers included. */
+  def sim6IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfAssigned(spark, dir)
+    // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
+    // partition (extra columns ride through pqModelOn untouched)
+    val (books, coded) = pqModelOn(spark, model.assigned.select(
+      col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
+      col("nrm"), col("dots")))
+    // query side: IVF probe list + per-subspace inner-product tables
+    val qTbl = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < NQ)) { (d, s) =>
+      d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
+        typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq)))
+    }
+    val q = qTbl.withColumn("probe", probesCol(model.k))
+      .select(col("vec_id").as("qid") +: col("v").as("qv") +:
+        col("nrm").as("qnrm") +: col("probe") +:
+        (0 until PQ_S).map(s => col(s"tbl$s")): _*)
+    // compressed-domain scan: probed cells only, codes only — the ADC
+    // score is an exact integer-valued double (8 int-dot lookups,
+    // |Σ| ≤ 2^24), ties break on vec_id on both engines
+    val ip = (0 until PQ_S).map(s =>
+      element_at(col(s"tbl$s"), (col(s"cell$s") + 1).cast("int"))).reduce(_ + _)
+    val wIp = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id"))
+    val shortlist = coded
+      .select(col("vec_id") +: col("cell") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("ip", ip.cast("long"))
+      .withColumn("arank", row_number().over(wIp))
+      .filter(col("arank") <= PQ_RERANK)
+      .select(col("qid"), col("vec_id"), col("qv"), col("qnrm"))
+    // exact rerank: fetch raw vectors for the shortlist only (the
+    // shortlist broadcasts; the raw store never shuffles)
+    val raw = model.assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val scored = raw.join(broadcast(shortlist), "vec_id")
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    topK(scored, K)
+  }
+
   /** exact integer subspace distance between `t.sub` and `c.c` */
   private val pqDistSql =
     s"""list_sum(list_transform(range(1, ${PQ_D + 1}),
@@ -843,7 +918,23 @@ object Similarity {
     * k-means iterations, and assign the FULL corpus — leaves
     * `enc(vec_id, s, sub, cell, dist)`, `melt`, and `cb$PQ_ITERS` in
     * scope for the caller's continuation. */
-  private val pqOracleCtes: String = {
+  /** The default PQ input: raw vectors on the integer grid (pq1/sim5's
+    * storage domain — floor(x·512), no unit normalization). */
+  private val pqRawGridBase: String =
+    s"""SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * $IVF_Q) AS BIGINT)) AS qx
+       |  FROM embeddings""".stripMargin
+
+  /** The PQ trainer's CTE block, parameterized like [[pqModelOn]]:
+    * `baseSel` supplies the (vec_id, qx) corpus and `px` prefixes every
+    * internal CTE name so the block can coexist with [[ivfOracleCtes]]
+    * (whose a1/s1/m1 iteration names would otherwise collide) in one
+    * WITH clause. pq1/sim5 use the empty prefix over the raw grid;
+    * sim6 uses "p" over the IVF unit grid. Leaves `${px}enc(vec_id, s,
+    * sub, cell, dist)`, `${px}melt`, and `${px}cb$PQ_ITERS` in scope
+    * for the caller's continuation. */
+  private def pqOracleCtes(px: String, baseSel: String): String = {
     def assign(src: String, cents: String): String =
       s"""SELECT vec_id, s, sub, cell, dist FROM (
          |  SELECT t.vec_id, t.s, t.sub, c.pid AS cell, $pqDistSql AS dist,
@@ -851,51 +942,48 @@ object Similarity {
          |           ORDER BY $pqDistSql, c.pid) AS rn
          |  FROM $src t JOIN $cents c ON c.s = t.s) WHERE rn = 1""".stripMargin
     val iters = (1 to PQ_ITERS).map { i =>
-      val prev = s"cb${i - 1}"
-      s"""a$i AS (${assign("trs", prev)}),
-         |s$i AS (
+      val prev = s"${px}cb${i - 1}"
+      s"""${px}a$i AS (${assign(s"${px}trs", prev)}),
+         |${px}s$i AS (
          |  SELECT s, cell, d, CAST(sum(sub[CAST(d AS INT)]) AS BIGINT) AS sm,
          |         count(*) AS n
-         |  FROM a$i CROSS JOIN range(1, ${PQ_D + 1}) r(d) GROUP BY s, cell, d),
-         |m$i AS (
+         |  FROM ${px}a$i CROSS JOIN range(1, ${PQ_D + 1}) r(d) GROUP BY s, cell, d),
+         |${px}m$i AS (
          |  SELECT s, cell, list(sm ORDER BY d) AS sv, min(n) AS n
-         |  FROM s$i GROUP BY s, cell),
-         |cb$i AS (
+         |  FROM ${px}s$i GROUP BY s, cell),
+         |${px}cb$i AS (
          |  SELECT p.s, p.pid,
          |         CASE WHEN m.n IS NULL THEN p.c
          |              -- floor division via floorMod, matching Math.floorDiv
          |              ELSE list_transform(m.sv,
          |                     x -> (x - ((x % m.n) + m.n) % m.n) // m.n)
          |         END AS c
-         |  FROM $prev p LEFT JOIN m$i m ON m.s = p.s AND m.cell = p.pid)""".stripMargin
+         |  FROM $prev p LEFT JOIN ${px}m$i m ON m.s = p.s AND m.cell = p.pid)""".stripMargin
     }.mkString(",\n")
-    s"""base AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding::DOUBLE[],
-       |           x -> CAST(floor(x * $IVF_Q) AS BIGINT)) AS qx
-       |  FROM embeddings),
-       |melt AS (
+    s"""${px}base AS (
+       |  $baseSel),
+       |${px}melt AS (
        |  SELECT vec_id, CAST(s AS INT) AS s,
        |         qx[CAST(s * $PQ_D + 1 AS INT) : CAST((s + 1) * $PQ_D AS INT)] AS sub
-       |  FROM base CROSS JOIN range(0, $PQ_S) r(s)),
-       |trs AS (SELECT * FROM melt WHERE vec_id % 4 = 0),
-       |ini AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS pid
-       |        FROM base WHERE vec_id % 4 = 0 QUALIFY pid < $PQ_K),
-       |cb0 AS (SELECT t.s, i.pid, t.sub AS c
-       |        FROM trs t JOIN ini i ON t.vec_id = i.vec_id),
+       |  FROM ${px}base CROSS JOIN range(0, $PQ_S) r(s)),
+       |${px}trs AS (SELECT * FROM ${px}melt WHERE vec_id % 4 = 0),
+       |${px}ini AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS pid
+       |        FROM ${px}base WHERE vec_id % 4 = 0 QUALIFY pid < $PQ_K),
+       |${px}cb0 AS (SELECT t.s, i.pid, t.sub AS c
+       |        FROM ${px}trs t JOIN ${px}ini i ON t.vec_id = i.vec_id),
        |$iters,
-       |enc AS (${assign("melt", s"cb$PQ_ITERS")})""".stripMargin
+       |${px}enc AS (${assign(s"${px}melt", s"${px}cb$PQ_ITERS")})""".stripMargin
   }
 
   private val pq1Oracle: String =
-    s"""WITH $pqOracleCtes
+    s"""WITH ${pqOracleCtes("", pqRawGridBase)}
        |SELECT vec_id,
        |       CAST(sum(cell * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS code,
        |       CAST(sum(dist) AS BIGINT) AS l2_err
        |FROM enc GROUP BY vec_id""".stripMargin
 
   private val sim5Oracle: String =
-    s"""WITH $pqOracleCtes,
+    s"""WITH ${pqOracleCtes("", pqRawGridBase)},
        |qd AS (
        |  SELECT t.vec_id AS qid, t.s, c.pid, $pqDistSql AS dq
        |  FROM melt t JOIN cb$PQ_ITERS c ON c.s = t.s WHERE t.vec_id < $NQ),
@@ -920,9 +1008,51 @@ object Similarity {
        |         row_number() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rank
        |  FROM rr) WHERE rank <= $K""".stripMargin
 
+  /** DuckDB replay of [[sim6IvfPqTopK]]: the IVF trainer CTEs (cells +
+    * unit grid) feed the prefixed PQ trainer CTEs run over `uqt`; the
+    * probe CTE is sim3's, the ADC join restricts to probed cells and
+    * sums per-subspace integer dots, and the rerank is sim1's exact
+    * floor-scaled cosine. */
+  private val sim6Oracle: String =
+    s"""WITH $ivfOracleCtes,
+       |${pqOracleCtes("p", "SELECT vec_id, uq AS qx FROM uqt")},
+       |qp6 AS (
+       |  SELECT vec_id AS qid, pid AS probe FROM (
+       |    SELECT u.vec_id, c.pid,
+       |           row_number() OVER (PARTITION BY u.vec_id
+       |             ORDER BY list_dot_product(u.uq, c.c) DESC, c.pid) AS rn
+       |    FROM uqt u CROSS JOIN c$IVF_ITERS c WHERE u.vec_id < $NQ)
+       |  WHERE rn <= $IVF_PROBES),
+       |qd6 AS (
+       |  SELECT t.vec_id AS qid, t.s, c.pid,
+       |         list_dot_product(t.sub, c.c) AS ipd
+       |  FROM pmelt t JOIN pcb$PQ_ITERS c ON c.s = t.s WHERE t.vec_id < $NQ),
+       |adc6 AS (
+       |  SELECT qp.qid, pe.vec_id, CAST(sum(qd.ipd) AS BIGINT) AS ip
+       |  FROM penc pe
+       |  JOIN af a ON a.vec_id = pe.vec_id
+       |  JOIN qp6 qp ON qp.probe = a.cell AND pe.vec_id <> qp.qid
+       |  JOIN qd6 qd ON qd.qid = qp.qid AND qd.s = pe.s AND qd.pid = pe.cell
+       |  GROUP BY qp.qid, pe.vec_id),
+       |short6 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS arank
+       |    FROM adc6) WHERE arank <= $PQ_RERANK),
+       |rr6 AS (
+       |  SELECT s.qid, s.vec_id,
+       |         floor(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) * 1000000) / 1000000 AS cos
+       |  FROM short6 s JOIN e ce ON ce.vec_id = s.vec_id
+       |  JOIN e qe ON qe.vec_id = s.qid)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr6) WHERE rank <= $K""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pq1_product_quantize", pq1ProductQuantize, Some(pq1Oracle)),
     Q("sim5_pq_adc", sim5PqAdcTopK, Some(sim5Oracle)),
+    Q("sim6_ivfpq", sim6IvfPqTopK, Some(sim6Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
