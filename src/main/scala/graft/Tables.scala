@@ -26,6 +26,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below is a micros identity ONLY under a
+    // UTC session. Repo entrypoints already pin UTC, but this loader is
+    // documented as callable from any session (including the driver's),
+    // so pin it here too — same self-configuring pattern as nanosAsLong.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
