@@ -301,19 +301,25 @@ object Similarity {
     * stays hash-checkable at every SF — overriding the confs is a
     * deployment move that forfeits only the oracle twin. The cap bounds
     * driver/model state (maxK × 64 longs ≈ 32 MB at the default) — at a
-    * corpus big enough to hit it, cells grow again and the real fix is
-    * a hierarchical (two-level) trainer, not a bigger flat K. */
+    * corpus big enough that the desired K exceeds it, the trainer goes
+    * HIERARCHICAL automatically: a flat coarse quantizer of ≤ maxK
+    * driver-held centroids, then per-coarse-cell fine sub-centroids
+    * kept as a DISTRIBUTED table (never collected), so cell population
+    * stays ≈ 4·target and driver/model state stays ≤ maxK rows at any
+    * corpus size — the SemDeDup/IVF-PQ deployment reality at 100 TB.
+    * See [[twoLevelAssigned]]. */
   val TargetCellConf = "graft.ivf.targetCell"
   val MaxKConf = "graft.ivf.maxK"
   private val DefaultTargetCell = 32L
   private val DefaultMaxK = 65536L
 
-  private def ivfK(spark: SparkSession, trainN: Long): Int = {
+  /** (desired uncapped cell count = ceil(trainN/target), maxK). */
+  private def ivfParams(spark: SparkSession, trainN: Long): (Long, Long) = {
     val target = spark.conf.getOption(TargetCellConf).map(_.toLong)
       .getOrElse(DefaultTargetCell)
     val maxK = spark.conf.getOption(MaxKConf).map(_.toLong)
       .getOrElse(DefaultMaxK)
-    math.min(maxK, math.max(1L, (trainN + target - 1) / target)).toInt
+    (math.max(1L, (trainN + target - 1) / target), maxK)
   }
 
   /** SIM3 — IVF (inverted-file) ANN: k-means partitions the corpus into
@@ -354,12 +360,37 @@ object Similarity {
        |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
        |  1, $IVF_PROBES), s -> s.idx)""".stripMargin))
 
+  /** Adds an exploded `probe` column of candidate cell ids per query
+    * row. Flat model: the IVF_PROBES best cells by the row's `dots`
+    * (unchanged — bit-identical to the oracle's probe CTE). Two-level:
+    * the IVF_PROBES best coarse cells by `dots`, each refined to its
+    * IVF_PROBES best fine sub-cells (an equi-join against the fine
+    * matrix table + one column-matrix dots pass) — P² probed sub-cells
+    * whose total population ≈ N·P²/(K1·K2), strictly finer pruning
+    * than a maxK-capped flat model could reach. `vecCol` is the
+    * unit-grid vector column (sim6 carries it renamed as qx). */
+  private def withProbes(model: IvfModel, df: DataFrame, vecCol: Column): DataFrame =
+    model.fine match {
+      case None => df.withColumn("probe", probesCol(model.k))
+      case Some(f) =>
+        val topFine = expr(
+          s"""transform(slice(array_sort(transform(sequence(0, size(fdots) - 1),
+             |  i -> named_struct('d', -element_at(fdots, CAST(i + 1 AS INT)), 'idx', i))),
+             |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)
+        df.withColumn("p1", probesCol(f.coarseK))
+          .join(f.centroids.withColumnRenamed("cell1", "p1"), Seq("p1"), "left")
+          .withColumn("fdots", call_function("matrix_dots", vecCol, col("mat")))
+          .withColumn("p2",
+            explode(when(col("mat").isNull, array(lit(0L))).otherwise(topFine)))
+          .withColumn("probe", col("p1") * f.fineK + col("p2"))
+          .drop("p1", "p2", "mat", "fdots")
+    }
+
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val model = ivfAssigned(spark, dir)
     val assigned = model.assigned
     // queries probe their IVF_PROBES best cells
-    val q = assigned.filter(col("vec_id") < NQ)
-      .withColumn("probe", probesCol(model.k))
+    val q = withProbes(model, assigned.filter(col("vec_id") < NQ), col("uq"))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("probe"))
     val cand = assigned.join(broadcast(q),
@@ -374,9 +405,17 @@ object Similarity {
     * integer-grid Lloyd iterations (see [[sim3AnnIvf]]'s scaladoc for
     * the determinism argument; the oracle replay lives in
     * [[ivfOracleCtes]]). */
+  /** The fine half of a two-level model: K1 coarse cells (driver-held,
+    * ≤ maxK), each with ≤ K2 fine sub-centroids living in `centroids`
+    * (cell1, mat: array<array<double>> sorted by sub-cell index) — a
+    * DISTRIBUTED model table, joined on cell1, never collected. */
+  private[graft] final case class IvfFine(coarseK: Int, fineK: Int, centroids: DataFrame)
+
   /** A trained IVF model: the assigned corpus plus the derived cell
-    * count (callers need K for probe expressions and loop bounds). */
-  private[graft] final case class IvfModel(assigned: DataFrame, k: Int)
+    * count (callers need K for probe expressions and loop bounds);
+    * `fine` is present only when the two-level trainer engaged. */
+  private[graft] final case class IvfModel(assigned: DataFrame, k: Int,
+    fine: Option[IvfFine] = None)
 
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): IvfModel = {
     graft.functions.GraftFunctions.registerAll(spark)
@@ -401,8 +440,23 @@ object Similarity {
     val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
       .select(col("vec_id"), col("uq"))
     train.cache()
-    val k = ivfK(spark, train.count())
+    val (desired, maxK) = ivfParams(spark, train.count())
 
+    if (desired <= maxK) {
+      val k = desired.toInt
+      val centroids = lloydFlat(train, k)
+      // training is done: release the cached sample (the downstream
+      // query scans the full corpus once; keeping the cache would pin
+      // storage for the rest of the session)
+      train.unpersist()
+      IvfModel(withCellFlat(e, centroids), k)
+    } else twoLevelAssigned(e, train, desired, maxK)
+  }
+
+  /** Driver-held flat Lloyd trainer — the engine-neutral integer-grid
+    * loop the oracle replays (see [[sim3AnnIvf]]'s scaladoc). Also the
+    * coarse-level trainer of the two-level path. */
+  private def lloydFlat(train: DataFrame, k: Int): Array[Seq[Long]] = {
     // deterministic init: the first K training vectors by id (a
     // distributed TakeOrdered over the cached sample — rank-based, so
     // no density assumption on vec_id; the oracle ranks identically)
@@ -410,23 +464,12 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k).select(col("uq")).collect()
       .map(_.getSeq[Long](0))
 
-    // dots against the whole centroid matrix via ONE codegen'd
-    // expression carrying the model as a reference object — plan size
-    // and generated code are O(1) in K (the unrolled per-centroid
-    // literal form detonates past K≈500; see MatrixDots)
-    def withCell(df: DataFrame) = df
-      .withColumn("dots", call_function("matrix_dots", col("uq"),
-        typedLit(centroids.map(_.map(_.toDouble)).toSeq)))
-      // argmax with FIRST-index tie-break (array_position returns the
-      // first occurrence) — mirrored by the oracle's ORDER BY d DESC, pid
-      .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
-
     for (_ <- 1 to IVF_ITERS) {
       // one scan per iteration: assign to the best cell, then ONE
       // vector_sum_long sketch aggregate per cell (primitive dim+1
       // buffer, ObjectHashAggregate merge) — only the K×64 integer sum
       // matrix reaches the driver (model state).
-      val sums = withCell(train)
+      val sums = withCellFlat(train, centroids)
         .groupBy(col("cell"))
         .agg(call_function("vector_sum_long", col("uq")).as("sn"))
         .select(col("cell"), col("sn.s").as("s"))
@@ -445,12 +488,107 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
 
-    // training is done: release the cached sample (the downstream
-    // query scans the full corpus once; keeping the cache would pin
-    // storage for the rest of the session)
+  /** dots against the whole centroid matrix via ONE codegen'd
+    * expression carrying the model as a reference object — plan size
+    * and generated code are O(1) in K (the unrolled per-centroid
+    * literal form detonates past K≈500; see MatrixDots); argmax with
+    * FIRST-index tie-break (array_position returns the first
+    * occurrence) — mirrored by the oracle's ORDER BY d DESC, pid. */
+  private def withCellFlat(df: DataFrame, centroids: Array[Seq[Long]]): DataFrame = df
+    .withColumn("dots", call_function("matrix_dots", col("uq"),
+      typedLit(centroids.map(_.map(_.toDouble)).toSeq)))
+    .withColumn("cell", expr("array_position(dots, array_max(dots)) - 1"))
+
+  /** The per-coarse-cell fine-centroid table pivoted to one matrix row
+    * per coarse cell: (cell1, mat sorted by sub-cell index) — the shape
+    * [[graft.functions.MatrixDots]]' column path consumes. */
+  private def fineMat(fine: DataFrame): DataFrame = fine
+    .groupBy(col("cell1"))
+    .agg(array_sort(collect_list(struct(col("fidx"), col("c")))).as("fc"))
+    .select(col("cell1"),
+      transform(col("fc"), x =>
+        transform(x.getField("c"), y => y.cast("double"))).as("mat"))
+
+  /** The TWO-LEVEL (coarse+fine) trainer — engages when the corpus-
+    * proportional cell count exceeds maxK, the point where a flat
+    * driver-held model would either blow driver memory or let cells
+    * resume growing with the corpus (the measured failure mode the
+    * K∝N fix removed at smaller scales). Level 1 is [[lloydFlat]] with
+    * K1 = min(maxK, ceil(√desired)) driver-held centroids; level 2
+    * trains ≤ K2 = ceil(desired/K1) sub-centroids INSIDE each coarse
+    * cell with the same integer-grid Lloyd arithmetic, but the fine
+    * model lives as a distributed (cell1, fidx, c) table: init is the
+    * first K2 training members per cell (window rank — one shuffle on
+    * cell1), each iteration is one equi-join of the training sample
+    * against the K1-row matrix table + a (cell1, fcell) integer-sum
+    * aggregate, and renormalization runs as a distributed expression
+    * with the EXACT scalar sequence of the flat trainer's driver loop
+    * (floor(S·512/‖S‖), empty cells keep their centroid). Total
+    * effective cells = K1·K2 ≥ desired, so |cell| stays ≈ 4·target at
+    * any corpus size while nothing larger than K1 centroid rows is
+    * ever collected. The combined id is cell1·K2 + cell2.
+    *
+    * Not oracle-twinned: with default confs this path engages at
+    * trainN > maxK·target ≈ 2M sampled vectors — far past every
+    * driver SF — and forcing it on via the confs forfeits the oracle
+    * by declaration (see [[TargetCellConf]]). Correctness is spec'd
+    * instead (TwoLevelIvfSpec): structural invariants + sim3/dd7
+    * output contracts with the confs forced low. */
+  private def twoLevelAssigned(e: DataFrame, train: DataFrame,
+      desired: Long, maxK: Long): IvfModel = {
+    val k1 = math.min(maxK, math.ceil(math.sqrt(desired.toDouble)).toLong).toInt
+    val k2 = math.min(maxK, (desired + k1 - 1) / k1).toInt
+    val coarse = lloydFlat(train, k1)
+    def withC1(df: DataFrame) = df
+      .withColumn("dots", call_function("matrix_dots", col("uq"),
+        typedLit(coarse.map(_.map(_.toDouble)).toSeq)))
+      .withColumn("cell1", expr("array_position(dots, array_max(dots)) - 1"))
+    val trainC = withC1(train).select(col("vec_id"), col("uq"), col("cell1"))
+
+    // fine init: the first K2 training members of each coarse cell by
+    // id (rank within cell — the within-cell analogue of flat init)
+    val wInit = Window.partitionBy(col("cell1")).orderBy(col("vec_id"))
+    var fine = trainC
+      .withColumn("fidx", (row_number().over(wInit) - 1).cast("long"))
+      .filter(col("fidx") < k2)
+      .select(col("cell1"), col("fidx"), col("uq").as("c"))
+
+    for (_ <- 1 to IVF_ITERS) {
+      val sums = trainC.join(fineMat(fine), Seq("cell1"))
+        .withColumn("fdots", call_function("matrix_dots", col("uq"), col("mat")))
+        .withColumn("fcell", expr("array_position(fdots, array_max(fdots)) - 1"))
+        .groupBy(col("cell1"), col("fcell"))
+        .agg(call_function("vector_sum_long", col("uq")).as("sn"))
+        .select(col("cell1"), col("fcell").as("fidx"), col("sn.s").as("sv"))
+      // distributed renormalization — no collect; the r2 aggregate and
+      // the floor(S·512/‖S‖) transform run over the model TABLE
+      fine = fine.join(sums, Seq("cell1", "fidx"), "left")
+        .withColumn("r2", aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+        .select(col("cell1"), col("fidx"),
+          when(col("sv").isNull || col("r2") === 0L, col("c"))
+            .otherwise(transform(col("sv"), x =>
+              floor(x * lit(IVF_Q.toDouble) / sqrt(col("r2").cast("double")))
+                .cast("long")))
+            .as("c"))
+    }
+
+    val mat = fineMat(fine)
+    // full-corpus assignment: coarse via the broadcast-sized driver
+    // model, fine via ONE equi-join against the K1-row matrix table
+    // (broadcast while small, shuffle join at scale — planner's call).
+    // A coarse cell with no training members has no fine row: its
+    // corpus rows keep sub-cell 0.
+    val assigned = withC1(e).join(mat, Seq("cell1"), "left")
+      .withColumn("fdots", call_function("matrix_dots", col("uq"), col("mat")))
+      .withColumn("cell2", when(col("mat").isNull, lit(0L))
+        .otherwise(expr("array_position(fdots, array_max(fdots)) - 1")))
+      .withColumn("cell", col("cell1") * k2 + col("cell2"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("uq"), col("dots"), col("cell"))
     train.unpersist()
-    IvfModel(withCell(e), k)
+    IvfModel(assigned, k1 * k2, Some(IvfFine(k1, k2, mat)))
   }
 
   /** DuckDB replay of [[sim3AnnIvf]]: quantize to the integer grid,
@@ -881,7 +1019,7 @@ object Similarity {
       d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
         typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq)))
     }
-    val q = qTbl.withColumn("probe", probesCol(model.k))
+    val q = withProbes(model, qTbl, col("qx"))
       .select(col("vec_id").as("qid") +: col("v").as("qv") +:
         col("nrm").as("qnrm") +: col("probe") +:
         (0 until PQ_S).map(s => col(s"tbl$s")): _*)
