@@ -512,7 +512,12 @@ object Pipeline {
         col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")))
       .withColumn("h", fullHash(spark))
       .withColumn("sh", call_function("shingle_hashes", words, lit(3)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("h"), col("sh"))
+      // rsh feeds the streaming NEAR-DUP leg (dd2's RK shingle family,
+      // from which CurationStream derives MinHash signatures); like
+      // `sh` it is pruned out of every batch plan that doesn't read it
+      .withColumn("rsh", call_function("rk_shingle_hashes", words, lit(3)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("h"),
+        col("sh"), col("rsh"))
   }
 
   def cur1CurationE2e(spark: SparkSession, dir: String): DataFrame = {

@@ -42,9 +42,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object CurationStream {
 
   final case class GatedDoc(doc_id: Long, source: String, n_tokens: Long,
-      h: Long, sh: Seq[Long])
+      h: Long, sh: Seq[Long], rsh: Seq[Long])
   final case class Curated(doc_id: Long, source: String, n_tokens: Long,
       bucket: Long, split: String)
+  /** A stage-A winner carrying its MinHash signature for the near-dup
+    * leg (empty when the doc is too short to shingle). */
+  final case class CuratedSig(doc_id: Long, source: String, n_tokens: Long,
+      bucket: Long, split: String, sig: Seq[Long])
+  /** One (band, bucket) probe of a winner against the incremental
+    * banded index; `nBands` tells the verdict-assembly stage how many
+    * probe verdicts to await (BANDS, or 1 for unshingleable docs). */
+  final case class BandProbe(band: Int, bkey: Long, nBands: Int,
+      doc: CuratedSig)
+  final case class BandVerdict(nBands: Int, dup: Boolean, doc: Curated)
+  /** The final per-document curation outcome: `kept = false` documents
+    * are near-duplicates of an earlier-kept winner — emitted (not
+    * silently dropped) so a downstream store can tombstone them; filter
+    * on `kept` for the clean training stream. */
+  final case class CurationVerdict(doc_id: Long, source: String,
+      n_tokens: Long, bucket: Long, split: String, kept: Boolean)
 
   /** Inverted index of the static benchmark set: shingle hash → ids of
     * benchmark docs containing it (distinct by construction —
@@ -95,6 +111,19 @@ object CurationStream {
       ttlMs: Long = 0L): Dataset[Curated] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    winners(docs, bench, ttlMs)
+      .map(w => Curated(w.doc_id, w.source, w.n_tokens, w.bucket, w.split))
+  }
+
+  /** Stage A — gate → exact dedup → contamination, emitting each
+    * surviving winner exactly once WITH its MinHash signature (derived
+    * from the gate's `rsh` column via [[DedupStream.signatureOf]] — the
+    * same arithmetic as batch dd2, so the near-dup leg stays
+    * batch-comparable). */
+  private def winners(docs: DataFrame, bench: Map[Long, Seq[Long]],
+      ttlMs: Long): Dataset[CuratedSig] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val timeoutConf =
       if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -123,9 +152,111 @@ object CurationStream {
               val bucket = java.lang.Math.floorMod(h, 100L)
               val split =
                 if (bucket == 0L) "valid" else if (bucket == 1L) "test" else "train"
-              Iterator.single(
-                Curated(winner.doc_id, winner.source, winner.n_tokens, bucket, split))
+              Iterator.single(CuratedSig(winner.doc_id, winner.source,
+                winner.n_tokens, bucket, split,
+                DedupStream.signatureOf(winner.rsh)))
             }
+          }
+        })
+  }
+
+  /** The FULL streaming curation chain: [[curated]]'s gate → exact
+    * dedup → contamination stage, plus the NEAR-DUP leg — DedupStream's
+    * banded-MinHash index folded in, so the streaming path also drops
+    * documents that are near-duplicates (est-Jaccard ≥ 0.5, dd2's
+    * threshold) of an EARLIER-KEPT winner, the dc2/dd2 leg of the batch
+    * curation story.
+    *
+    * Three chained `flatMapGroupsWithState` stages, all Append (the
+    * combination Structured Streaming supports chaining):
+    *  - stage A ([[winners]]): exact-dedup winners, exactly once, with
+    *    signatures;
+    *  - stage B: each winner fans out to its BANDS (band, bkey) probes
+    *    ([[DedupStream.bandKeysOf]]); state per band bucket holds that
+    *    bucket's (id, signature) members — identical index shape to
+    *    [[DedupStream.nearDupPairs]], so candidate comparisons only,
+    *    never corpus comparisons. Each probe emits a per-band verdict;
+    *    rows inside one bucket process in doc_id order, so within-batch
+    *    ties resolve to the batch rule (min id anchors). EVERY winner
+    *    joins its buckets as a member — including near-dup-dropped ones
+    *    — matching dd7's anchor semantics (a dropped doc still anchors
+    *    later drops) and keeping the verdict independent of band
+    *    evaluation order;
+    *  - stage C: assembles the nBands per-band verdicts of each doc
+    *    (keyed by doc_id; state is transient — removed on emission,
+    *    which happens in the same micro-batch the probes arrive) into
+    *    ONE [[CurationVerdict]]: kept=false iff ANY band matched an
+    *    earlier member at est ≥ 0.5.
+    *
+    * Output is exactly-once per winner. `ttlMs` bounds BOTH stateful
+    * indexes (content hashes and band buckets) to a finite dedup
+    * horizon, same contract as [[DedupStream]]. At 100 TB the band
+    * index partitions across executors by (band, bkey) exactly like
+    * the batch LSH shuffle, and each document touches BANDS buckets —
+    * candidate-sized state and candidate-sized compares on ingest. */
+  def curatedNearDup(docs: DataFrame, bench: Map[Long, Seq[Long]],
+      ttlMs: Long = 0L): Dataset[CurationVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val probes = winners(docs, bench, ttlMs).flatMap { w =>
+      if (w.sig.isEmpty)
+        // unshingleable doc: no signature, near-dups nothing — one
+        // synthetic solo probe (unique key) so stage C still sees it
+        Seq(BandProbe(-1, w.doc_id, 1, w))
+      else DedupStream.bandKeysOf(w.sig).map { case (b, k) =>
+        BandProbe(b, k, DedupStream.BANDS, w)
+      }
+    }
+    val verdicts = probes
+      .groupByKey(p => (p.band, p.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: (Int, Long), rows: Iterator[BandProbe],
+            state: GroupState[Seq[DedupStream.Member]]) => {
+          if (state.hasTimedOut) {
+            // cold bucket past the dedup horizon: forget its members
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            // doc_id order = the batch min-id anchor rule within a batch
+            val out = rows.toSeq.sortBy(_.doc.doc_id).map { p =>
+              val dup = p.band >= 0 && members.exists(m =>
+                m.id != p.doc.doc_id && DedupStream.est(m.sig, p.doc.sig) >= 0.5)
+              if (p.band >= 0 && !members.exists(_.id == p.doc.doc_id))
+                members = members :+ DedupStream.Member(p.doc.doc_id, p.doc.sig)
+              BandVerdict(p.nBands, dup, Curated(p.doc.doc_id, p.doc.source,
+                p.doc.n_tokens, p.doc.bucket, p.doc.split))
+            }
+            if (members.nonEmpty) {
+              state.update(members)
+              if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
+        })
+    verdicts
+      .groupByKey(_.doc.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[BandVerdict], state: GroupState[(Int, Boolean)]) => {
+          val rs = rows.toSeq
+          val (seen0, dup0) = state.getOption.getOrElse((0, false))
+          val seen = seen0 + rs.length
+          val dup = dup0 || rs.exists(_.dup)
+          val d = rs.head.doc
+          if (seen >= rs.head.nBands) {
+            // all band verdicts in: emit once, drop the transient state
+            state.remove()
+            Iterator.single(CurationVerdict(d.doc_id, d.source, d.n_tokens,
+              d.bucket, d.split, kept = !dup))
+          } else {
+            // (cross-batch assembly is impossible in practice — probes
+            // of one doc ride one micro-batch — but stay correct if an
+            // engine ever splits them)
+            state.update((seen, dup))
+            Iterator.empty
           }
         })
   }

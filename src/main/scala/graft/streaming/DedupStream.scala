@@ -44,8 +44,36 @@ object DedupStream {
   final case class DupPair(da: Long, db: Long, est_jaccard: Double)
 
   private val NUM_PERM = 32
-  private val BANDS = 8
+  private[streaming] val BANDS = 8
   private val ROWS = NUM_PERM / BANDS
+
+  /** dd2's MinHash signature from a document's RK shingle hashes;
+    * empty in = empty out (a doc too short to shingle has no
+    * signature and can near-dup nothing). */
+  private[streaming] def signatureOf(sh: Seq[Long]): Seq[Long] =
+    if (sh.isEmpty) Seq.empty
+    else {
+      val sig = Array.fill(NUM_PERM)(Long.MaxValue)
+      sh.foreach { h =>
+        var j = 0
+        while (j < NUM_PERM) {
+          val p = RkLsh.perm(j, h)
+          if (p < sig(j)) sig(j) = p
+          j += 1
+        }
+      }
+      sig.toSeq
+    }
+
+  /** The BANDS (band, bucket-key) pairs of a signature — dd2's banding
+    * arithmetic verbatim. */
+  private[streaming] def bandKeysOf(sig: Seq[Long]): Seq[(Int, Long)] =
+    (0 until BANDS).map { b =>
+      var acc = 0L
+      var r = 0
+      while (r < ROWS) { acc = (acc * RkLsh.MUL + sig(b * ROWS + r)) % RkLsh.M40; r += 1 }
+      (b, acc)
+    }
 
   /** (doc_id, text) rows → one row per (band, bucket): the exact dd2
     * signature/banding arithmetic, computed per row (no aggregation —
@@ -60,31 +88,15 @@ object DedupStream {
         call_function("rk_shingle_hashes", split(col("text"), " "), lit(3)).as("sh"))
       .as[(Long, Seq[Long])]
       .flatMap { case (id, sh) =>
-        if (sh.isEmpty) Seq.empty[Banded]
-        else {
-          val sig = Array.fill(NUM_PERM)(Long.MaxValue)
-          sh.foreach { h =>
-            var j = 0
-            while (j < NUM_PERM) {
-              val p = RkLsh.perm(j, h)
-              if (p < sig(j)) sig(j) = p
-              j += 1
-            }
-          }
-          val s = sig.toSeq
-          (0 until BANDS).map { b =>
-            var acc = 0L
-            var r = 0
-            while (r < ROWS) { acc = (acc * RkLsh.MUL + sig(b * ROWS + r)) % RkLsh.M40; r += 1 }
-            Banded(b, acc, id, s)
-          }
-        }
+        val s = signatureOf(sh)
+        if (s.isEmpty) Seq.empty[Banded]
+        else bandKeysOf(s).map { case (b, acc) => Banded(b, acc, id, s) }
       }
   }
 
   /** matching-permutation estimate, identical truncation to batch dd2's
     * `Exact.intRatio(matches, 32)` (m·1e6/32 = m·31250 is exact) */
-  private def est(a: Seq[Long], b: Seq[Long]): Double = {
+  private[graft] def est(a: Seq[Long], b: Seq[Long]): Double = {
     var m = 0; var i = 0
     while (i < NUM_PERM) { if (a(i) == b(i)) m += 1; i += 1 }
     (m * 1000000L / NUM_PERM) / 1e6

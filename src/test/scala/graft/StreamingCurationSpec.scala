@@ -64,6 +64,106 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Batch twin of the near-dup leg: cur1's winners minus every winner
+    * with an earlier-id winner at est-Jaccard ≥ 0.5 sharing ≥ 1 band
+    * bucket (dd2's threshold and banding; anchors include docs that
+    * are themselves dropped — dd7's anchor rule). Returns
+    * (cur1 rows, dropped ids). */
+  private def batchNearDup(): (Set[(Long, String, Long, Long, String)], Set[Long]) = {
+    val winners = graft.ops.Pipeline.cur1CurationE2e(spark, sf)
+    val wtext = winners.select(col("doc_id"))
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val banded = graft.streaming.DedupStream.banded(wtext)
+    val pairs = banded.as("l").joinWith(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.docId") < col("r.docId"))
+      .collect()
+    val dropped = pairs.collect {
+      case (l, r) if graft.streaming.DedupStream.est(l.sig, r.sig) >= 0.5 => r.docId
+    }.toSet
+    (batchRows(), dropped)
+  }
+
+  test("near-dup leg: streaming curation equals batch cur1 + dd2 near-dup filter") {
+    val docs = corpus()
+    val bench = CurationStream.benchIndex(spark, sf)
+    val (batch, dropped) = batchNearDup()
+    assert(dropped.nonEmpty, "corpus must contain near-dup winners to exercise the leg")
+    val expected = batch.map { case t @ (id, src, n, b, sp) =>
+      (id, src, n, b, sp, !dropped.contains(id))
+    }
+    val input = MemoryStream[(Long, String, String)](tuple3Enc, spark)
+    val stream = CurationStream.curatedNearDup(
+      input.toDF().withColumnRenamed("_1", "doc_id")
+        .withColumnRenamed("_2", "source").withColumnRenamed("_3", "text"), bench)
+    val q = stream.writeStream.format("memory").queryName("cur_nd")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("cur_nd").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getBoolean(5))).toSet
+      assert(streamed == expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      // the verdict stream is exactly-once per winner: kept + tombstones
+      assert(streamed.count(!_._6) == dropped.size)
+    } finally q.stop()
+  }
+
+  test("near-dup leg: band index and hash state survive a checkpointed restart") {
+    val docs = corpus()
+    val bench = CurationStream.benchIndex(spark, sf)
+    val (batch, dropped) = batchNearDup()
+    val expected = batch.map { case (id, src, n, b, sp) =>
+      (id, src, n, b, sp, !dropped.contains(id))
+    }
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("cur_nd_ckpt").toFile
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    def jsonl(rows: Seq[(Long, String, String)]): String =
+      rows.map { case (id, src, tx) =>
+        s"""{"doc_id":$id,"source":"$src","text":"$tx"}"""
+      }.mkString("\n")
+    def start() = {
+      val src = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .json(srcDir.getAbsolutePath)
+      CurationStream.curatedNearDup(src, bench)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    java.nio.file.Files.write(new java.io.File(srcDir, "f1.json").toPath,
+      jsonl(first).getBytes)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // NEW query, same checkpoint: run-2 near-dups of run-1 winners must
+    // still be caught by the restored band index
+    java.nio.file.Files.write(new java.io.File(srcDir, "f2.json").toPath,
+      jsonl(second).getBytes)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bucket"),
+        r.getAs[String]("split"), r.getAs[Boolean]("kept"))).toSet
+    assert(streamed == expected,
+      s"post-restart near-dup stream diverged (${streamed.size} rows)")
+    // the restart boundary must actually exercise the restored index:
+    // at least one run-2 doc dropped against a run-1 anchor
+    val firstIds = first.map(_._1).toSet
+    val crossRestart = streamed.filter(v => !v._6 && !firstIds.contains(v._1))
+    assert(crossRestart.nonEmpty || dropped.forall(firstIds.contains),
+      "no cross-restart near-dup was exercised")
+  }
+
   test("TTL re-admits duplicates past the dedup horizon; suppresses inside it") {
     // ttlMs bounds hash state on an unbounded crawl: a content hash
     // cold for the TTL is forgotten, so a later duplicate is
