@@ -20,6 +20,14 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" sets session confs (e.g. graft.ivf.maxK
+    // for the two-level-trainer scale probes)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"[prof] conf $k=$v")
+        spark.conf.set(k, v)
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))

@@ -948,12 +948,20 @@ object Similarity {
     * 4-bit codes the quantization error swamps the tiny gaps between
     * near-equidistant neighbors — measured here as raw-ADC recall@5 of
     * only ~0.2 on this weakly-clustered corpus, vs ≥0.6 after rerank).
-    * At 100 TB this is the compressed-domain scan: stage 1 reads 4
-    * bytes per vector (128× less IO than raw fp64) with the query
-    * tables on a tiny broadcast; stage 2 touches raw vectors for only
-    * PQ_RERANK rows per query; the corpus never shuffles before
-    * ranking. All-integer like pq1, so shortlist, rerank, and ties
-    * (distance, then vec_id) replay exactly in the oracle. */
+    * At 100 TB this is the compressed-domain TWO-FETCH read path:
+    * stage 1 (the candidate sweep) reads ONLY vec_id + the 8 codes —
+    * 4 bytes of payload per vector, 128× less IO than raw fp64 — with
+    * the query tables on a tiny broadcast, and the per-query ranking
+    * shuffles (qid, vec_id, adc) tuples, never vectors; stage 2
+    * fetches raw (grid) vectors for ONLY the PQ_RERANK shortlist rows
+    * per query, as an equi-join of the BROADCAST shortlist against the
+    * vector store — the store never shuffles and is never swept a
+    * second time (PlanSpec pins the broadcast-hash-join shape). The
+    * corpus-side scan carrying raw vectors through the ADC ranking
+    * window (the one-fetch shape) would drag 512 bytes/vector through
+    * the sort — exactly the IO the codes exist to avoid. All-integer
+    * like pq1, so shortlist, rerank, and ties (distance, then vec_id)
+    * replay exactly in the oracle. */
   def sim5PqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
     val (_, coded) = pqModel(spark, dir)
     // per-query per-subspace lookup tables: tbl_s[p] = ‖q_s − c_p‖² =
@@ -966,18 +974,24 @@ object Similarity {
     val adc = (0 until PQ_S).map(s =>
       element_at(col(s"tbl$s"), (col(s"cell$s") + 1).cast("int"))).reduce(_ + _)
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    // fetch 1 — codes only: the ADC sweep and ranking never see qx
     val shortlist = coded
-      .select(col("vec_id") +: col("qx") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
+      .select(col("vec_id") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("adc", adc.cast("long"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= PQ_RERANK)
-    // exact rerank on the grid vectors: ‖x‖² + ‖q‖² − 2x·q, exact
-    // integer-valued doubles through the codegen'd DoubleDot
+      .select(col("qid"), col("vec_id"), col("qqx"))
+    // fetch 2 — exact rerank on the grid vectors (‖x‖² + ‖q‖² − 2x·q,
+    // exact integer-valued doubles through the codegen'd DoubleDot):
+    // raw vectors reach the plan ONLY via this equi-join against the
+    // broadcast shortlist (50 rows/query)
+    val raw = coded.select(col("vec_id"), col("qx"))
     val d2 = (dot(col("qx"), col("qx")) + dot(col("qqx"), col("qqx"))
       - lit(2.0) * dot(col("qx"), col("qqx"))).cast("long")
     val wExact = Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))
-    shortlist.withColumn("l2", d2)
+    raw.join(broadcast(shortlist), "vec_id")
+      .withColumn("l2", d2)
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= K)
       .select(col("qid"), col("vec_id"), col("l2"), col("rank"))

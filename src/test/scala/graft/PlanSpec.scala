@@ -322,6 +322,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim5/sim6: two-fetch rerank — raw vectors enter the plan only through a " +
+      "broadcast equi-join of the ADC shortlist, never a corpus shuffle") {
+    for ((name, df) <- Seq(
+        "sim5" -> Similarity.sim5PqAdcTopK(spark, sf),
+        "sim6" -> Similarity.sim6IvfPqTopK(spark, sf))) {
+      val p = plan(df)
+      // the ONLY equi-join in either query is the shortlist-side
+      // vector fetch: it must build from the broadcast shortlist (the
+      // candidate sweep's non-equi query join is a broadcast nested
+      // loop, not a hash join)
+      assert(p.contains("BroadcastHashJoin"), s"$name rerank not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles the vector store:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("src1: the source-prior table broadcasts back; no sort-merge of the corpus") {
     val p = plan(graft.ops.Pipeline.src1SourcePrior(spark, sf))
     // the per-source prior is a model-sized artifact: it must come back
