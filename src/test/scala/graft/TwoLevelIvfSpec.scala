@@ -86,6 +86,22 @@ class TwoLevelIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level plans keep the equi-join shape: no cartesian products anywhere") {
+    withLowCaps {
+      for ((name, df) <- Seq(
+          "sim3" -> Similarity.sim3AnnIvf(spark, sf),
+          "dd7" -> Similarity.dd7SemanticDedup(spark, sf))) {
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        // the fine-centroid matrix joins on cell1 and the pair/probe
+        // joins on the combined cell id — all equi-joins; a cartesian
+        // would mean the hierarchy broke the bucketed-compare shape
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+    }
+  }
+
   test("dd7 under the two-level model: verdicts stay internally consistent") {
     withLowCaps {
       val rows = Similarity.dd7SemanticDedup(spark, sf).collect()
