@@ -47,20 +47,25 @@ object RkLsh {
     x
   }
 
-  /** 40 affine pairs: [0,32) drive the 32 MinHash permutations; 32/34
+  /** 48 affine pairs: [0,32) drive the 32 MinHash permutations; 32/34
     * and 33/35 are the two-round mix chains deriving SimHash's 31/32-bit
     * halves; 36/37 chain the HyperLogLog bucketing hash ([[HllSketch]]);
     * 38/39 chain the ±1 Rademacher hyperplane parities of
-    * [[RkLshSignatures]]. a_j odd in [1, 2^22), b_j in [0, 2^40).
-    * (Values are index-stable: extending NUM never changes earlier
-    * constants, so dd2/dd3 oracles are unaffected.) */
-  final val NUM: Int = 40
+    * [[RkLshSignatures]]; [40,48) chain the four count-min bucketing
+    * hashes (apx3: row d uses 40+2d / 41+2d). a_j odd in [1, 2^22),
+    * b_j in [0, 2^40). (Values are index-stable: extending NUM never
+    * changes earlier constants, so dd2/dd3 oracles are unaffected.) */
+  final val NUM: Int = 48
 
   /** two-round chain indices for the HLL bucketing hash. */
   final val HLL_A = 36; final val HLL_B = 37
 
   /** two-round chain indices for the Rademacher plane parities. */
   final val RADE_A = 38; final val RADE_B = 39
+
+  /** two-round chain indices for count-min row d ∈ [0, 4). */
+  def cmA(d: Int): Int = 40 + 2 * d
+  def cmB(d: Int): Int = 41 + 2 * d
 
   /** Two-round engine-neutral avalanche (the dd3 recipe — see
     * `graft.ops.Dedup.affineMix` for the measurement that motivated two

@@ -428,10 +428,103 @@ object Extended {
        |       min(y0) AS min_day, max(y0) AS max_day
        |FROM z GROUP BY 1""".stripMargin
 
+  /** Count-min geometry: 4 rows × 1024 buckets. The sketch counts word
+    * BIGRAMS (the synthetic corpus's unigram lexicon is only ~31 words
+    * — 1024 buckets would never collide and the min() would never
+    * select; the ~950-bigram vocabulary loads the rows to ~1 entry per
+    * bucket, so collisions exist and estimates genuinely exceed truth
+    * for some probes while staying inside the ε = e/W bound). */
+  private val CM_D = 4
+  private val CM_W = 1024
+
+  /** Column mirror of [[graft.functions.RkLsh.mix2]]: the two-round
+    * engine-neutral avalanche (affine mod P + xor-fold, twice) that
+    * every structured-input bucketing hash in this repo uses — a raw
+    * RK word hash is low-entropy in its low bits (see RkLsh scaladoc),
+    * which for count-min would pile the vocabulary into few buckets
+    * and destroy the ε = e/W error bound. */
+  private def cmMix(d: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.RkLsh
+    val s1 = (lit(RkLsh.A(RkLsh.cmA(d))) * h + lit(RkLsh.B(RkLsh.cmA(d)))) % RkLsh.P
+    val s1x = s1.bitwiseXOR(shiftright(s1, 20))
+    val s2 = (lit(RkLsh.A(RkLsh.cmB(d))) * s1x + lit(RkLsh.B(RkLsh.cmB(d)))) % RkLsh.P
+    s2.bitwiseXOR(shiftright(s2, 20))
+  }
+
+  /** APX3 — count-min heavy-hitter counts (Cormode & Muthukrishnan
+    * 2005): a 4×1024 integer sketch of the corpus bigram-frequency
+    * vector, probed for the exact top-100 bigrams (ng1's list) —
+    * (bigram, true count, sketch estimate). The sketch never
+    * underestimates; ApproxSpec pins est ≥ cnt and the realized error
+    * against the ε·N bound.
+    *
+    * Shape (100 TB): THE mergeable fixed-size answer when the n-gram
+    * vocabulary doesn't fit anywhere — the sketch build is one
+    * aggregation keyed by (row, bucket) with AT MOST 4×1024 distinct
+    * keys (map-side partials reduce each task's gram stream to ≤4096
+    * counters before the shuffle; contrast tok1's full-vocab rank),
+    * and the finished sketch is 32 KB of model state, broadcast-joined
+    * back to the probe side. The exact top-100 probe list exists to
+    * make the estimates oracle-checkable; a production reader keeps
+    * only the sketch and probes ad hoc. Bucketing is the two-round
+    * avalanche over the engine-neutral RK char fold of the bigram
+    * string (chains 40-47), so sketch contents AND estimates replay
+    * verbatim in DuckDB. */
+  def apx3CountMin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // ng1's bigram recipe verbatim (inlined — bigramsW is TextOps-private)
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val counts = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(bigrams).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h40", call_function("rk_word_hash", col("wd")))
+    def buckets(c: DataFrame, keep: org.apache.spark.sql.Column*): DataFrame =
+      c.select(keep :+ explode(array((0 until CM_D).map(d =>
+          struct(lit(d).as("d"), pmod(cmMix(d, col("h40")), lit(CM_W.toLong)).as("bkt"))): _*))
+        .as("e"): _*)
+        .select(keep :+ col("e.d") :+ col("e.bkt"): _*)
+    // the sketch: Σ count per (row, bucket) — ≤ 4096 rows by construction
+    val cm = buckets(counts, col("cnt"))
+      .groupBy(col("d"), col("bkt")).agg(sum(col("cnt")).as("bc"))
+    // probe the exact top-100 (deterministic (cnt desc, word) order)
+    val top = counts.orderBy(col("cnt").desc, col("wd")).limit(100)
+    buckets(top, col("wd"), col("cnt"))
+      .join(broadcast(cm), Seq("d", "bkt"))
+      .groupBy(col("wd"), col("cnt")).agg(min(col("bc")).as("est"))
+  }
+
+  private val apx3Oracle: String = {
+    import graft.functions.RkLsh
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    def arms(src: String): String = (0 until CM_D).map { d =>
+      s"""SELECT wd, cnt,
+         |       $d AS d, (${RkLsh.mix2Sql(RkLsh.cmA(d), RkLsh.cmB(d), "h40")}) % $CM_W AS bkt
+         |FROM $src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tw3 AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |tk3 AS (SELECT unnest(list_transform(range(1, len(w)),
+       |                i -> array_to_string(w[i:i+1], ' '))) AS wd
+       |        FROM tw3 WHERE len(w) >= 2),
+       |wc3 AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM tk3 GROUP BY wd),
+       |wh3 AS (SELECT wd, cnt, $wordFold AS h40 FROM wc3),
+       |bk3 AS (${arms("wh3")}),
+       |cm3 AS (SELECT d, bkt, CAST(sum(cnt) AS BIGINT) AS bc FROM bk3 GROUP BY d, bkt),
+       |tp3 AS (SELECT wd, cnt, h40 FROM wh3 ORDER BY cnt DESC, wd LIMIT 100),
+       |pe3 AS (${arms("tp3")})
+       |SELECT p.wd, p.cnt, min(c.bc) AS est
+       |FROM pe3 p JOIN cm3 c USING (d, bkt)
+       |GROUP BY p.wd, p.cnt""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
     Q("apx1_hll_distinct", apx1HllDistinct, Some(apx1Oracle)),
     Q("apx2_percentile", apx2Percentile, Some(apx2Oracle)),
+    Q("apx3_count_min", apx3CountMin, Some(apx3Oracle)),
     Q("ws1_session_window", ws1SessionWindow, Some(ws1Oracle)),
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("aj2_asof_custom", aj2AsofCustom, Some(aj1Oracle)),

@@ -535,7 +535,36 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
-  private val cur1Oracle =
+  /** CUR2 — the batch twin of the FULL streaming curation chain
+    * ([[graft.streaming.CurationStream.curatedNearDup]]): cur1's gate →
+    * exact dedup → decontamination, PLUS the near-dup leg — a winner
+    * is `kept = false` when an EARLIER (smaller-id) winner shares a
+    * dd2 band bucket with it at signature-estimated Jaccard ≥ 0.5.
+    * Anchors include winners that are themselves dropped (dd7's rule) —
+    * the identical semantics of the streaming band-index stage, so
+    * StreamingCurationSpec asserts streaming ≡ THIS oracle-checked
+    * query, closing the loop: the streaming near-dup path is now
+    * transitively DuckDB-verified.
+    *
+    * Scale shape: cur1's single hash shuffle, then dd2's banded
+    * equi-join restricted to winners by a semi-join — candidate
+    * compares only, never all-pairs; kept/tombstone verdicts ride a
+    * left join on doc_id. */
+  def cur2CurationNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val winners = cur1CurationE2e(spark, dir)
+    val banded = Dedup.rkBanded(spark, dir)
+      .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val dropped = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .filter(Dedup.estJaccard(col("l.sig"), col("r.sig")) >= 0.5)
+      .select(col("r.doc_id").as("doc_id")).distinct()
+    winners.join(dropped.withColumn("dn", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("split"), col("dn").isNull.as("kept"))
+  }
+
+  private val cur1Ctes =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
        |           FROM documents WHERE doc_id >= $BENCH_DOCS),
        |g0 AS (SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_tokens,
@@ -561,12 +590,29 @@ object Pipeline {
        |flagp AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id FROM sh t JOIN sh b ON t.s = b.s
        |          WHERE b.doc_id < $BENCH_DOCS AND t.doc_id >= $BENCH_DOCS
        |          GROUP BY 1, 2 HAVING count(*) >= $OVERLAP),
-       |flag AS (SELECT DISTINCT doc_id FROM flagp)
-       |SELECT doc_id, source, n_tokens, h % 100 AS bucket,
-       |       CASE WHEN h % 100 = 0 THEN 'valid'
-       |            WHEN h % 100 = 1 THEN 'test'
-       |            ELSE 'train' END AS split
-       |FROM dd WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM flag)""".stripMargin
+       |flag AS (SELECT DISTINCT doc_id FROM flagp)""".stripMargin
+
+  private val cur1Sel =
+    """SELECT doc_id, source, n_tokens, h % 100 AS bucket,
+      |       CASE WHEN h % 100 = 0 THEN 'valid'
+      |            WHEN h % 100 = 1 THEN 'test'
+      |            ELSE 'train' END AS split
+      |FROM dd WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM flag)""".stripMargin
+
+  private val cur1Oracle = s"$cur1Ctes\n$cur1Sel"
+
+  private val cur2Oracle =
+    s"""$cur1Ctes,
+       |win2 AS ($cur1Sel),
+       |${Dedup.dd2SigCtes},
+       |wb2 AS (SELECT b.* FROM bnd2 b JOIN win2 w ON b.doc_id = w.doc_id),
+       |drop2 AS (SELECT DISTINCT r.doc_id
+       |          FROM wb2 l JOIN wb2 r ON l.band = r.band AND l.bkey = r.bkey
+       |            AND l.doc_id < r.doc_id
+       |          WHERE ${Dedup.estJaccardSql("l.sig", "r.sig")} >= 0.5)
+       |SELECT w.doc_id, w.source, w.n_tokens, w.bucket, w.split,
+       |       d.doc_id IS NULL AS kept
+       |FROM win2 w LEFT JOIN drop2 d ON w.doc_id = d.doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
@@ -579,6 +625,7 @@ object Pipeline {
     Q("shf1_corpus_shuffle", shf1Shuffle, Some(shf1Oracle)),
     Q("sc1_pii_scrub", sc1PiiScrub, Some(sc1Oracle)),
     Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)),
+    Q("cur2_curation_neardup", cur2CurationNearDup, Some(cur2Oracle)),
     Q("src1_source_prior", src1SourcePrior, Some(src1Oracle)),
     Q("mix1_mixture_sample", mix1MixtureSample, Some(mix1Oracle)))
 }

