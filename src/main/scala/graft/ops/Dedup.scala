@@ -528,8 +528,10 @@ object Dedup {
           .as("dup_fraction"))
   }
 
-  private val dd8Oracle =
-    s"""WITH t8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** dd8's gram/duplicate/coverage CTE block (through `cov8(doc_id,
+    * p)`, positions NOT yet distinct), shared with dd10's trim twin. */
+  private val dd8Ctes =
+    s"""t8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g80 AS (SELECT doc_id, len(w) AS n_tokens,
        |          unnest(list_transform(range(0, greatest(len(w) - $SPAN_K, 0) + 1),
        |            i -> {'pos': i,
@@ -541,13 +543,79 @@ object Dedup {
        |dup8 AS (SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 2),
        |cov8 AS (SELECT doc_id,
        |           unnest(range(pos, least(pos + $SPAN_K, n_tokens))) AS p
-       |         FROM g8 WHERE gram IN (SELECT gram FROM dup8)),
+       |         FROM g8 WHERE gram IN (SELECT gram FROM dup8))""".stripMargin
+
+  private val dd8Oracle =
+    s"""WITH $dd8Ctes,
        |c8 AS (SELECT doc_id, count(DISTINCT p) AS dup_tokens FROM cov8 GROUP BY doc_id)
        |SELECT t.doc_id, len(t.w) AS n_tokens,
        |       CAST(coalesce(c8.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        |       floor(coalesce(c8.dup_tokens, 0) * 1000000 / len(t.w)) / 1000000
        |         AS dup_fraction
        |FROM t8 t LEFT JOIN c8 ON t.doc_id = c8.doc_id""".stripMargin
+
+  /** DD10 — duplicated-span REMOVAL, completing dd8's detect→remove
+    * pair the way dd6 removes boilerplate chunks: every token position
+    * covered by a corpus-duplicated word-8-gram is cut, and the
+    * surviving tokens are reassembled in document order — the
+    * substring-level cleanup (cf. ExactSubstr dedup, Lee et al. 2022,
+    * which CUTS the duplicated substrings rather than dropping whole
+    * documents). Output per document: original and kept token counts
+    * and the 64-char prefix of the trimmed text (dd6's reassembly
+    * convention, so results stay hash-comparable).
+    *
+    * Shape (100 TB): identical front half to dd8 (one codegen'd
+    * positional-gram pass, dup-gram table behind the broadcast guard,
+    * coverage explodes ONLY duplicated grams); the trim half anti-joins
+    * the token stream against covered positions on (doc_id, p) — an
+    * 8-byte-key equi-join carried by the same doc_id shuffle as the
+    * reassembly aggregate, gram text never shuffles. */
+  def dd10SpanTrim(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val grams = docs(spark, dir).select(
+      col("doc_id"), size(words).as("n_tokens"),
+      posexplode(call_function("shingle_hashes_pos", words, lit(SPAN_K)))
+        .as(Seq("pos", "h")))
+    val dup = Model.guardedBroadcast(
+      grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h")))
+    val cov = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + SPAN_K - 1, col("n_tokens") - 1))).as("p"))
+      .distinct()
+    val toks = docs(spark, dir).select(col("doc_id"),
+      posexplode(words).as(Seq("p", "wd")))
+    val kept = toks.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_sort(collect_list(struct(col("p"), col("wd")))).as("ks"))
+      .select(col("doc_id"), col("kept_tokens"),
+        substring(array_join(transform(col("ks"), x => x.getField("wd")), " "),
+          1, 64).as("clean_prefix"))
+    docs(spark, dir).select(col("doc_id"), size(words).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_prefix"), lit("")).as("clean_prefix"))
+  }
+
+  private val dd10Oracle =
+    s"""WITH $dd8Ctes,
+       |cv AS (SELECT DISTINCT doc_id, p FROM cov8),
+       |tk0 AS (SELECT doc_id, unnest(list_transform(range(0, len(w)),
+       |          i -> {'p': i, 'wd': w[CAST(i + 1 AS INT)]})) AS u FROM t8),
+       |tkx AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.wd AS wd FROM tk0),
+       |kp AS (SELECT t.doc_id, t.p, t.wd
+       |       FROM tkx t LEFT JOIN cv c ON t.doc_id = c.doc_id AND t.p = c.p
+       |       WHERE c.p IS NULL),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |         substr(array_to_string(list(wd ORDER BY p), ' '), 1, 64) AS clean_prefix
+       |       FROM kp GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.w) AS n_tokens,
+       |       coalesce(ka.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       |       coalesce(ka.clean_prefix, '') AS clean_prefix
+       |FROM t8 t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin
 
   /** DD9 — incremental dedup: a "new batch" (odd doc_ids) deduplicated
     * against the "existing corpus" (even doc_ids) — the batch shape of
@@ -617,5 +685,6 @@ object Dedup {
     Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)),
     Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)),
     Q("dd8_dup_spans", dd8DupSpans, Some(dd8Oracle)),
+    Q("dd10_span_trim", dd10SpanTrim, Some(dd10Oracle)),
     Q("dd9_incremental", dd9Incremental, Some(dd9Oracle)))
 }

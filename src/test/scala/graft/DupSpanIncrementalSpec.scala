@@ -47,6 +47,32 @@ class DupSpanIncrementalSpec extends AnyFunSuite {
     assert(got(5L) == ((12L, 8L, 0.666666)))
   }
 
+  test("dd10: trims exactly dd8's covered tokens and reassembles the survivors in order") {
+    val dir = writeDocs(Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",
+      5L -> "x1 x2 a b c d e f g h y1 y2"))
+    val trim = Dedup.dd10SpanTrim(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Number](1).longValue, r.getLong(2), r.getString(3)))).toMap
+    // docs 1/2: fully covered -> everything cut
+    assert(trim(1L) == ((10L, 0L, "")))
+    assert(trim(2L) == ((10L, 0L, "")))
+    // doc 3: unique -> untouched
+    assert(trim(3L) == ((10L, 10L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    // doc 5: tokens 2..9 (the shared 8-gram) cut; flanks survive in order
+    assert(trim(5L) == ((12L, 4L, "x1 x2 y1 y2")))
+    // complement law on the real corpus: kept = n_tokens - dd8.dup_tokens
+    val sfDir = sf
+    val dup = Dedup.dd8DupSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Dedup.dd10SpanTrim(spark, sfDir).collect().foreach { r =>
+      val (id, n, kept) = (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2))
+      assert(kept == n - dup(id), s"doc $id: kept $kept != $n - ${dup(id)}")
+    }
+  }
+
   test("dd9: exact copy, near-dup, fresh doc, and new-vs-new dup classify correctly") {
     val base = ('a' to 'z').map(c => s"w$c").mkString(" ") // 26 distinct words
     val nearA = base.replace("wm", "XX") // one word changed: jaccard >> 0.5

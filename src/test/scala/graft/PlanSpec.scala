@@ -338,6 +338,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("apx3: the 32 KB sketch broadcasts to the probe side; no corpus sort or cartesian") {
+    val p = plan(graft.ops.Extended.apx3CountMin(spark, sf))
+    // the (d, bkt) probe join must build from the broadcast sketch —
+    // 4096 rows of model state — never shuffle-join the probe stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-100 probe list is a TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cur2: near-dup leg stays an equi-join of winner band keys; no cartesian") {
+    val p = plan(graft.ops.Pipeline.cur2CurationNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // winners restrict the banded index via a semi/hash join, and the
+    // tombstone verdict rides joins, never a corpus window/global sort
+    assert(!p.contains("Exchange rangepartitioning"), "global sort:\n" + p)
+  }
+
   test("src1: the source-prior table broadcasts back; no sort-merge of the corpus") {
     val p = plan(graft.ops.Pipeline.src1SourcePrior(spark, sf))
     // the per-source prior is a model-sized artifact: it must come back

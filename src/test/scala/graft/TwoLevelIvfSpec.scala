@@ -86,10 +86,23 @@ class TwoLevelIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("sim6 under the two-level model keeps its output contract") {
+    withLowCaps {
+      val rows = Similarity.sim6IvfPqTopK(spark, sf).collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.nonEmpty && byQ.size <= 10)
+      byQ.foreach { case (q, rs) =>
+        assert(rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length), s"ranks broken for $q")
+        assert(rs.length <= 5)
+      }
+    }
+  }
+
   test("two-level plans keep the equi-join shape: no cartesian products anywhere") {
     withLowCaps {
       for ((name, df) <- Seq(
           "sim3" -> Similarity.sim3AnnIvf(spark, sf),
+          "sim6" -> Similarity.sim6IvfPqTopK(spark, sf),
           "dd7" -> Similarity.dd7SemanticDedup(spark, sf))) {
         df.collect()
         val p = df.queryExecution.executedPlan.toString
