@@ -274,7 +274,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("lm1/cooc1/dd6/tok1/dd8: model tables past the broadcast guard " +
+  test("lm1/cooc1/dd6/tok1/dd8/dd10: model tables past the broadcast guard " +
       "degrade to a shuffle join instead of an OOM-by-construction") {
     import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
     // simulate "corpus-derived model table exceeds the broadcast
@@ -291,9 +291,10 @@ class PlanSpec extends AnyFunSuite {
         ("cooc1", graft.ops.TextOps.cooc1PairLift _),
         ("dd6", Dedup.dd6ChunkDedup _),
         ("tok1", graft.ops.TextOps.tok1VocabEncode _),
-        // dd8's dup-gram table grows with corpus redundancy exactly like
-        // dd6's boilerplate set — it needs the same degradation proof
-        ("dd8", Dedup.dd8DupSpans _))
+        // dd8/dd10's dup-gram table grows with corpus redundancy exactly
+        // like dd6's boilerplate set — same degradation proof
+        ("dd8", Dedup.dd8DupSpans _),
+        ("dd10", Dedup.dd10SpanTrim _))
     val hinted = fns.map { case (n, fn) => n -> sig(fn(spark, sf)) }.toMap
     // drop the model tables the guard cached for the hinted runs, so
     // the cap-0 rebuild really replans the aggregates (a leftover
