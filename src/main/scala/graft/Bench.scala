@@ -131,13 +131,20 @@ object Bench {
     val quads = quadratic.toSeq.sorted.filterNot(skip)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir"}"""
-    println(json)
-    // the driver captures stdout and has truncated it mid-JSON before
-    // (BENCH_r03.json's tail) — also write the line to a file so the
-    // artifact is machine-readable end to end regardless of the pipe
+    // The full per-query line is ~7 KB; the driver's stdout capture keeps
+    // only the LAST ~2 KB, so printing it would leave a head-truncated,
+    // unparseable fragment in BENCH_r{N}.json (r6's "parsed": null). Two
+    // channels instead:
+    //  - stdout: a COMPACT totals line (~300 chars — always inside the
+    //    capture window, so the driver artifact parses) pointing at the
+    //    detail file for per-query numbers;
+    //  - SPARK_GRAFT_BENCH_OUT (default BENCH_LAST.json, committed each
+    //    round): the full line, machine-readable end to end.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$warmTotal,"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir","detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

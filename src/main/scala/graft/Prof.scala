@@ -24,9 +24,15 @@ object Prof {
     // for the two-level-trainer scale probes)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        System.err.println(s"[prof] conf $k=$v")
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            System.err.println(s"[prof] conf $k=$v")
+            spark.conf.set(k, v)
+          case _ =>
+            // a segment without '=' (e.g. a trailing "k1=v1;k2") used to
+            // MatchError and kill the whole profiling run — skip loudly
+            System.err.println(s"[prof] ignoring malformed SPARK_GRAFT_CONF segment '$kv' (expected k=v)")
+        }
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {

@@ -30,6 +30,13 @@ object Tables {
     // UTC session. Repo entrypoints already pin UTC, but this loader is
     // documented as callable from any session (including the driver's),
     // so pin it here too — same self-configuring pattern as nanosAsLong.
+    // The pin is a SESSION-wide side effect: warn when it actually
+    // overrides a caller's non-UTC choice instead of silently replacing
+    // it, so a session intentionally running in another zone can see why
+    // its timestamp rendering changed after loading events.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    if (prevTz != "UTC")
+      System.err.println(s"[graft] Tables.events: overriding session timeZone '$prevTz' -> UTC (required for the NTZ ts cast)")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

@@ -583,7 +583,22 @@ object Dedup {
     * coverage explodes ONLY duplicated grams); the trim half anti-joins
     * the token stream against covered positions on (doc_id, p) — an
     * 8-byte-key equi-join carried by the same doc_id shuffle as the
-    * reassembly aggregate, gram text never shuffles. */
+    * reassembly aggregate, gram text never shuffles.
+    *
+    * On the K× position explode dd8 replaced with an interval-union
+    * aggregate: dd10 keeps it DELIBERATELY. The trim consumes concrete
+    * positions (the anti-join key), so some position materialization is
+    * inherent; what dd8 eliminated was exploding K positions per gram
+    * only to COUNT them, a pure-aggregation case the interval union
+    * covers. Here the explode feeds the join the trim itself needs, the
+    * exploded rows are 16-byte (doc_id, p) pairs bounded by K·dup-grams
+    * and deduplicated before the join, and the measured scale profile
+    * confirms it is not the dd8 failure mode: sf1 warm 4.6 s (at dd8's
+    * post-rewrite level) and sf10 = 1.6× runtime for 10× data
+    * (SCALE.md round-6 probes). Were a corpus to break that (dup-gram
+    * density ≫ test corpora), the fallback is dd8's per-doc interval
+    * union expanded once per document — same answer, one fewer
+    * distinct — at the cost of a second higher-order aggregate. */
   def dd10SpanTrim(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val grams = docs(spark, dir).select(

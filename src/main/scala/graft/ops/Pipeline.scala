@@ -549,12 +549,33 @@ object Pipeline {
     * Scale shape: cur1's single hash shuffle, then dd2's banded
     * equi-join restricted to winners by a semi-join — candidate
     * compares only, never all-pairs; kept/tombstone verdicts ride a
-    * left join on doc_id. */
+    * left join on doc_id. The ANCHOR side of each band bucket is
+    * additionally capped to the bucket's BUCKET_CAP min-id members
+    * (row_number over (band, bkey) ordered by doc_id): without the cap
+    * a viral-boilerplate / mirror cluster putting 10⁴–10⁶ near-identical
+    * documents in one bucket makes the bucket's pair count quadratic in
+    * its size (measured 7.2× runtime for 10× data on a 100×-replica
+    * corpus). Min-id members are exactly the anchors the min-id drop
+    * rule keeps, and ANY earlier member at est ≥ 0.5 suffices to drop a
+    * doc, so on non-adversarial corpora the cap is invisible (spec'd:
+    * cap=2 ≡ uncapped on the test corpus); in the adversarial regime it
+    * bounds the bucket to CAP·|bucket| compares. The oracle bakes the
+    * same cap (arn ≤ cap), so the query stays hash-checkable at every
+    * SF; overriding [[BucketCapConf]] forfeits only the oracle twin
+    * (same contract as graft.ivf.*). */
+  private[graft] val BucketCapConf = "graft.curation.bucketCap"
+  private[graft] val DefaultBucketCap = 64
   def cur2CurationNearDup(spark: SparkSession, dir: String): DataFrame = {
     val winners = cur1CurationE2e(spark, dir)
     val banded = Dedup.rkBanded(spark, dir)
       .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val dropped = banded.as("l").join(banded.as("r"),
+    val cap = spark.conf.getOption(BucketCapConf).map(_.toInt)
+      .getOrElse(DefaultBucketCap)
+    val anchors = banded
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("arn") <= cap).drop("arn")
+    val dropped = anchors.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))
       .filter(Dedup.estJaccard(col("l.sig"), col("r.sig")) >= 0.5)
@@ -606,8 +627,11 @@ object Pipeline {
        |win2 AS ($cur1Sel),
        |${Dedup.dd2SigCtes},
        |wb2 AS (SELECT b.* FROM bnd2 b JOIN win2 w ON b.doc_id = w.doc_id),
+       |anc2 AS (SELECT * FROM (SELECT *, row_number() OVER
+       |           (PARTITION BY band, bkey ORDER BY doc_id) AS arn FROM wb2)
+       |         WHERE arn <= $DefaultBucketCap),
        |drop2 AS (SELECT DISTINCT r.doc_id
-       |          FROM wb2 l JOIN wb2 r ON l.band = r.band AND l.bkey = r.bkey
+       |          FROM anc2 l JOIN wb2 r ON l.band = r.band AND l.bkey = r.bkey
        |            AND l.doc_id < r.doc_id
        |          WHERE ${Dedup.estJaccardSql("l.sig", "r.sig")} >= 0.5)
        |SELECT w.doc_id, w.source, w.n_tokens, w.bucket, w.split,

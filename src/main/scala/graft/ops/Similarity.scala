@@ -527,9 +527,11 @@ object Similarity {
     * aggregate, and renormalization runs as a distributed expression
     * with the EXACT scalar sequence of the flat trainer's driver loop
     * (floor(S·512/‖S‖), empty cells keep their centroid). Total
-    * effective cells = K1·K2 ≥ desired, so |cell| stays ≈ 4·target at
-    * any corpus size while nothing larger than K1 centroid rows is
-    * ever collected. The combined id is cell1·K2 + cell2.
+    * effective cells = K1·K2 ≥ desired — K1 alone is capped at maxK
+    * (it IS driver state), K2 is not (the fine model is a distributed
+    * table) — so |cell| stays ≈ 4·target at any corpus size while
+    * nothing larger than K1 centroid rows is ever collected. The
+    * combined id is cell1·K2 + cell2.
     *
     * Not oracle-twinned: with default confs this path engages at
     * trainN > maxK·target ≈ 2M sampled vectors — far past every
@@ -540,7 +542,15 @@ object Similarity {
   private def twoLevelAssigned(e: DataFrame, train: DataFrame,
       desired: Long, maxK: Long): IvfModel = {
     val k1 = math.min(maxK, math.ceil(math.sqrt(desired.toDouble)).toLong).toInt
-    val k2 = math.min(maxK, (desired + k1 - 1) / k1).toInt
+    // k2 is deliberately NOT capped at maxK: the fine model is a
+    // distributed (cell1, fidx, c) table, never collected, so maxK (a
+    // DRIVER-memory bound) doesn't apply. Capping it would make
+    // K1·K2 < desired once desired > maxK², and cell populations would
+    // resume growing with the corpus — the exact failure the two-level
+    // split exists to remove. The per-coarse-cell matrix row is
+    // K2×64 doubles (≈ ½ MB at K2 = 1000), paid per assignment join row,
+    // not per driver.
+    val k2 = ((desired + k1 - 1) / k1).toInt
     val coarse = lloydFlat(train, k1)
     def withC1(df: DataFrame) = df
       .withColumn("dots", call_function("matrix_dots", col("uq"),

@@ -193,7 +193,27 @@ object CurationStream {
     * horizon, same contract as [[DedupStream]]. At 100 TB the band
     * index partitions across executors by (band, bkey) exactly like
     * the batch LSH shuffle, and each document touches BANDS buckets —
-    * candidate-sized state and candidate-sized compares on ingest. */
+    * candidate-sized state and candidate-sized compares on ingest.
+    * Each bucket's member list is capped to its `bucketCap` MIN-ID
+    * members (default [[graft.ops.Pipeline.DefaultBucketCap]], override
+    * via the `graft.curation.bucketCap` session conf at plan-build
+    * time) — the same anchor cap the batch twin applies — so one
+    * viral-boilerplate bucket can neither grow state nor compare-cost
+    * unboundedly: state is ≤ cap signatures per bucket and each probe
+    * is ≤ cap estimates, at any corpus size.
+    *
+    * ARRIVAL-ORDER CONTRACT: the near-dup stage anchors on the MIN-ID
+    * members seen SO FAR — i.e. it deduplicates on arrival. Equivalence
+    * with the batch twin [[graft.ops.Pipeline.cur2CurationNearDup]]
+    * (whose anchors are global min-id) therefore holds for id-monotone
+    * ingestion (each micro-batch's ids ≥ every earlier batch's ids —
+    * the natural order for an append-only ingest log, and what
+    * StreamingCurationSpec feeds). Under out-of-order arrival the
+    * stream still drops a doc only against genuinely earlier-id
+    * members present at probe time (a smaller-id winner arriving LATER
+    * cannot retroactively tombstone an already-emitted verdict), which
+    * is the strictest contract an append-mode exactly-once stream can
+    * honor. */
   def curatedNearDup(docs: DataFrame, bench: Map[Long, Seq[Long]],
       ttlMs: Long = 0L): Dataset[CurationVerdict] = {
     val spark = docs.sparkSession
@@ -201,6 +221,10 @@ object CurationStream {
     val timeoutConf =
       if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // resolved ONCE at plan-build time and captured by the state
+    // closure — executors never read session confs
+    val bucketCap = math.max(1, spark.conf.getOption(graft.ops.Pipeline.BucketCapConf)
+      .map(_.toInt).getOrElse(graft.ops.Pipeline.DefaultBucketCap))
     val probes = winners(docs, bench, ttlMs).flatMap { w =>
       if (w.sig.isEmpty)
         // unshingleable doc: no signature, near-dups nothing — one
@@ -220,13 +244,20 @@ object CurationStream {
             state.remove()
             Iterator.empty
           } else {
+            // invariant: members is id-ascending and ≤ bucketCap long —
+            // the bucket's min-id anchors among everything seen so far
             var members = state.getOption.getOrElse(Seq.empty)
             // doc_id order = the batch min-id anchor rule within a batch
             val out = rows.toSeq.sortBy(_.doc.doc_id).map { p =>
               val dup = p.band >= 0 && members.exists(m =>
                 m.id != p.doc.doc_id && DedupStream.est(m.sig, p.doc.sig) >= 0.5)
-              if (p.band >= 0 && !members.exists(_.id == p.doc.doc_id))
-                members = members :+ DedupStream.Member(p.doc.doc_id, p.doc.sig)
+              if (p.band >= 0 && !members.exists(_.id == p.doc.doc_id) &&
+                  // id-sorted insert keeps the cap MIN-ID (not first-seen):
+                  // a full bucket admits a smaller id by evicting its max
+                  (members.lengthCompare(bucketCap) < 0 ||
+                    members.last.id > p.doc.doc_id))
+                members = (members :+ DedupStream.Member(p.doc.doc_id, p.doc.sig))
+                  .sortBy(_.id).take(bucketCap)
               BandVerdict(p.nBands, dup, Curated(p.doc.doc_id, p.doc.source,
                 p.doc.n_tokens, p.doc.bucket, p.doc.split))
             }

@@ -38,6 +38,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0, "planted near-dups should trip the overlap flag")
   }
 
+  test("cur2: the band-bucket anchor cap does not change verdicts (cap=2 ≡ uncapped ≡ default)") {
+    // The cap keeps each bucket's MIN-ID members as anchors; any earlier
+    // member at est ≥ 0.5 suffices to drop, and min-id members are the
+    // drop rule's own anchors — so on a non-adversarial corpus verdicts
+    // are cap-invariant. Forced to 2 (far below the default 64) the
+    // rows must match both the uncapped and the default-cap runs.
+    def rows(cap: Option[Int]): Seq[String] = {
+      cap.foreach(c => spark.conf.set(Pipeline.BucketCapConf, c.toString))
+      try Pipeline.cur2CurationNearDup(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      finally spark.conf.unset(Pipeline.BucketCapConf)
+    }
+    val uncapped = rows(Some(1 << 30))
+    assert(uncapped.nonEmpty)
+    assert(rows(Some(2)) == uncapped, "cap=2 changed cur2 verdicts")
+    assert(rows(None) == uncapped, "default cap changed cur2 verdicts")
+  }
+
   test("dc2: fuzzy decontamination equals dd2's pairs crossing the benchmark boundary") {
     // bench ids are < 50 and corpus ids >= 50, so dc2's (bench_id,
     // doc_id) rows must be EXACTLY the dd2 near-dup pairs with

@@ -107,6 +107,65 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucket cap bounds an adversarial replica bucket without changing verdicts (batch ≡ streaming at cap=4)") {
+    // The regime the cap exists for: a viral-boilerplate cluster — here
+    // 40 near-identical docs (one mutated word each, so they survive
+    // exact dedup but est-Jaccard ≈ 1 pairwise) all landing in the same
+    // band buckets. Uncapped, that bucket does 40²/2 compares and the
+    // streaming state holds 40 signatures; at cap=4 it does ≤ 4·40 and
+    // holds 4 — and the verdicts must be IDENTICAL (min-id anchors
+    // suffice: every replica matches the earliest one), batch and
+    // streaming agreeing with each other and with the uncapped run.
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "the dog chases the fox around the yard while the sun sets over " +
+      "the quiet hills and the birds sing in the old oak tree").split(" ").toSeq
+    assert(base.length >= 30)
+    val docs = (0 until 40).map { i =>
+      val words = base.updated(7, s"variant$i")
+      (1000L + i, "src_adv", words.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cur_adv").toFile.getAbsolutePath
+    spark.createDataFrame(docs.map { case (id, s, t) =>
+      (id, t, "en", s, t.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def batchRows(cap: Int): Set[(Long, String, Long, Long, String, Boolean)] = {
+      spark.conf.set(graft.ops.Pipeline.BucketCapConf, cap.toString)
+      try graft.ops.Pipeline.cur2CurationNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getBoolean(5))).toSet
+      finally spark.conf.unset(graft.ops.Pipeline.BucketCapConf)
+    }
+    val uncapped = batchRows(1 << 30)
+    val capped = batchRows(4)
+    assert(capped == uncapped, "cap=4 changed batch verdicts on the replica cluster")
+    assert(uncapped.count(!_._6) == 39,
+      s"all but the min-id replica must be tombstoned: $uncapped")
+    // streaming under the same forced cap, fed in id order
+    spark.conf.set(graft.ops.Pipeline.BucketCapConf, "4")
+    try {
+      val input = MemoryStream[(Long, String, String)](tuple3Enc, spark)
+      val stream = CurationStream.curatedNearDup(
+        input.toDF().withColumnRenamed("_1", "doc_id")
+          .withColumnRenamed("_2", "source").withColumnRenamed("_3", "text"),
+        Map.empty)
+      val q = stream.writeStream.format("memory").queryName("cur_adv")
+        .outputMode("append").start()
+      try {
+        val (first, second) = docs.splitAt(docs.length / 2)
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+        val streamed = spark.table("cur_adv").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getBoolean(5))).toSet
+        assert(streamed == capped,
+          s"stream-only: ${streamed -- capped}; batch-only: ${capped -- streamed}")
+      } finally q.stop()
+    } finally spark.conf.unset(graft.ops.Pipeline.BucketCapConf)
+  }
+
   test("near-dup leg: band index and hash state survive a checkpointed restart") {
     val docs = corpus()
     val bench = CurationStream.benchIndex(spark, sf)
