@@ -519,6 +519,194 @@ object TextOps {
        |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS ids_fold
        |FROM enc""".stripMargin
 
+  /** tok3/tok4's merge-step count. Production BPE vocabularies run
+    * 10k-50k merges; 8 keeps the unrolled DuckDB oracle (one CTE block
+    * per merge step) readable while exercising every distinct shape the
+    * loop has — including overlapping-pair greediness once a merged
+    * symbol can pair with itself. The machinery is count-independent:
+    * each step is the same one aggregate + one narrow map whatever the
+    * step number. */
+  private val BPE_MERGES = 8
+
+  /** The distinct-word frequency table that BPE training actually runs
+    * on — the standard trick (Sennrich et al. 2016, learn_bpe) that
+    * makes the iterative loop corpus-size-independent: the corpus is
+    * scanned ONCE for word counts; every merge iteration then works on
+    * the vocabulary-sized (word, cnt, symbols) table, never the corpus.
+    * Initial symbols are the word's characters (split-empty keeps no
+    * empty strings). */
+  private def bpeInitialWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(explode(words).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", filter(split(col("wd"), ""), x => x =!= ""))
+
+  /** One BPE merge applied to a symbol array as a codegen-friendly
+    * left fold (functions.aggregate — narrow, no shuffle): append each
+    * symbol, but when the accumulator's LAST symbol is `l` and the
+    * incoming one is `r`, replace the pair with the merged symbol.
+    * This is exactly greedy left-to-right NON-OVERLAPPING merging
+    * ([a,a,a,a] merging (a,a) → [aa,aa], not [aa,a,a]): a merge
+    * rewrites the accumulator's tail to `l+r` ≠ `l`, so the next
+    * symbol cannot re-use the consumed occurrence — the restart rule
+    * of the reference BPE implementation. BpeSpec pins the fold
+    * against an imperative reference on exhaustive small inputs; the
+    * DuckDB oracle reaches the same semantics with run-parity window
+    * functions (merge at every 2nd position of each maximal run of
+    * overlapping matches). */
+  private[graft] def bpeMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The shared trainer: BPE_MERGES frequency-ranked pair merges.
+    * Each iteration: one pair-count aggregate over the DISTINCT-WORD
+    * table (pairs weighted by word frequency — all adjacent positions
+    * count, the reference's statistic), a 1-ROW collect of the winner
+    * (freq DESC, then (l, r) lexicographic — the engine-neutral
+    * tie-break), then the merge fold as a narrow map. Driver state is
+    * BPE_MERGES winner rows — model state, not data. At 100 TB the
+    * word table is web-vocabulary-sized (~10⁸ rows worst case), so
+    * every per-iteration job is a small shuffle of (l, r, cnt) triples;
+    * the corpus itself is touched exactly once, in
+    * [[bpeInitialWords]]'s word-count aggregate. */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var wt = bpeInitialWords(spark, dir).persist()
+    wt.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BPE_MERGES && !exhausted) {
+      val top = wt.select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol — nothing left to merge
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, l + r, f))
+        val next = wt.withColumn("syms", bpeMergeFold(col("syms"), l, r)).persist()
+        next.count()
+        wt.unpersist()
+        wt = next
+        step += 1
+      }
+    }
+    (merges.toSeq, wt)
+  }
+
+  /** TOK3 — BPE merge TRAINING: the iterative byte-pair-encoding merge
+    * loop every production LLM tokenizer is built from, as a
+    * distributed algorithm. Output is the learned merge table — one
+    * row per step with the merged pair and its frequency at selection
+    * time — which IS the tokenizer model artifact (applying the merges
+    * in step order tokenizes any text). Fully deterministic (integer
+    * counts, lexicographic tie-break), so the whole training loop is
+    * oracle-checkable: the DuckDB twin unrolls all BPE_MERGES
+    * iterations and must reproduce the identical merge sequence. */
+  def tok3BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, wt) = bpeTrain(spark, dir)
+    wt.unpersist()
+    import spark.implicits._
+    merges.toDF("step", "lft", "rgt", "merged", "freq")
+  }
+
+  /** TOK4 — encoding under the tok3-learned merges: per-document word
+    * count, BPE token count, and an order-sensitive fold of the
+    * per-word subtoken counts (so the full per-position segmentation
+    * is hash-compared, not just totals). The word→subtoken-count map
+    * is vocabulary-sized model state behind [[Model.guardedBroadcast]]
+    * (tok1's encode-join contract: broadcast while provably small,
+    * planner shuffle join at web scale); the corpus side is one
+    * posexplode + the standard reassembly groupBy. */
+  def tok4BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, wt) = bpeTrain(spark, dir)
+    val subs = wt.select(col("wd"), size(col("syms")).cast("long").as("n_sub"))
+    val out = docs(spark, dir).select(col("doc_id"), posexplode(words))
+      .withColumnRenamed("col", "wd")
+      .join(Model.guardedBroadcast(subs), "wd")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("n_sub")))).as("ps"))
+      .withColumn("ns", transform(col("ps"), x => x.getField("n_sub")))
+      .select(col("doc_id"),
+        size(col("ns")).cast("long").as("n_words"),
+        aggregate(col("ns"), lit(0L), (a, x) => a + x).as("n_bpe_tokens"),
+        aggregate(col("ns"), lit(0L),
+          (a, x) => (a * 1000003L + x) % 1099511627776L).as("sub_fold"))
+    // merges are already collected; dropping the cache only means the
+    // encode action replays the 8 nested merge folds (narrow maps over
+    // the vocabulary table) instead of reading a cached copy
+    wt.unpersist()
+    out
+  }
+
+  /** One unrolled BPE iteration for the oracle: pair counts from
+    * zipped adjacent symbols, winner by (freq DESC, l, r), then the
+    * greedy merge via run-parity — positions are matches (`m`), each
+    * maximal run of consecutive matches merges at its 1st, 3rd, …
+    * offsets (`mg`), and a position following a merge is consumed
+    * (`pm`). Equivalent to the Spark fold; see [[bpeMergeFold]]. */
+  private def bpeIterSql(i: Int): String =
+    s"""p$i AS (SELECT u[1] AS l, u[2] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+       |        FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u
+       |              FROM w$i)
+       |        GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+       |s$i AS (SELECT wd, cnt, unnest(list_transform(range(1, len(syms)+1),
+       |          j -> {'j': j, 's': syms[CAST(j AS INT)]})) AS u FROM w$i),
+       |e$i AS (SELECT wd, cnt, u.j AS j, u.s AS s,
+       |          coalesce(u.s = (SELECT l FROM b$i) AND
+       |            lead(u.s) OVER (PARTITION BY wd ORDER BY u.j) = (SELECT r FROM b$i),
+       |            FALSE) AS m
+       |        FROM s$i),
+       |g$i AS (SELECT *, j - row_number() OVER (PARTITION BY wd, m ORDER BY j) AS grp FROM e$i),
+       |h$i AS (SELECT *, CASE WHEN m THEN (row_number() OVER (PARTITION BY wd, m, grp ORDER BY j) % 2) = 1
+       |          ELSE FALSE END AS mg FROM g$i),
+       |k$i AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY wd ORDER BY j), FALSE) AS pm FROM h$i),
+       |w${i + 1} AS MATERIALIZED (SELECT wd, cnt,
+       |          list(CASE WHEN mg THEN s || (SELECT r FROM b$i) ELSE s END ORDER BY j) AS syms
+       |        FROM k$i WHERE NOT pm GROUP BY wd, cnt)""".stripMargin
+
+  private def bpeCtes: String = {
+    val init =
+      """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS wd FROM t),
+        |w1 AS MATERIALIZED (SELECT wd, CAST(count(*) AS BIGINT) AS cnt, string_split(wd, '') AS syms
+        |       FROM uni GROUP BY wd)""".stripMargin
+    // MATERIALIZED is load-bearing, not a hint: DuckDB inlines plain
+    // CTEs, and each unrolled step references its predecessor ~4 times
+    // (pair counts, winner, merge) — inlined, the expansion is 4^steps
+    // document scans ("Too many open files" before it's merely slow).
+    // Materializing w{i}/b{i} makes each step compute once.
+    (init +: (1 to BPE_MERGES).map(bpeIterSql)).mkString(",\n")
+  }
+
+  private val tok3Oracle =
+    s"WITH $bpeCtes\n" +
+      (1 to BPE_MERGES).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, l AS lft, r AS rgt, l || r AS merged, freq FROM b$i")
+        .mkString("\nUNION ALL\n")
+
+  private val tok4Oracle =
+    s"""WITH $bpeCtes,
+       |wt AS (SELECT wd, CAST(len(syms) AS BIGINT) AS n_sub FROM w${BPE_MERGES + 1}),
+       |tk0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+       |          i -> {'pos': i, 'wd': w[CAST(i AS INT)]})) AS u FROM t),
+       |tk AS (SELECT doc_id, u.pos AS pos, v.n_sub AS n_sub
+       |       FROM tk0 JOIN wt v ON u.wd = v.wd),
+       |enc AS (SELECT doc_id, list(n_sub ORDER BY pos) AS ns FROM tk GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ns) AS BIGINT) AS n_words,
+       |       CAST(list_sum(ns) AS BIGINT) AS n_bpe_tokens,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), ns),
+       |         (a, x) -> (a * 1000003 + x) % 1099511627776) AS sub_fold
+       |FROM enc""".stripMargin
+
   private val IR_TERMS = Seq("join", "hash", "vector", "spark")
   private val IR_TOPK = 100
 
@@ -662,6 +850,8 @@ object TextOps {
     Q("idx1_inverted_index", idx1InvertedIndex, Some(idx1Oracle)),
     Q("tok1_vocab_encode", tok1VocabEncode, Some(tok1Oracle)),
     Q("tok2_capped_encode", tok2CappedEncode, Some(tok2Oracle)),
+    Q("tok3_bpe_train", tok3BpeTrain, Some(tok3Oracle)),
+    Q("tok4_bpe_encode", tok4BpeEncode, Some(tok4Oracle)),
     Q("ir1_bm25", ir1Bm25, Some(ir1Oracle)),
     Q("lm1_bigram_coherence", lm1BigramCoherence, Some(lm1Oracle)))
 }

@@ -40,27 +40,32 @@ class TwoLevelIvfSpec extends AnyFunSuite {
   test("past maxK the trainer goes hierarchical: K1·K2 cells, K1 <= maxK driver-held") {
     withLowCaps {
       // trainN = 125, target = 4 -> desired = 32 > maxK = 4 ->
-      // K1 = min(4, ceil(sqrt(32))) = 4, K2 = min(4, ceil(32/4)) = 4
+      // K1 = min(4, ceil(sqrt(32))) = 4; K2 = ceil(32/4) = 8 — k2 is
+      // NOT maxK-capped (the fine model is a distributed table, and
+      // capping it would leave K1·K2 < desired past desired = maxK²,
+      // letting cells grow with the corpus again)
       val model = Similarity.ivfAssigned(spark, sf)
       val fine = model.fine.getOrElse(fail("two-level did not engage"))
-      assert(fine.coarseK == 4 && fine.fineK == 4 && model.k == 16)
+      assert(fine.coarseK == 4 && fine.fineK == 8 && model.k == 32)
+      assert(model.k >= 32, "K1·K2 must reach the desired cell count")
       // the fine model is a K1-row TABLE, each row one sub-centroid
       // matrix — the only driver-held model is the K1 coarse centroids
       val matRows = fine.centroids.collect()
       assert(matRows.length <= 4)
-      assert(matRows.forall(_.getSeq[Any](1).size <= 4), "a cell exceeds K2 sub-centroids")
+      assert(matRows.forall(_.getSeq[Any](1).size <= 8), "a cell exceeds K2 sub-centroids")
 
       val cells = model.assigned.groupBy(col("cell"))
         .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cells.values.sum == 500, "every vector assigned exactly once")
-      assert(cells.keys.forall(c => c >= 0 && c < 16), s"cell ids out of range: ${cells.keys}")
+      assert(cells.keys.forall(c => c >= 0 && c < 32), s"cell ids out of range: ${cells.keys}")
       // the hierarchy must partition FINER than the flat cap could:
       // more than maxK distinct cells...
       assert(cells.size > 4, s"only ${cells.size} distinct cells")
       // ...and the fine split must strictly shrink dd7's pair-join cost
       // (Σ|cell|²) versus stopping at the coarse level
       val sumSq = cells.values.map(n => n * n).sum
-      val coarseSumSq = cells.groupBy { case (c, _) => c / 4 }
+      // combined id = cell1·K2 + cell2, so coarse cell = id / K2 (= 8)
+      val coarseSumSq = cells.groupBy { case (c, _) => c / 8 }
         .values.map(_.values.sum).map(n => n * n).sum
       assert(sumSq < coarseSumSq,
         s"fine split did not reduce pair cost: $sumSq vs coarse $coarseSumSq")
@@ -123,7 +128,7 @@ class TwoLevelIvfSpec extends AnyFunSuite {
         val nNear = r.getLong(2)
         val keep = r.getBoolean(4)
         assert(keep == (nNear == 0L), s"vec ${r.getLong(0)}: keep=$keep n_near=$nNear")
-        assert(r.getLong(1) >= 0 && r.getLong(1) < 16, s"cell out of range: ${r.getLong(1)}")
+        assert(r.getLong(1) >= 0 && r.getLong(1) < 32, s"cell out of range: ${r.getLong(1)}")
       }
       assert(rows.exists(!_.getBoolean(4)), "planted near-dups should be dropped")
     }
