@@ -288,7 +288,7 @@ object Similarity {
 
   private val IVF_ITERS = 3
   private val IVF_PROBES = 4 // clusters probed per query
-  private val IVF_Q = 512 // integer grid: uq[i] = floor(u[i] * 512)
+  private[graft] val IVF_Q = 512 // integer grid: uq[i] = floor(u[i] * 512)
 
   /** The cell count K is CORPUS-PROPORTIONAL: K = ceil(trainN / target),
     * target = sampled rows per cell. With K fixed (16 through round 4)
@@ -451,6 +451,28 @@ object Similarity {
       train.unpersist()
       IvfModel(withCellFlat(e, centroids), k)
     } else twoLevelAssigned(e, train, desired, maxK)
+  }
+
+  /** The flat-trainer centroids for `dir` — the OFFLINE model the
+    * streaming semantic-dedup leg
+    * ([[graft.streaming.SemanticDedupStream]]) applies on ingest: the
+    * SemDeDup deployment shape trains the quantizer offline over a
+    * corpus snapshot and assigns online. Identical sample prep, params
+    * and Lloyd loop as [[ivfAssigned]]'s flat branch (K clamped to
+    * maxK), so for any corpus where the flat path engages this IS
+    * dd7's model — which is what lets StreamingSemanticDedupSpec
+    * assert streaming ≡ batch dd7 exactly. */
+  private[graft] def flatCentroids(spark: SparkSession, dir: String): Array[Seq[Long]] = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val train = vecs(spark, dir)
+      .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("uq"))
+    train.cache()
+    try {
+      val (desired, maxK) = ivfParams(spark, train.count())
+      lloydFlat(train, math.min(desired, maxK).toInt)
+    } finally { train.unpersist(); () }
   }
 
   /** Driver-held flat Lloyd trainer — the engine-neutral integer-grid
@@ -671,7 +693,7 @@ object Similarity {
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= $K""".stripMargin
 
-  private val DD7_TAU = 0.45 // same near-dup threshold as dd5
+  private[graft] val DD7_TAU = 0.45 // same near-dup threshold as dd5
 
   /** DD7 — SEMANTIC dedup (the SemDeDup move, Abbas et al. 2023):
     * cluster the embedding corpus with the sim3 k-means trainer
