@@ -797,6 +797,78 @@ object Similarity {
       |              (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * s))) * 1000000) / 1000000 AS l2_err
       |FROM q""".stripMargin
 
+  private val RP_D = 16 // projected dimensionality (64 -> 16)
+
+  /** Deterministic ±1 Rademacher sign matrix for the JL projection:
+    * sign(k,j) from bit 16 of the 32-bit Knuth-multiplicative mix of
+    * the flat index k·DIM+j — engine-neutral integer arithmetic the
+    * oracle reproduces with `%`/`//`, no RNG state to ship. Doubles
+    * (±1.0) so [[graft.functions.MatrixDots]] consumes it directly. */
+  private def rpSigns: Seq[Seq[Double]] =
+    Seq.tabulate(RP_D)(k => Seq.tabulate(DIM) { j =>
+      val h = ((k.toLong * DIM + j) * 2654435761L) & 0xFFFFFFFFL
+      if (((h >> 16) & 1L) == 1L) 1.0 else -1.0
+    })
+
+  /** RP1 — RANDOM PROJECTION (Johnson–Lindenstrauss with a Rademacher
+    * ±1 matrix, Achlioptas 2003): project each embedding from DIM=64
+    * to RP_D=16 dims — the cheap dimensionality-reduction pass a 100 TB
+    * embedding corpus runs before clustering/ANN when even int8
+    * vectors (qt1) are too wide for the working set. A ±1 matrix needs
+    * no floats in the model and preserves pairwise distances within
+    * (1±ε) at ε ≈ √(ln N / RP_D).
+    *
+    * Engine-neutral by the sim3 trick: project the 512-grid QUANTIZED
+    * vector, so every p[k] = Σ_j ±uq[j] is an exact whole number
+    * (|p[k]| ≤ 64·512 — order-free integer sums), computed by ONE
+    * codegen'd [[graft.functions.MatrixDots]] against the 16×64 sign
+    * matrix — a narrow map, zero shuffle, O(1) plan size. Output per
+    * vector: the first component, an index-weighted checksum of all 16
+    * (so the oracle pins every component, not just a sum), the
+    * projected/source squared norms, and the JL distortion ratio
+    * ‖p‖²/(RP_D·‖uq‖²) (expectation 1 under ±1 projections — the spec
+    * bounds its corpus mean). */
+  def rp1RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = vecs(spark, dir)
+      .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
+      .withColumn("p", transform(
+        call_function("matrix_dots", col("uq"), typedLit(rpSigns)),
+        x => x.cast("long")))
+    e.select(
+      col("vec_id"),
+      element_at(col("p"), 1).as("p0"),
+      aggregate(zip_with(col("p"), sequence(lit(1L), lit(RP_D.toLong)),
+        (x, k) => x * k), lit(0L), (a, x) => a + x).as("pchk"),
+      aggregate(col("p"), lit(0L), (a, x) => a + x * x).as("pnorm2"),
+      aggregate(col("uq"), lit(0L), (a, x) => a + x * x).as("unorm2"))
+      .withColumn("distortion", graft.ops.Exact.floorE6(
+        col("pnorm2") / (col("unorm2") * lit(RP_D.toDouble))))
+  }
+
+  private val rp1Oracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+       |uqt AS (SELECT vec_id,
+       |          list_transform(v, x -> floor((x / nrm) * $IVF_Q)) AS uq FROM e),
+       |sg AS (SELECT k, list(CASE WHEN ((((k * $DIM + j) * 2654435761) % 4294967296)
+       |                             // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END
+       |                      ORDER BY j) AS s
+       |       FROM range(0, $RP_D) r(k) CROSS JOIN range(0, $DIM) c(j) GROUP BY k),
+       |p AS (SELECT u.vec_id, g.k, CAST(list_dot_product(u.uq, g.s) AS BIGINT) AS pk
+       |      FROM uqt u CROSS JOIN sg g),
+       |un AS (SELECT vec_id, CAST(list_dot_product(uq, uq) AS BIGINT) AS unorm2
+       |       FROM uqt),
+       |agg AS (SELECT vec_id,
+       |          CAST(sum(CASE WHEN k = 0 THEN pk END) AS BIGINT) AS p0,
+       |          CAST(sum((k + 1) * pk) AS BIGINT) AS pchk,
+       |          CAST(sum(pk * pk) AS BIGINT) AS pnorm2
+       |        FROM p GROUP BY vec_id)
+       |SELECT a.vec_id, a.p0, a.pchk, a.pnorm2, un.unorm2,
+       |       floor(a.pnorm2 / (un.unorm2 * ${RP_D.toDouble}) * 1000000) / 1000000
+       |         AS distortion
+       |FROM agg a JOIN un USING (vec_id)""".stripMargin
+
   private val EMB_Q = 512 // integer grid (the sim3 trick): exact, order-free sums
 
   /** EMB1 — per-label centroid cohesion / outlier scoring: the
@@ -1243,5 +1315,6 @@ object Similarity {
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),
     Q("sim4_ann_banded", sim4AnnBanded, Some(sim4Oracle)),
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)),
+    Q("rp1_random_projection", rp1RandomProjection, Some(rp1Oracle)),
     Q("dd7_semantic_dedup", dd7SemanticDedup, Some(dd7Oracle)))
 }

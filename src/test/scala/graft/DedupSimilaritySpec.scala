@@ -279,4 +279,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val hashes = df.select("full_hash").distinct().count()
     assert(hashes == texts)
   }
+
+  test("rp1 JL projection preserves norms in expectation and stays shuffle-free") {
+    val rows = Similarity.rp1RandomProjection(spark, sf)
+      .select("vec_id", "distortion", "pnorm2", "unorm2").collect()
+    assert(rows.length > 100)
+    val ds = rows.map(_.getDouble(1))
+    val mean = ds.sum / ds.length
+    // E[distortion] = 1 under ±1 Rademacher projections; sd ≈ √(2/16)
+    // per vector, so the corpus mean concentrates tightly
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean drifted from 1")
+    // per-vector the ratio is χ²-shaped with heavy tails at RP_D=16
+    // (the sf0.001 corpus realizes 0.098–4.3); the sanity bound only
+    // excludes degenerate projections (all-zero or unbounded)
+    assert(ds.forall(d => d > 0.01 && d < 10.0),
+      s"degenerate distortion: ${ds.filter(d => d <= 0.01 || d >= 10.0).take(5).toSeq}")
+    // a projection is a narrow map: the plan must contain no Exchange
+    val plan = Similarity.rp1RandomProjection(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rp1 plan shuffles:\n$plan")
+  }
 }
