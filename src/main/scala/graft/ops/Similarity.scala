@@ -869,6 +869,70 @@ object Similarity {
        |         AS distortion
        |FROM agg a JOIN un USING (vec_id)""".stripMargin
 
+  private val BENCH_VECS = 25 // vec_id < BENCH_VECS form the benchmark embedding set
+  private val DC3_TAU = DD7_TAU // semantic-leakage threshold, dd5/dd7's near-dup bar
+
+  /** DC3 — SEMANTIC decontamination: the embedding leg of the dc1/dc2
+    * story. dc1 catches exact benchmark overlap, dc2 catches
+    * paraphrased overlap that still shares shingles — but an eval item
+    * rewritten far enough shares NO shingles and only its MEANING
+    * leaks; this pass scores every training vector against the
+    * benchmark embedding set (vec_id < BENCH_VECS — a fixed, bounded
+    * eval artifact, exactly dc1's bench-side argument) and flags
+    * cosine ≥ τ (= dd7's near-dup bar).
+    *
+    * Scale shape: the bench matrix is model-sized BY CONSTRUCTION
+    * (eval suites are small artifacts; they do not grow with the
+    * training corpus — at sf1/sf10 ScaleGen's replicas all land on the
+    * corpus side) and ships as a plan literal through the O(1)-plan
+    * codegen'd [[graft.functions.MatrixDots]]; scoring is ONE narrow
+    * pass over the corpus — per row, |bench| dots + an argmax — with
+    * ZERO shuffle and zero join (PlanSpec-class no-Exchange pin in
+    * DedupSimilaritySpec). Contrast dd5's O(N²) all-pairs: here one
+    * side is bounded, so the "pair join" degenerates to a map.
+    * Tie-break: first index at the max = smallest bench id (the bench
+    * rows ride id-ascending), mirrored by the oracle's
+    * `ORDER BY cos DESC, bid`. */
+  def dc3SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = vecs(spark, dir).withColumn("nrm", norm2(col("v")))
+    val bench = e.filter(col("vec_id") < BENCH_VECS)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    val bmat: Seq[Seq[Double]] = bench.map(_.getSeq[Double](1).toSeq).toSeq
+    val bnrm: Seq[Double] = bench.map(_.getDouble(2)).toSeq
+    val bids: Seq[Long] = bench.map(_.getLong(0)).toSeq
+    e.filter(col("vec_id") >= BENCH_VECS)
+      .withColumn("cos", zip_with(
+        call_function("matrix_dots", col("v"), typedLit(bmat)),
+        typedLit(bnrm),
+        (d, bn) => graft.ops.Exact.floorE6(d / (col("nrm") * bn))))
+      .withColumn("max_cos", array_max(col("cos")))
+      .select(
+        col("vec_id"),
+        element_at(typedLit(bids),
+          (array_position(col("cos"), col("max_cos"))).cast("int"))
+          .as("best_bench"),
+        col("max_cos"),
+        (col("max_cos") >= DC3_TAU).as("contaminated"))
+  }
+
+  private val dc3Oracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+       |b AS (SELECT vec_id AS bid, v AS bv, nrm AS bnrm FROM e
+       |      WHERE vec_id < $BENCH_VECS),
+       |c AS (SELECT e.vec_id, b.bid,
+       |        floor(list_dot_product(e.v, b.bv) / (e.nrm * b.bnrm) * 1000000)
+       |          / 1000000 AS cos
+       |      FROM e CROSS JOIN b WHERE e.vec_id >= $BENCH_VECS)
+       |SELECT vec_id, CAST(bid AS BIGINT) AS best_bench, cos AS max_cos,
+       |       cos >= $DC3_TAU AS contaminated
+       |FROM (SELECT vec_id, bid, cos,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, bid) AS rn
+       |      FROM c) WHERE rn = 1""".stripMargin
+
   private val EMB_Q = 512 // integer grid (the sim3 trick): exact, order-free sums
 
   /** EMB1 — per-label centroid cohesion / outlier scoring: the
@@ -1316,5 +1380,6 @@ object Similarity {
     Q("sim4_ann_banded", sim4AnnBanded, Some(sim4Oracle)),
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)),
     Q("rp1_random_projection", rp1RandomProjection, Some(rp1Oracle)),
+    Q("dc3_semantic_decontaminate", dc3SemanticDecontaminate, Some(dc3Oracle)),
     Q("dd7_semantic_dedup", dd7SemanticDedup, Some(dd7Oracle)))
 }

@@ -299,4 +299,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"rp1 plan shuffles:\n$plan")
   }
+
+  test("dc3 semantic decontamination flags dd5-level near-dups of bench vectors, shuffle-free") {
+    val df = Similarity.dc3SemanticDecontaminate(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the planted replica structure must produce at least one semantic
+    // leak, and every flagged row must carry a bench id in range
+    val flagged = rows.filter(_.getBoolean(3))
+    assert(flagged.nonEmpty, "corpus must contain semantic bench leakage")
+    assert(flagged.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 25))
+    // consistency with dd5's exact pairs: any exact cosine≥τ pair that
+    // crosses the bench boundary must be flagged here (dc3 is
+    // brute-force exact over the bench side — no recall loss)
+    val dd5cross = graft.ops.Dedup.dd5EmbeddingCosine(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("va") < 25 &&
+        org.apache.spark.sql.functions.col("vb") >= 25)
+      .select("vb").collect().map(_.getLong(0)).toSet
+    val flaggedIds = flagged.map(_.getLong(0)).toSet
+    val missed = dd5cross -- flaggedIds
+    assert(missed.isEmpty, s"dc3 missed exact bench near-dups: $missed")
+    // one narrow pass: the plan must contain no Exchange and no join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dc3 plan shuffles:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"dc3 plan joins:\n$plan")
+  }
 }
