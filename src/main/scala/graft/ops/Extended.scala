@@ -520,8 +520,84 @@ object Extended {
        |GROUP BY p.wd, p.cnt""".stripMargin
   }
 
+  /** GAP1 — time-series GAP FILL (forward fill onto a dense grid): per
+    * user, an hourly grid spanning that user's event range, each grid
+    * point carrying the latest event value at or before it — the
+    * resample/align pass every time-series feature pipeline runs
+    * before modeling, and the one windowing shape the w-series
+    * (aggregate per window) does not cover: here windows with NO data
+    * must still emit, carrying state forward.
+    *
+    * Shape: the grid generates from per-user (min, max) BOUNDS — one
+    * output-sized aggregate — so grid volume is (time range ÷ step) ×
+    * users, bounded by the CLOCK and the key cardinality, not by event
+    * count; the fill is one union + one per-user window pass
+    * (`last(value, ignoreNulls)` over rows-unbounded-preceding), with
+    * partition size = events/user + grid/user — at 100 TB keys
+    * partition across executors like any keyed window, and a per-key
+    * partition is range-bounded (ScaleGen mirrors production: replicas
+    * add USERS, not per-user density). Events order before the grid
+    * point at identical ts (is_grid tie-break), ties among events
+    * resolve by event_id — both mirrored in the oracle's ORDER BY.
+    * Value doubles are CARRIED, never computed on, so the hash compare
+    * is bit-exact; leading grid hours before a user's first event stay
+    * NULL on both engines. */
+  def gap1ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("ts"))
+    val unioned = ev
+      .select(col("user_id"), col("ts"), col("value"),
+        lit(0).as("is_grid"), col("event_id"))
+      .union(grid.select(col("user_id"), col("ts"),
+        lit(null).cast("double").as("value"),
+        lit(1).as("is_grid"), lit(Long.MaxValue).as("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("value_filled", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+    val hourCounts = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("n_events"))
+    filled.join(hourCounts, Seq("user_id", "ts"), "left")
+      .select(col("user_id"),
+        date_format(col("ts"), SEC).as("grid_ts"),
+        col("value_filled"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  private val gap1Oracle: String =
+    s"""WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
+       |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+       |             date_trunc('hour', max(ts)) AS h1
+       |      FROM ev GROUP BY user_id),
+       |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+       |      FROM b),
+       |u AS (SELECT user_id, ts, value, 0 AS is_grid, event_id FROM ev
+       |      UNION ALL
+       |      SELECT user_id, ts, NULL, 1, 9223372036854775807 FROM g),
+       |f AS (SELECT user_id, ts, is_grid,
+       |        last_value(value IGNORE NULLS) OVER (
+       |          PARTITION BY user_id ORDER BY ts, is_grid, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+       |      FROM u),
+       |hc AS (SELECT user_id, date_trunc('hour', ts) AS h,
+       |              CAST(count(*) AS BIGINT) AS n_events
+       |       FROM ev GROUP BY 1, 2)
+       |SELECT f.user_id, strftime(f.ts, '$DUCK_SEC') AS grid_ts,
+       |       f.value_filled, coalesce(hc.n_events, CAST(0 AS BIGINT)) AS n_events
+       |FROM f LEFT JOIN hc ON hc.user_id = f.user_id AND hc.h = f.ts
+       |WHERE f.is_grid = 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
+    Q("gap1_forward_fill", gap1ForwardFill, Some(gap1Oracle)),
     Q("apx1_hll_distinct", apx1HllDistinct, Some(apx1Oracle)),
     Q("apx2_percentile", apx2Percentile, Some(apx2Oracle)),
     Q("apx3_count_min", apx3CountMin, Some(apx3Oracle)),

@@ -294,7 +294,9 @@ class PlanSpec extends AnyFunSuite {
         // dd8/dd10's dup-gram table grows with corpus redundancy exactly
         // like dd6's boilerplate set — same degradation proof
         ("dd8", Dedup.dd8DupSpans _),
-        ("dd10", Dedup.dd10SpanTrim _))
+        ("dd10", Dedup.dd10SpanTrim _),
+        // tok4's word→subtoken-count map is vocabulary-sized like tok1's
+        ("tok4", graft.ops.TextOps.tok4BpeEncode _))
     val hinted = fns.map { case (n, fn) => n -> sig(fn(spark, sf)) }.toMap
     // drop the model tables the guard cached for the hinted runs, so
     // the cap-0 rebuild really replans the aggregates (a leftover
