@@ -473,11 +473,90 @@ object Multimodal {
        |       floor(list_sum(p) * 1000000 / (nf * $Y4M_FRAME)) / 1000000 AS y_mean
        |FROM px""".stripMargin
 
+  /** 2× box-average downsample of an 8-bit grayscale image: each
+    * output pixel is the floor-mean of its 2×2 source block (exact
+    * integer arithmetic — sum of four bytes ≤ 1020, `/ 4` truncating,
+    * identical to the oracle's `//`). Odd trailing row/column drop
+    * (floor dims), the convention of every mipmap chain. */
+  private[graft] def boxDownsample2(w: Int, h: Int,
+      px: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val base = (2 * y) * w + 2 * x
+        val s = (px(base) & 0xFF) + (px(base + 1) & 0xFF) +
+          (px(base + w) & 0xFF) + (px(base + w + 1) & 0xFF)
+        out(y * ow + x) = (s / 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** MM8 — REAL image resize, upgrading mm4's stride-sampling stub to
+    * the genuine article on the REAL decoder's output: parse the PGM
+    * ([[decodePgm]] — a production parser, see mm5), then 2× BOX-AVERAGE
+    * downsample the pixel matrix ([[boxDownsample2]]) — the actual
+    * thumbnail/mipmap arithmetic an image preprocessing pipeline runs,
+    * not a byte skip. Per-partition batch decode+resize (the
+    * mapPartitions shape real codec calls need); exact integer
+    * arithmetic end to end, so the full encode→parse→resize→stats
+    * composite is DuckDB-replayable and hash-checked: output dims,
+    * resized pixel sum, truncating-div mean, and the resized first-row
+    * mod-2^40 fold. Scale: a narrow map — zero shuffle; at 100 TB the
+    * binary column streams through executors once. */
+  def mm8PgmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, _, px) = decodePgm(encodePgm(payload))
+        val (ow, oh, out) = boxDownsample2(w, h, px)
+        var sum = 0L
+        var i = 0
+        while (i < out.length) { sum += (out(i) & 0xFF); i += 1 }
+        var row0 = 0L
+        i = 0
+        while (i < ow) { row0 = (row0 * 31 + (out(i) & 0xFF)) % 1099511627776L; i += 1 }
+        (id, w, h, ow, oh, sum,
+          math.floor((sum * 1000000L).toDouble / (ow.toLong * oh)) / 1e6, row0)
+      })
+      .toDF("doc_id", "in_w", "in_h", "out_w", "out_h",
+        "px_sum", "px_mean", "row0_hash")
+  }
+
+  private val mm8Oracle =
+    s"""WITH t AS (SELECT doc_id, text,
+       |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
+       |px AS (SELECT doc_id, h, h // 2 AS oh,
+       |         list_transform(range(1, $PGM_W * h + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |       FROM t),
+       |rs AS (SELECT doc_id, h, oh,
+       |         list_transform(range(0, ${PGM_W / 2} * oh), k ->
+       |           (p[CAST((k // ${PGM_W / 2}) * 2 * $PGM_W + (k % ${PGM_W / 2}) * 2 + 1 AS INT)]
+       |          + p[CAST((k // ${PGM_W / 2}) * 2 * $PGM_W + (k % ${PGM_W / 2}) * 2 + 2 AS INT)]
+       |          + p[CAST(((k // ${PGM_W / 2}) * 2 + 1) * $PGM_W + (k % ${PGM_W / 2}) * 2 + 1 AS INT)]
+       |          + p[CAST(((k // ${PGM_W / 2}) * 2 + 1) * $PGM_W + (k % ${PGM_W / 2}) * 2 + 2 AS INT)]) // 4) AS q
+       |       FROM px)
+       |SELECT doc_id, $PGM_W AS in_w, CAST(h AS INT) AS in_h,
+       |       ${PGM_W / 2} AS out_w, CAST(oh AS INT) AS out_h,
+       |       CAST(list_sum(q) AS BIGINT) AS px_sum,
+       |       floor(list_sum(q) * 1000000 / (${PGM_W / 2} * oh)) / 1000000 AS px_mean,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), q[1:${PGM_W / 2}]),
+       |         (a, x) -> (a * 31 + x) % 1099511627776) AS row0_hash
+       |FROM rs""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
     Q("mm4_resize", mm4Resize, Some(mm4Oracle)),
     Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)),
+    Q("mm8_pgm_resize", mm8PgmResize, Some(mm8Oracle)),
     Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)),
     Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)))
 }

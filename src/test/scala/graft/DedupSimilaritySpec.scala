@@ -249,6 +249,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mm8 box downsample computes exact 2x2 floor-means, odd row dropped") {
+    // hand-built 4x5 image (h odd): each 2x2 block mean is checkable by
+    // eye; the 5th row must not influence the output
+    val px = Array[Int](
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      0, 255, 255, 0,
+      255, 0, 0, 255,
+      99, 99, 99, 99).map(_.toByte)
+    val (ow, oh, out) = Multimodal.boxDownsample2(4, 5, px)
+    assert((ow, oh) == (2, 2))
+    assert(out.map(_ & 0xFF).toSeq == Seq((10 + 20 + 50 + 60) / 4,
+      (30 + 40 + 70 + 80) / 4, (0 + 255 + 255 + 0) / 4, (255 + 0 + 0 + 255) / 4))
+    // saturation: an all-255 block stays 255 (no overflow in the sum)
+    val white = Array.fill[Byte](4)(255.toByte)
+    assert((Multimodal.boxDownsample2(2, 2, white)._3.head & 0xFF) == 255)
+  }
+
   test("dd7 semantic dedup is consistent with dd5's exact pairs") {
     // dd7 restricts dd5's all-pairs comparison to within-cell pairs:
     // every exact pair (dd5, cos >= the shared 0.45 threshold) whose
