@@ -551,12 +551,128 @@ object Multimodal {
        |         (a, x) -> (a * 31 + x) % 1099511627776) AS row0_hash
        |FROM rs""".stripMargin
 
+  /** Grayscale PNG encoder via the JDK's built-in ImageIO codec (zlib
+    * DEFLATE + PNG filters — a REAL compressed image format, and the
+    * JDK ships its codec on every Java 17, no external library): wraps
+    * a document's bytes as a PGM_W-wide 8-bit grayscale image, like
+    * [[encodePgm]] but through actual compression. */
+  private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val h = math.max(bytes.length / PGM_W, 1)
+    val img = new java.awt.image.BufferedImage(PGM_W, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, PGM_W, h,
+      java.util.Arrays.copyOf(bytes, PGM_W * h))
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /** Grayscale JPEG encoder via the JDK's built-in codec (lossy DCT). */
+  private[graft] def encodeJpeg(bytes: Array[Byte]): Array[Byte] = {
+    val h = math.max(bytes.length / PGM_W, 1)
+    val img = new java.awt.image.BufferedImage(PGM_W, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, PGM_W, h,
+      java.util.Arrays.copyOf(bytes, PGM_W * h))
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+    bos.toByteArray
+  }
+
+  /** ======================= REAL DECODER =======================
+    * Compressed-image decode through `javax.imageio` — the codec stack
+    * the JDK itself ships (PNG and JPEG on every Java 17; what remains
+    * genuinely environment-blocked is the non-JDK codec family:
+    * MP3/H.264/WebP). Accepts any ImageIO-supported payload and
+    * normalizes to 8-bit grayscale; production code points this at
+    * real .png/.jpg blobs unchanged. Thread-safe (ImageIO.read creates
+    * a fresh reader per call) and headless-safe (BufferedImage
+    * Graphics2D is pure software). */
+  private[graft] def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+        g
+      }
+    val out = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, out)
+    (w, h, out)
+  }
+
+  /** MM9 — REAL COMPRESSED image decode, closing the "codec formats"
+    * gap within what the JDK ships: each document's bytes compress
+    * through the real PNG codec (DEFLATE + filters) and decode back
+    * through [[decodeImage]]. PNG is LOSSLESS, so the decoded pixels
+    * are the document's own bytes and the whole
+    * encode→compress→decode→stats composite is DuckDB-replayable —
+    * the same oracle as mm5, now exercised through an actual
+    * compression stack instead of raw PGM samples. (JPEG — lossy DCT —
+    * cannot be oracle-replayed; see mm10.) Per-partition batch map,
+    * zero shuffle. */
+  def mm9PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, px) = decodeImage(encodePng(payload))
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += (px(i) & 0xFF); i += 1 }
+        var row0 = 0L
+        i = 0
+        while (i < w) { row0 = (row0 * 31 + (px(i) & 0xFF)) % 1099511627776L; i += 1 }
+        (id, w, h, sum,
+          math.floor((sum * 1000000L).toDouble / (w.toLong * h)) / 1e6, row0)
+      })
+      .toDF("doc_id", "width", "height", "px_sum", "px_mean", "row0_hash")
+  }
+
+  /** MM10 — REAL JPEG decode (lossy DCT through the JDK codec). Lossy
+    * output cannot hash-match a SQL oracle, so this registers WITHOUT
+    * oracle SQL (the driver's weaker rows-only check) and the accuracy
+    * claim lives in the spec instead: exact dimensions always; pixel
+    * error vs the source bounded tightly on smooth gradients (the
+    * codec's design regime — the spec measures ≤8 there) and loosely
+    * on the corpus's noisy text bytes via the emitted `max_abs_err`
+    * column. Output is deterministic for a fixed JVM (one encoder, one
+    * decoder), which is all Verify/Bench need. */
+  def mm10JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val jpeg = encodeJpeg(payload)
+        val (w, h, px) = decodeImage(jpeg)
+        var sum = 0L
+        var maxErr = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xFF
+          sum += v
+          val src = if (i < payload.length) payload(i) & 0xFF else 0
+          val e = math.abs(v - src)
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        (id, w, h, jpeg.length, sum, maxErr)
+      })
+      .toDF("doc_id", "width", "height", "jpeg_bytes", "px_sum", "max_abs_err")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
     Q("mm4_resize", mm4Resize, Some(mm4Oracle)),
     Q("mm5_pgm_decode", mm5PgmDecode, Some(mm5Oracle)),
     Q("mm8_pgm_resize", mm8PgmResize, Some(mm8Oracle)),
+    Q("mm9_png_decode", mm9PngDecode, Some(mm5Oracle)),
+    Q("mm10_jpeg_decode", mm10JpegDecode, None),
     Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)),
     Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)))
 }

@@ -267,6 +267,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((Multimodal.boxDownsample2(2, 2, white)._3.head & 0xFF) == 255)
   }
 
+  test("mm9/mm10: JDK codec stack — PNG round-trips losslessly, JPEG bounded on its design regime") {
+    // PNG (DEFLATE + filters) must reproduce the source bytes exactly —
+    // that losslessness is what makes mm9's DuckDB oracle valid
+    val src = Array.tabulate[Byte](64)(i => (i * 7 + 13).toByte)
+    val (w, h, px) = Multimodal.decodeImage(Multimodal.encodePng(src))
+    assert((w, h) == (16, 4))
+    assert(px.toSeq == src.toSeq, "PNG round-trip must be lossless")
+    // compression is real: a constant image deflates far below raw size
+    val flat = Multimodal.encodePng(Array.fill[Byte](1024)(42))
+    assert(flat.length < 200, s"PNG of a constant image should deflate (${flat.length} B)")
+    // JPEG on a smooth gradient (the DCT's design regime): exact dims,
+    // small bounded pixel error
+    val grad = Array.tabulate[Byte](256)(i => (i / 2).toByte)
+    val (jw, jh, jpx) = Multimodal.decodeImage(Multimodal.encodeJpeg(grad))
+    assert((jw, jh) == (16, 16))
+    val maxErr = grad.indices.map(i => math.abs((grad(i) & 0xFF) - (jpx(i) & 0xFF))).max
+    assert(maxErr <= 8, s"JPEG gradient error $maxErr exceeds codec tolerance")
+    // determinism: the registered query's contract (rows-only check +
+    // Bench hashing) needs byte-stable output across encode runs
+    assert(Multimodal.encodeJpeg(grad).toSeq == Multimodal.encodeJpeg(grad).toSeq)
+    // format generality: decodeImage normalizes non-grayscale input
+    val rgb = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFFFFFF); rgb.setRGB(1, 0, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val (cw, ch, cpx) = Multimodal.decodeImage(bos.toByteArray)
+    assert((cw, ch) == (4, 2))
+    assert((cpx(0) & 0xFF) > 200 && (cpx(1) & 0xFF) < 50,
+      "grayscale normalization must preserve luminance order")
+  }
+
   test("dd7 semantic dedup is consistent with dd5's exact pairs") {
     // dd7 restricts dd5's all-pairs comparison to within-cell pairs:
     // every exact pair (dd5, cos >= the shared 0.45 threshold) whose
