@@ -556,6 +556,13 @@ object Multimodal {
     * JDK ships its codec on every Java 17, no external library): wraps
     * a document's bytes as a PGM_W-wide 8-bit grayscale image, like
     * [[encodePgm]] but through actual compression. */
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // would round-trip a temp file on the executor — pointless I/O for
+  // in-memory byte arrays, and a hidden dependency on executor tmp
+  // space at scale. Memory-only is the right mode for a columnar
+  // pipeline; the setter is JVM-global and idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
     val h = math.max(bytes.length / PGM_W, 1)
     val img = new java.awt.image.BufferedImage(PGM_W, h,
