@@ -52,10 +52,13 @@ object RkLsh {
     * halves; 36/37 chain the HyperLogLog bucketing hash ([[HllSketch]]);
     * 38/39 chain the ±1 Rademacher hyperplane parities of
     * [[RkLshSignatures]]; [40,48) chain the four count-min bucketing
-    * hashes (apx3: row d uses 40+2d / 41+2d). a_j odd in [1, 2^22),
-    * b_j in [0, 2^40). (Values are index-stable: extending NUM never
-    * changes earlier constants, so dd2/dd3 oracles are unaffected.) */
-  final val NUM: Int = 48
+    * hashes (apx3: row d uses 40+2d / 41+2d); [48,56) chain the four
+    * Bloom-filter probe hashes (dc4: probe i uses 48+2i / 49+2i);
+    * 56/57 chain the content-defined-chunking anchor hash (dd11).
+    * a_j odd in [1, 2^22), b_j in [0, 2^40). (Values are index-stable:
+    * extending NUM never changes earlier constants, so dd2/dd3 oracles
+    * are unaffected.) */
+  final val NUM: Int = 58
 
   /** two-round chain indices for the HLL bucketing hash. */
   final val HLL_A = 36; final val HLL_B = 37
@@ -66,6 +69,13 @@ object RkLsh {
   /** two-round chain indices for count-min row d ∈ [0, 4). */
   def cmA(d: Int): Int = 40 + 2 * d
   def cmB(d: Int): Int = 41 + 2 * d
+
+  /** two-round chain indices for Bloom probe i ∈ [0, 4) (dc4). */
+  def blA(i: Int): Int = 48 + 2 * i
+  def blB(i: Int): Int = 49 + 2 * i
+
+  /** two-round chain indices for the CDC anchor hash (dd11). */
+  final val CDC_A = 56; final val CDC_B = 57
 
   /** Two-round engine-neutral avalanche (the dd3 recipe — see
     * `graft.ops.Dedup.affineMix` for the measurement that motivated two

@@ -706,6 +706,97 @@ object Dedup {
        |FROM nw9 n LEFT JOIN ex9 e ON n.doc_id = e.doc_id
        |          LEFT JOIN nr9 r ON n.doc_id = r.doc_id""".stripMargin
 
+  /** Expected CDC chunk length (words): a word anchors a boundary when
+    * its avalanched hash ≡ 0 (mod ANCHOR_DIV). */
+  private val ANCHOR_DIV = 8L
+
+  /** Column mirror of [[RkLsh.mix2]] over the CDC anchor chain (56/57)
+    * — the standard two-round avalanche; a raw RK word hash's low bits
+    * are too structured to gate boundaries on (see RkLsh scaladoc). */
+  private def cdcMix(h: Column): Column = {
+    val s1 = (lit(RkLsh.A(RkLsh.CDC_A)) * h + lit(RkLsh.B(RkLsh.CDC_A))) % RkLsh.P
+    val s1x = s1.bitwiseXOR(shiftright(s1, 20))
+    val s2 = (lit(RkLsh.A(RkLsh.CDC_B)) * s1x + lit(RkLsh.B(RkLsh.CDC_B))) % RkLsh.P
+    s2.bitwiseXOR(shiftright(s2, 20))
+  }
+
+  /** DD11 — CONTENT-DEFINED chunking dedup (the FastCDC/rsync boundary
+    * idea at word granularity): a chunk starts at every ANCHOR word —
+    * one whose avalanched hash ≡ 0 mod ANCHOR_DIV — so boundaries are a
+    * pure function of LOCAL content. That is the property dd6's
+    * fixed-size grid lacks: inserting one word into a document shifts
+    * every later fixed chunk's identity (nothing downstream dedups),
+    * while here all chunks after the edit's enclosing chunk keep their
+    * hashes and still match their copies in other documents. Output is
+    * per-document chunk counts + the cross-document duplicate-chunk
+    * ratio — the "how much of this doc is copied text" curation signal.
+    *
+    * Shape (100 TB): one posexplode → per-doc window prefix-sum (the
+    * partition is one document — bounded by doc length like every
+    * per-doc op) → per-chunk fold into an 8-byte chunk hash (collect
+    * buffers are chunk-sized, E[len] = ANCHOR_DIV words) → the df
+    * aggregate and the flag join both carry only 8-byte hashes. The
+    * cross-doc duplicate set is redundancy-sized (dd6's boiler
+    * argument), so it sits behind [[Model.guardedBroadcast]] with the
+    * planner's shuffle join as the past-threshold fallback. All hashes
+    * are the engine-neutral RK/avalanche arithmetic, so chunking,
+    * chunk identity, and the ratios replay verbatim in DuckDB. */
+  def dd11CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs(spark, dir)
+      .select(col("doc_id"), posexplode(words))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        call_function("rk_word_hash", col("col")).as("h"))
+      .withColumn("anc",
+        when(pmod(cdcMix(col("h")), lit(ANCHOR_DIV)) === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = pos.withColumn("cid", sum(col("anc")).over(w))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+      .select(col("doc_id"),
+        aggregate(col("ph"), lit(0L),
+          (a, x) => pmod(a * lit(RkLsh.MUL) + x.getField("h"), lit(RkLsh.M40)))
+          .as("ch"))
+    val dup = chunks.groupBy(col("ch"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    chunks.join(Model.guardedBroadcast(dup), Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_chunks"), 6).as("dup_ratio"))
+  }
+
+  private val dd11Oracle: String = {
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    val mix = RkLsh.mix2Sql(RkLsh.CDC_A, RkLsh.CDC_B, "u.h")
+    s"""WITH t11 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |w11 AS (SELECT doc_id, list_transform(w, wd -> $wordFold) AS hs FROM t11),
+       |p11 AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+       |          i -> {'pos': i, 'h': hs[CAST(i AS INT)]})) AS u FROM w11),
+       |e11 AS (SELECT doc_id, u.pos AS pos, u.h AS h,
+       |          CASE WHEN ($mix) % $ANCHOR_DIV = 0 THEN 1 ELSE 0 END AS anc
+       |        FROM p11),
+       |c11 AS (SELECT doc_id, pos, h,
+       |          sum(anc) OVER (PARTITION BY doc_id ORDER BY pos
+       |                         ROWS UNBOUNDED PRECEDING) AS cid
+       |        FROM e11),
+       |ck11 AS (SELECT doc_id, cid,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |            (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}) AS ch
+       |         FROM c11 GROUP BY doc_id, cid),
+       |df11 AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ck11 GROUP BY ch)
+       |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_ratio
+       |FROM ck11 k JOIN df11 d USING (ch)
+       |GROUP BY k.doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
     Q("dd2_minhash_lsh", dd2MinHashLsh, Some(dd2Oracle)),
@@ -713,6 +804,7 @@ object Dedup {
     Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
     Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)),
     Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)),
+    Q("dd11_cdc_chunks", dd11CdcChunks, Some(dd11Oracle)),
     Q("dd8_dup_spans", dd8DupSpans, Some(dd8Oracle)),
     Q("dd10_span_trim", dd10SpanTrim, Some(dd10Oracle)),
     Q("dd9_incremental", dd9Incremental, Some(dd9Oracle)))

@@ -176,6 +176,103 @@ object Pipeline {
        |  FROM candd)
        |WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** Bloom geometry for dc4: 2^17 bits (2048 longs — 16 KB) × 4 probes.
+    * At the FIXED bench-shingle load (BENCH_DOCS is an absolute id
+    * cutoff, so n ≈ 6k distinct shingles at every SF) the false-positive
+    * rate is (1−e^{−kn/m})^k ≈ 8e-4 — ≪ OVERLAP expected FP hits per
+    * document, so the flag set matches dc1's up to a deterministic,
+    * oracle-replayed FP residue. */
+  private[graft] val BLOOM_BITS = 131072L
+  private[graft] val BLOOM_WORDS = 2048
+  private[graft] val BLOOM_K = 4
+
+  /** Column mirror of [[graft.functions.RkLsh.mix2]] over Bloom chain i,
+    * reduced to a bit position — the same two-round avalanche every
+    * structured-input bucketing hash in the repo uses (see apx3's
+    * scaladoc for why one affine round is not enough). */
+  private def bloomProbe(i: Int, h: Column): Column = {
+    import graft.functions.RkLsh
+    val s1 = (lit(RkLsh.A(RkLsh.blA(i))) * h + lit(RkLsh.B(RkLsh.blA(i)))) % RkLsh.P
+    val s1x = s1.bitwiseXOR(shiftright(s1, 20))
+    val s2 = (lit(RkLsh.A(RkLsh.blB(i))) * s1x + lit(RkLsh.B(RkLsh.blB(i)))) % RkLsh.P
+    pmod(s2.bitwiseXOR(shiftright(s2, 20)), lit(BLOOM_BITS))
+  }
+
+  /** DC4 — BLOOM-FILTER decontamination: dc1's contamination test with
+    * the benchmark side compressed into a fixed 16 KB bit array instead
+    * of a broadcast shingle set. Each bench 3-gram shingle hash sets
+    * BLOOM_K bit positions (two-round avalanche over the engine-neutral
+    * RK shingle hash, chains 48-55); a training document is flagged when
+    * ≥ OVERLAP of its distinct shingles probe all-positive.
+    *
+    * Shape (100 TB): the scale limit of dc1/dc2 is the BENCHMARK side —
+    * a production decontamination pass screens against MANY eval suites
+    * at once, and a broadcast shingle set grows with them, while this
+    * sketch stays 2048 longs no matter how many suites feed it (Bloom
+    * 1970's guarantee: no false NEGATIVES at any load — supersets of the
+    * true flag set, with the FP rate as the dial). The corpus side is
+    * the real win: membership is pure arithmetic against an embedded
+    * literal array — size(filter(shingles, all-4-bits-set)) — so the
+    * scan is one narrow codegen'd map with NO join, NO shuffle, and no
+    * per-gram explode; only flagged doc_ids leave the scan. The sketch
+    * itself is built by one bounded aggregate (≤ BLOOM_WORDS rows by
+    * construction — the collect moves 16 KB of model state, never
+    * corpus). Every probe replays in DuckDB, so flags INCLUDING the
+    * deterministic false positives hash-match the oracle. */
+  def dc4BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val shingles = call_function("rk_shingle_hashes", words, lit(3))
+    // build: bench shingles -> 4 probes each -> per-word bit_or; the
+    // aggregate has <= BLOOM_WORDS distinct keys by construction
+    val setBits = docs(spark, dir).filter(col("doc_id") < BENCH_DOCS)
+      .select(explode(shingles).as("s")).distinct()
+      .select(explode(array((0 until BLOOM_K).map(i => bloomProbe(i, col("s"))): _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("idx"),
+        col("p").bitwiseAND(lit(63L)).cast("int").as("bit"))
+      .groupBy(col("idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("bit"))).as("w"))
+      .collect()
+    val sketch = new Array[Long](BLOOM_WORDS)
+    setBits.foreach(r => sketch(r.getInt(0)) = r.getLong(1))
+    val arr = typedlit(sketch.toSeq)
+    def positive(s: Column): Column = (0 until BLOOM_K).map { i =>
+      val p = bloomProbe(i, s)
+      val w = element_at(arr, shiftright(p, 6).cast("int") + 1)
+      call_function("shiftright", w, p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    docs(spark, dir).filter(col("doc_id") >= BENCH_DOCS)
+      .select(col("doc_id"),
+        size(filter(shingles, positive(_))).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= OVERLAP)
+  }
+
+  private val dc4Oracle: String = {
+    import graft.functions.RkLsh
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    def arms(src: String, cols: String): String = (0 until BLOOM_K).map { i =>
+      s"""SELECT $cols,
+         |  (${RkLsh.mix2Sql(RkLsh.blA(i), RkLsh.blB(i), "s")}) % $BLOOM_BITS AS p
+         |FROM $src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk4 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wh4 AS (SELECT doc_id, list_transform(w, wd -> $wordFold) AS hs,
+       |          len(w) AS nw FROM tk4),
+       |sh4 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(nw - 3, 0) + 1),
+       |          i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 3]),
+       |                 (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}))) AS s FROM wh4),
+       |sd4 AS (SELECT DISTINCT doc_id, s FROM sh4),
+       |bb4 AS (SELECT DISTINCT p FROM (
+       |${arms(s"(SELECT s FROM sd4 WHERE doc_id < $BENCH_DOCS)", "1 AS one")})),
+       |cp4 AS (${arms(s"(SELECT doc_id, s FROM sd4 WHERE doc_id >= $BENCH_DOCS)",
+                      "doc_id, s")}),
+       |pos4 AS (SELECT doc_id, s FROM cp4 c
+       |         WHERE EXISTS (SELECT 1 FROM bb4 b WHERE b.p = c.p)
+       |         GROUP BY doc_id, s HAVING count(*) = $BLOOM_K)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM pos4
+       |GROUP BY doc_id HAVING count(*) >= $OVERLAP""".stripMargin
+  }
+
   private val QUOTA = 2
 
   /** DQ1 — per-source quota: keep at most QUOTA documents per
@@ -643,6 +740,7 @@ object Pipeline {
     Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
     Q("dc1_decontaminate", dc1Decontaminate, Some(dc1Oracle)),
     Q("dc2_fuzzy_decontaminate", dc2FuzzyDecontaminate, Some(dc2Oracle)),
+    Q("dc4_bloom_decontaminate", dc4BloomDecontaminate, Some(dc4Oracle)),
     Q("dq1_group_quota", dq1GroupQuota, Some(dq1Oracle)),
     Q("pk1_pack_sequences", pk1PackSequences, Some(pk1Oracle)),
     Q("pk2_pack_manifest", pk2PackManifest, Some(pk2Oracle)),
