@@ -62,9 +62,27 @@ object GraftFunctions {
     DoubleDot(Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
   }
 
+  /** Extract a compile-time long-array argument (dc4's Bloom sketch —
+    * model state baked into the generated code's references, not a
+    * per-row input). */
+  private def foldableLongArray(name: String, e: Expression): Array[Long] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: argument must be a foldable (constant) array<bigint>, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument must be a foldable array<bigint>, got $other")
+    }
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("double_dot", doubleDotBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_hits", exprs => {
+      arity("bloom_hits", 3)(exprs)
+      BloomHits(exprs(0), foldableLongArray("bloom_hits", exprs(1)),
+        foldableInt("bloom_hits", exprs(2)).toLong)
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch", exprs => {
       arity("minhash_sketch", 1)(exprs)
       MinHashSketch(Cast(exprs.head, LongType))

@@ -731,16 +731,22 @@ object Dedup {
     * per-document chunk counts + the cross-document duplicate-chunk
     * ratio — the "how much of this doc is copied text" curation signal.
     *
-    * Shape (100 TB): one posexplode → per-doc window prefix-sum (the
-    * partition is one document — bounded by doc length like every
-    * per-doc op) → per-chunk fold into an 8-byte chunk hash (collect
-    * buffers are chunk-sized, E[len] = ANCHOR_DIV words) → the df
-    * aggregate and the flag join both carry only 8-byte hashes. The
-    * cross-doc duplicate set is redundancy-sized (dd6's boiler
-    * argument), so it sits behind [[Model.guardedBroadcast]] with the
-    * planner's shuffle join as the past-threshold fallback. All hashes
-    * are the engine-neutral RK/avalanche arithmetic, so chunking,
-    * chunk identity, and the ratios replay verbatim in DuckDB. */
+    * Shape (100 TB): ONE linear lineage — posexplode → per-doc window
+    * prefix-sum (the partition is one document, bounded by doc length)
+    * → per-chunk fold into an 8-byte chunk hash (collect buffers are
+    * chunk-sized, E[len] = ANCHOR_DIV words; the chunk groupBy reuses
+    * the window's doc_id partitioning, so no extra exchange) → group to
+    * (ch, doc_id) → document frequency as count-over-(partition ch)
+    * [the per-ch partition is "docs containing this chunk" — the same
+    * redundancy regime every df computation in the repo lives in] →
+    * per-doc rollup. A first cut materialized a separate duplicate-set
+    * table and joined it back behind the broadcast guard; that shape
+    * recomputes the whole explode+window+fold subtree for BOTH join
+    * inputs plus the guard's count job (measured 13.3 s warm at sf1 vs
+    * 5.6 s for this one-pass form). Every shuffle after the explode
+    * carries 8-byte hashes, never text. All hashes are the
+    * engine-neutral RK/avalanche arithmetic, so chunking, chunk
+    * identity, and the ratios replay verbatim in DuckDB. */
   def dd11CdcChunks(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     import org.apache.spark.sql.expressions.Window
@@ -759,13 +765,11 @@ object Dedup {
         aggregate(col("ph"), lit(0L),
           (a, x) => pmod(a * lit(RkLsh.MUL) + x.getField("h"), lit(RkLsh.M40)))
           .as("ch"))
-    val dup = chunks.groupBy(col("ch"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-    chunks.join(Model.guardedBroadcast(dup), Seq("ch"), "left")
+    val g = chunks.groupBy(col("ch"), col("doc_id")).agg(count(lit(1)).as("k"))
+    g.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("ch"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("k")).as("n_chunks"),
+        sum(when(col("nd") >= 2, col("k")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_chunks"), 6).as("dup_ratio"))
   }

@@ -211,14 +211,17 @@ object Pipeline {
     * sketch stays 2048 longs no matter how many suites feed it (Bloom
     * 1970's guarantee: no false NEGATIVES at any load — supersets of the
     * true flag set, with the FP rate as the dial). The corpus side is
-    * the real win: membership is pure arithmetic against an embedded
-    * literal array — size(filter(shingles, all-4-bits-set)) — so the
-    * scan is one narrow codegen'd map with NO join, NO shuffle, and no
-    * per-gram explode; only flagged doc_ids leave the scan. The sketch
-    * itself is built by one bounded aggregate (≤ BLOOM_WORDS rows by
-    * construction — the collect moves 16 KB of model state, never
-    * corpus). Every probe replays in DuckDB, so flags INCLUDING the
-    * deterministic false positives hash-match the oracle. */
+    * the real win: membership is pure arithmetic against the sketch via
+    * the codegen'd [[graft.functions.BloomHits]] expression — one narrow
+    * compiled map with NO join, NO shuffle, and no per-gram explode;
+    * only flagged doc_ids leave the scan. (A first cut used
+    * size(filter(shingles, λ)): Spark evaluates higher-order-function
+    * lambdas interpreted per element — 51 s warm at sf10 vs 3.4 s
+    * compiled.) The sketch itself is built by one bounded aggregate
+    * (≤ BLOOM_WORDS rows by construction — the collect moves 16 KB of
+    * model state, never corpus). Every probe replays in DuckDB, so
+    * flags INCLUDING the deterministic false positives hash-match the
+    * oracle. */
   def dc4BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val shingles = call_function("rk_shingle_hashes", words, lit(3))
@@ -234,16 +237,10 @@ object Pipeline {
       .collect()
     val sketch = new Array[Long](BLOOM_WORDS)
     setBits.foreach(r => sketch(r.getInt(0)) = r.getLong(1))
-    val arr = typedlit(sketch.toSeq)
-    def positive(s: Column): Column = (0 until BLOOM_K).map { i =>
-      val p = bloomProbe(i, s)
-      val w = element_at(arr, shiftright(p, 6).cast("int") + 1)
-      call_function("shiftright", w, p.bitwiseAND(lit(63L)).cast("int"))
-        .bitwiseAND(lit(1L)) === 1L
-    }.reduce(_ && _)
     docs(spark, dir).filter(col("doc_id") >= BENCH_DOCS)
       .select(col("doc_id"),
-        size(filter(shingles, positive(_))).cast("long").as("n_hits"))
+        call_function("bloom_hits", shingles, typedlit(sketch.toSeq),
+          lit(BLOOM_BITS)).as("n_hits"))
       .filter(col("n_hits") >= OVERLAP)
   }
 
