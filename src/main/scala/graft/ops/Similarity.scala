@@ -987,6 +987,56 @@ object Similarity {
        |       FROM n JOIN ctr ON n.label = ctr.label)
        |SELECT vec_id, label, cos_c, cos_c < 0.0 AS outlier FROM sc""".stripMargin
 
+  /** KNN1 — k-NN majority-label classification: each query vector takes
+    * the majority label of its K nearest neighbors (ties broken votes
+    * DESC, then smallest label), reported against its own label — the
+    * label-propagation / weak-labeling step semi-supervised curation
+    * pipelines run over an embedded corpus (classify-by-neighborhood
+    * without training a model).
+    *
+    * Shape (100 TB): the neighbor lists are the expensive half and they
+    * come from whatever ANN tier fits the corpus (sim1 here for
+    * exactness; sim6's IVF-PQ at scale — the list shape is identical).
+    * THIS op's own cost is the vote: the NQ·K neighbor list is bounded
+    * model-side state, so it BROADCASTS onto the label column — the
+    * corpus never shuffles — and the vote aggregate is output-sized
+    * (≤ NQ·K rows). Labels ride as integers; everything replays in
+    * DuckDB including the sim1 neighbor ranking. */
+  def knn1LabelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val nbrs = sim1BruteTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val votes = labels.join(broadcast(nbrs), "vec_id")
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    val truth = labels.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"))
+    pred.join(broadcast(truth), "qid")
+      .select(col("qid"), col("pred_label"), col("votes"), col("true_label"),
+        (col("pred_label") === col("true_label")).cast("long").as("correct"))
+  }
+
+  private val knn1Oracle =
+    s"""WITH knn AS (SELECT * FROM ($sim1Oracle) t),
+       |votes AS (SELECT k.qid, CAST(e.label AS BIGINT) AS label,
+       |            count(*) AS votes
+       |          FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+       |          GROUP BY 1, 2),
+       |pred AS (SELECT qid, label AS pred_label, votes FROM (
+       |           SELECT qid, label, votes,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY votes DESC, label) AS r
+       |           FROM votes) WHERE r = 1)
+       |SELECT p.qid, p.pred_label, p.votes,
+       |       CAST(e.label AS BIGINT) AS true_label,
+       |       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END
+       |         AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.qid""".stripMargin
+
   private val PQ_S = 8 // subspaces
   private val PQ_D = DIM / PQ_S // dims per subspace
   private val PQ_K = 16 // codes per subspace → 4 bits/code
@@ -1374,6 +1424,7 @@ object Similarity {
     Q("sim5_pq_adc", sim5PqAdcTopK, Some(sim5Oracle)),
     Q("sim6_ivfpq", sim6IvfPqTopK, Some(sim6Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
+    Q("knn1_label_knn", knn1LabelKnn, Some(knn1Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),

@@ -374,4 +374,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"dc3 plan shuffles:\n$plan")
     assert(!plan.toLowerCase.contains("join"), s"dc3 plan joins:\n$plan")
   }
+
+  test("knn1 predicts the plain majority of sim1's neighbor labels; the corpus never shuffle-joins") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nbrs = Similarity.sim1BruteTopK(spark, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val expect = nbrs.map { case (qid, ids) =>
+      val byLabel = ids.map(labels).groupBy(identity).view.mapValues(_.size)
+      // votes DESC, then smallest label — knn1's declared tie-break
+      qid -> byLabel.toSeq.sortBy { case (l, v) => (-v, l) }.head
+    }
+    val df = Similarity.knn1LabelKnn(spark, sf)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2).toInt))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (qid, (l, v)) =>
+      assert(got(qid) == ((l, v)), s"qid $qid: got ${got(qid)}, want ($l,$v)")
+    }
+    // vote shape: the bounded neighbor list broadcasts onto the label
+    // column — no shuffle join of the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"knn1 vote join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"knn1 shuffle-joined the corpus:\n$plan")
+  }
 }
