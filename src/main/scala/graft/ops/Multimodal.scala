@@ -672,6 +672,92 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "jpeg_bytes", "px_sum", "max_abs_err")
   }
 
+  /** mm11 analysis-frame width (samples). */
+  private val AF_FRAME = 32
+
+  /** Per-sample features honoring the decoded layout like [[wavStats]]:
+    * values center at 0 (8-bit PCM is unsigned → v−128; 16-bit is
+    * signed LE), zero crossings count sign changes between consecutive
+    * sample values, energy is the integer Σv² per AF_FRAME-sample
+    * frame. Returns (zeroCrossings, nFrames, maxFrameEnergy,
+    * totalEnergy) — all exact integers. `private[graft]` so the spec
+    * can feed layouts the synthetic corpus never produces. */
+  private[graft] def audioFeatures(bits: Int,
+      raw: Array[Byte]): (Long, Long, Long, Long) = {
+    require(bits == 8 || bits == 16, s"unsupported bits/sample: $bits")
+    val bytesPer = bits / 8
+    val n = raw.length / bytesPer
+    def v(k: Int): Int =
+      if (bits == 8) (raw(k) & 0xFF) - 128
+      else ((raw(2 * k) & 0xFF) | (raw(2 * k + 1).toInt << 8)).toShort.toInt
+    var zc = 0L
+    var i = 1
+    while (i < n) {
+      val a = v(i - 1); val b = v(i)
+      if ((a < 0 && b >= 0) || (a >= 0 && b < 0)) zc += 1
+      i += 1
+    }
+    val nFrames = (n + AF_FRAME - 1) / AF_FRAME
+    var maxE = 0L; var totE = 0L
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var j = f * AF_FRAME
+      val end = math.min(j + AF_FRAME, n)
+      while (j < end) { val d = v(j); e += d.toLong * d; j += 1 }
+      totE += e; if (e > maxE) maxE = e
+      f += 1
+    }
+    (zc, nFrames.toLong, maxE, totE)
+  }
+
+  /** MM11 — audio FEATURE EXTRACTION on the real decoder: zero-crossing
+    * count and framed energy (Σ(v−center)² per 32-sample frame) — the
+    * classic voice-activity/segmentation features every speech curation
+    * pipeline computes before filtering — over [[decodeWav]]'s output,
+    * honoring the parsed bits/sample rather than assuming the synthetic
+    * layout. Completes the decode→feature-extract chain the brief names
+    * for audio the way mm8 does for images (decode→resize). Exact
+    * integer arithmetic end to end: the composite is DuckDB-replayable
+    * and hash-checked. Scale: narrow map, zero shuffle. */
+  def mm11AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (_, _, bits, s) = decodeWav(encodeWav(payload))
+        val (zc, nf, maxE, totE) = audioFeatures(bits, s)
+        (id, (s.length / (bits / 8)).toLong, zc, nf, maxE, totE)
+      })
+      .toDF("doc_id", "n_samples", "zero_crossings", "n_frames",
+        "max_energy", "total_energy")
+  }
+
+  private val mm11Oracle =
+    s"""WITH t AS (SELECT doc_id,
+       |         list_transform(range(1, octet_length(text::BLOB) + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128) AS s
+       |       FROM documents),
+       |zc AS (SELECT doc_id,
+       |         CAST(coalesce(len(list_filter(range(2, len(s) + 1),
+       |           j -> (s[CAST(j - 1 AS INT)] < 0 AND s[CAST(j AS INT)] >= 0)
+       |             OR (s[CAST(j - 1 AS INT)] >= 0 AND s[CAST(j AS INT)] < 0))), 0)
+       |           AS BIGINT) AS zero_crossings,
+       |         CAST(len(s) AS BIGINT) AS n_samples
+       |       FROM t),
+       |fr AS (SELECT doc_id, u.f AS f, CAST(sum(u.v * u.v) AS BIGINT) AS e
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+       |               j -> {'f': (j - 1) // $AF_FRAME, 'v': s[CAST(j AS INT)]})) AS u
+       |             FROM t)
+       |       GROUP BY doc_id, u.f),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |         CAST(max(e) AS BIGINT) AS max_energy,
+       |         CAST(sum(e) AS BIGINT) AS total_energy
+       |       FROM fr GROUP BY doc_id)
+       |SELECT z.doc_id, z.n_samples, z.zero_crossings,
+       |       a.n_frames, a.max_energy, a.total_energy
+       |FROM zc z JOIN ag a USING (doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
@@ -681,5 +767,6 @@ object Multimodal {
     Q("mm9_png_decode", mm9PngDecode, Some(mm5Oracle)),
     Q("mm10_jpeg_decode", mm10JpegDecode, None),
     Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)),
+    Q("mm11_audio_features", mm11AudioFeatures, Some(mm11Oracle)),
     Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)))
 }

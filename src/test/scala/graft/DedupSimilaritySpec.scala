@@ -375,6 +375,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"dc3 plan joins:\n$plan")
   }
 
+  test("mm11 audio features: hand-computed zero crossings and framed energy, incl. the 16-bit layout") {
+    import graft.ops.Multimodal
+    // 8-bit: centered values +1,-1,+1,-1 -> 3 crossings; one frame,
+    // energy 4·1 = 4
+    val alt = Array[Byte](129.toByte, 127.toByte, 129.toByte, 127.toByte)
+    assert(Multimodal.audioFeatures(8, alt) == ((3L, 1L, 4L, 4L)))
+    // constant at center: no crossings, zero energy
+    val flat = Array.fill[Byte](70)(128.toByte)
+    // 70 samples -> 3 frames of 32/32/6
+    assert(Multimodal.audioFeatures(8, flat) == ((0L, 3L, 0L, 0L)))
+    // 16-bit signed LE: +256, -256 -> 1 crossing, energy 2·65536
+    val s16 = Array[Byte](0, 1, 0, 0xFF.toByte)
+    assert(Multimodal.audioFeatures(16, s16) == ((1L, 1L, 131072L, 131072L)))
+    // zero is non-negative: +1, 0, -1 crosses once (at 0 -> -1)
+    val z = Array[Byte](129.toByte, 128.toByte, 127.toByte)
+    assert(Multimodal.audioFeatures(8, z) == ((1L, 1L, 2L, 2L)))
+  }
+
   test("knn1 predicts the plain majority of sim1's neighbor labels; the corpus never shuffle-joins") {
     import org.apache.spark.sql.functions._
     val labels = Tables.embeddings(spark, sf)
