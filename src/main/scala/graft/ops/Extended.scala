@@ -595,8 +595,69 @@ object Extended {
        |FROM f LEFT JOIN hc ON hc.user_id = f.user_id AND hc.h = f.ts
        |WHERE f.is_grid = 1""".stripMargin
 
+  /** AN1 — per-user z-score ANOMALY flags in EXACT integer arithmetic:
+    * an event is anomalous when |value − μ_user| > 2σ_user (population
+    * σ). Computing that with float mean/stddev is not
+    * cross-engine-stable (Welford vs naive summation disagree in the
+    * last ulps, and a boundary event flips); instead the test squares
+    * out to pure integers on cents c with per-user (n, S=Σc, Q=Σc²) —
+    * the common n² denominator of (c−S/n)² and σ² cancels:
+    *
+    *     (c·n − S)² > 4·(n·Q − S²)
+    *
+    * — both sides exact in DECIMAL(38,0) (Spark) ↔ HUGEINT (DuckDB),
+    * the q1 widening precedent. At the test SFs longs would actually
+    * suffice (ScaleGen adds USERS, not per-user density, so n stays
+    * ~10²-10³ per key), but the widening is the production contract: a
+    * power-user key with n ~ 1e7 events at ~1e6 cents pushes (cn−S)²
+    * past 1e26 — silent-wrap territory where a long test flags
+    * garbage. σ = 0 degenerates correctly (lhs = 0 — no flags); k is a
+    * tunable of the squared form (k²·(nQ−S²), integer for rational
+    * k).
+    *
+    * Shape (100 TB): ONE exchange on user_id — the stats are window
+    * aggregates over the user partition (bounded by per-user activity,
+    * the gap1 argument), flags are a narrow map, and the final per-user
+    * rollup reuses the window's hash partitioning (no second
+    * exchange). */
+  def an1ZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id"))
+    val st = Tables.events(spark, dir)
+      .select(col("user_id"), Exact.cents(col("value")).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(col("c").cast(dec) * col("c")).over(w))
+    val cd = col("c").cast(dec); val nd = col("n").cast(dec)
+    val sd = col("s").cast(dec)
+    val dev = cd * nd - sd
+    val lhs = dev * dev
+    val rhs = lit(4).cast(dec) * (nd * col("q") - sd * sd)
+    st.withColumn("anom", (lhs > rhs).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("anom")).as("n_anomalies"))
+  }
+
+  private val an1Oracle =
+    s"""WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events),
+       |st AS (SELECT user_id, c,
+       |         count(*) OVER w AS n,
+       |         sum(c) OVER w AS s,
+       |         sum(CAST(c AS HUGEINT) * c) OVER w AS q
+       |       FROM e WINDOW w AS (PARTITION BY user_id)),
+       |fl AS (SELECT user_id,
+       |         CASE WHEN (CAST(c AS HUGEINT) * n - s) * (CAST(c AS HUGEINT) * n - s)
+       |                > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+       |              THEN 1 ELSE 0 END AS anom
+       |       FROM st)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(anom) AS BIGINT) AS n_anomalies
+       |FROM fl GROUP BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ext1_dot_rewrite", ext1DotRewrite, Some(ext1Oracle)),
+    Q("an1_zscore_anomaly", an1ZscoreAnomaly, Some(an1Oracle)),
     Q("gap1_forward_fill", gap1ForwardFill, Some(gap1Oracle)),
     Q("apx1_hll_distinct", apx1HllDistinct, Some(apx1Oracle)),
     Q("apx2_percentile", apx2Percentile, Some(apx2Oracle)),

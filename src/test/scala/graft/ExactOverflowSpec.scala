@@ -46,4 +46,32 @@ class ExactOverflowSpec extends AnyFunSuite {
     // and the long form WOULD have wrapped: 20 × 4.95e17 > Long.MaxValue
     assert(BigInt(20) * BigInt("495000000000000000") > BigInt(Long.MaxValue))
   }
+
+  test("an1's integer z-score test matches an independent BigInt reference; sigma=0 flags nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Extended
+    // independent reference: recompute 4·(cn−S)² > 16·... no — the
+    // registered test (cn−S)² > 4(nQ−S²) in plain BigInt over the
+    // fixture's cents, then compare per-user flag counts
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val cs = rows.map(x => BigInt(x._2))
+      val n = BigInt(cs.length); val s = cs.sum; val q = cs.map(c => c * c).sum
+      val rhs = 4 * (n * q - s * s)
+      u -> ((cs.length.toLong,
+        cs.count(c => { val d = c * n - s; d * d > rhs }).toLong))
+    }
+    val got = Extended.an1ZscoreAnomaly(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, e) =>
+      assert(got(u) == e, s"user $u: got ${got(u)}, want $e") }
+    assert(expect.values.map(_._2).sum > 0, "fixture should produce some anomalies")
+    // sigma = 0 degeneracy on a constant-value user
+    val cs = Seq.fill(5)(BigInt(777))
+    val n = BigInt(5); val s = cs.sum; val q = cs.map(c => c * c).sum
+    assert(cs.forall(c => { val d = c * n - s; d * d <= 4 * (n * q - s * s) }))
+  }
 }
