@@ -1037,6 +1037,109 @@ object Similarity {
        |         AS BIGINT) AS correct
        |FROM pred p JOIN embeddings e ON e.vec_id = p.qid""".stripMargin
 
+  private val RRF_NQ = 5 // fused queries: doc/vec ids < RRF_NQ
+  private val RRF_L = 20 // per-modality candidate list length
+  private val RRF_K = 60 // the standard RRF dampening constant
+  private val RRF_TOP = 10
+
+  /** IR2 — HYBRID retrieval via RECIPROCAL-RANK FUSION (Cormack et al.
+    * SIGIR'09, the fusion rule hybrid search engines ship): for each
+    * query id q < RRF_NQ, a LEXICAL more-like-this ranking (docs by
+    * shared distinct 3-gram shingles with document q) and a DENSE
+    * ranking (vectors by cosine with embedding q — the sim1 machinery)
+    * fuse as Σ 1/(RRF_K + rank), an item missing from a list
+    * contributing 0. Ranks are deterministic integers (count DESC /
+    * floorE6-cosine DESC, id tie-break) and the fused score
+    * floor-scales each reciprocal at 1e-6 BEFORE the sum, so fusion is
+    * order-free exact integer arithmetic the oracle replays.
+    *
+    * Shape (100 TB): the two retrieval halves are the proven shapes —
+    * the lexical leg is dc1's broadcast-query-shingles equi-join (the
+    * corpus side never shuffles for it), and its top-L rank is the
+    * smp2 recipe — a bounded [[graft.functions.TopNByKey]] sketch over
+    * a packed (overlap DESC, id ASC) order key, NOT a row_number
+    * window: a query's candidate set is every doc sharing ≥ 1 shingle,
+    * which on a redundant corpus approaches the corpus itself, and a
+    * per-query window would funnel all of it through NQ reducers
+    * (measured before the rewrite: sf10 warm 19.5 s with one 500k-row
+    * sort per query; after: every map task keeps ≤ L candidates per
+    * query). The dense leg is sim1's broadcast-query scan (at scale
+    * sim6's IVF-PQ tier produces the same (qid, id, rank) list). The
+    * fusion itself touches only 2·NQ·L ranked rows — model-sized — so
+    * the full-outer merge is output-bound. */
+  def ir2HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(call_function("rk_shingle_hashes", split(col("text"), " "), lit(3))).as("s"))
+    val qsh = sh.filter(col("doc_id") < RRF_NQ)
+      .select(col("doc_id").as("qid"), col("s"))
+    // packed order key: (2^20 − overlap)·2^40 + id sorts exactly as
+    // (overlap DESC, id ASC); overlap < 2^20 (≤ shingles per doc),
+    // id < 2^40 (ScaleGen replica offsets stay ≤ ~2^34)
+    val okey = (lit(1L << 20) - col("overlap")) * lit(1L << 40) + col("doc_id")
+    val lex = sh.join(broadcast(qsh), "s")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("qid"), okey.as("k"), col("doc_id"))
+      .groupBy(col("qid"))
+      .agg(call_function("topn_by_key", col("k"), col("doc_id"), lit(RRF_L)).as("ids"))
+      .select(col("qid"), posexplode(col("ids")))
+      .select(col("qid"), col("col").as("id"), (col("pos") + 1).as("rl"))
+    val dense = bruteTopK(vecs(spark, dir), RRF_NQ, RRF_L)
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd"))
+    val rec = (r: Column) => floor(lit(1000000L) / (lit(RRF_K) + r)).cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("score_e6").desc, col("id"))
+    lex.join(dense, Seq("qid", "id"), "full_outer")
+      .withColumn("score_e6",
+        coalesce(rec(col("rl")), lit(0L)) + coalesce(rec(col("rd")), lit(0L)))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter(col("fused_rank") <= RRF_TOP)
+      .select(col("qid"), col("id"), col("score_e6"), col("fused_rank"))
+  }
+
+  private val ir2Oracle: String = {
+    import graft.functions.RkLsh
+    val wordFold = RkLsh.wordSql.replace("\n", " ")
+    s"""WITH tkr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |whr AS (SELECT doc_id, list_transform(w, wd -> $wordFold) AS hs,
+       |          len(w) AS nw FROM tkr),
+       |shr AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, greatest(nw - 3, 0) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 3]),
+       |           (a, x) -> (a * ${RkLsh.MUL} + x) % ${RkLsh.M40}))) AS s FROM whr)),
+       |lex AS (SELECT qid, id, rl FROM (
+       |  SELECT q.doc_id AS qid, c.doc_id AS id,
+       |         row_number() OVER (PARTITION BY q.doc_id
+       |           ORDER BY count(*) DESC, c.doc_id) AS rl
+       |  FROM shr q JOIN shr c ON q.s = c.s AND q.doc_id <> c.doc_id
+       |  WHERE q.doc_id < $RRF_NQ
+       |  GROUP BY q.doc_id, c.doc_id) WHERE rl <= $RRF_L),
+       |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $RRF_NQ),
+       |sc AS (SELECT q.qid, e.vec_id AS id,
+       |         floor(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(q.qv, q.qv)) *
+       |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+       |           * 1000000) / 1000000 AS cos
+       |       FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.qid),
+       |den AS (SELECT qid, id, rd FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, id) AS rd FROM sc) WHERE rd <= $RRF_L),
+       |fus AS (SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.id, d.id) AS id,
+       |          coalesce(CAST(floor(1000000 / ($RRF_K + l.rl)) AS BIGINT), 0)
+       |          + coalesce(CAST(floor(1000000 / ($RRF_K + d.rd)) AS BIGINT), 0)
+       |            AS score_e6
+       |        FROM lex l FULL OUTER JOIN den d
+       |          ON l.qid = d.qid AND l.id = d.id)
+       |SELECT qid, id, score_e6, fused_rank FROM (
+       |  SELECT qid, id, score_e6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY score_e6 DESC, id) AS fused_rank
+       |  FROM fus) WHERE fused_rank <= $RRF_TOP""".stripMargin
+  }
+
   private val PQ_S = 8 // subspaces
   private val PQ_D = DIM / PQ_S // dims per subspace
   private val PQ_K = 16 // codes per subspace → 4 bits/code
@@ -1425,6 +1528,7 @@ object Similarity {
     Q("sim6_ivfpq", sim6IvfPqTopK, Some(sim6Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("knn1_label_knn", knn1LabelKnn, Some(knn1Oracle)),
+    Q("ir2_hybrid_rrf", ir2HybridRrf, Some(ir2Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),

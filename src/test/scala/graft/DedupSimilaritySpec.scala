@@ -393,6 +393,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.audioFeatures(8, z) == ((1L, 1L, 2L, 2L)))
   }
 
+  test("ir2 fuses the two rankings exactly as plain-Scala RRF; query shingles broadcast") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.ir2HybridRrf(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // reciprocal-rank identity: every fused score must be one of the
+    // 3 forms floor(1e6/(60+rl)) [+ floor(1e6/(60+rd))] with ranks in
+    // [1, 20] — i.e. decomposable into at most two valid reciprocals
+    val recs = (1 to 20).map(r => 1000000L / (60 + r)).toSet
+    got.values.foreach { s =>
+      val ok = recs.contains(s) || recs.exists(a => recs.contains(s - a))
+      assert(ok, s"score $s is not a sum of <=2 valid RRF reciprocals")
+    }
+    // an item ranked 1st in BOTH lists would score the exact sum — pin
+    // the arithmetic on a constructed pair
+    assert(1000000L / 61 + 1000000L / 61 == 32786L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"ir2 lexical leg not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"ir2 went cartesian:\n$plan")
+  }
+
   test("knn1 predicts the plain majority of sim1's neighbor labels; the corpus never shuffle-joins") {
     import org.apache.spark.sql.functions._
     val labels = Tables.embeddings(spark, sf)
