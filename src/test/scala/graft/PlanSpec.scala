@@ -183,6 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("dd11: single lineage — the corpus is scanned once, not once per join input") {
+    // the first cut joined a duplicate-set aggregate back against the
+    // chunk stream, recomputing the explode+window+fold subtree for
+    // both join inputs plus the broadcast guard's count job (13.3 s
+    // warm at sf1 vs 5.6 s one-pass); the rewrite's plan must read the
+    // documents parquet exactly once
+    val p = plan(graft.ops.Dedup.dd11CdcChunks(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"dd11 scanned the corpus $scans times:\n$p")
+    assert(!p.contains("Join"), s"dd11 should have no join at all:\n$p")
+  }
+
   test("rj1: bucketed range join is an equi-join, not a nested loop") {
     val p = plan(graft.ops.Extended.rj1RangeJoin(spark, sf))
     // a bare interval predicate would plan as BroadcastNestedLoopJoin
