@@ -76,6 +76,32 @@ class CdcBloomSpec extends AnyFunSuite {
       s"dc1 flagged ${dc1Docs -- dc4Docs} that dc4 missed — impossible for a Bloom filter")
   }
 
+  test("dc4: n_hits ≥ true shared shingles everywhere; measured FP excess ≤ 1%") {
+    // the scaladoc's FP-rate claim, measured: per doc, the bloom count
+    // can only exceed the TRUE number of distinct shingles shared with
+    // the bench union set (no false negatives), and the total excess
+    // across the corpus stays under 1% of the true mass at the
+    // documented geometry
+    val sh = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(call_function("rk_shingle_hashes", split(col("text"), " "), lit(3))).as("s"))
+    val benchSet = sh.filter(col("doc_id") < 50).select(col("s")).distinct()
+    val truth = sh.filter(col("doc_id") >= 50)
+      .join(benchSet, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Pipeline.dc4BloomDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var excess = 0L; var trueMass = 0L
+    got.foreach { case (id, hits) =>
+      val t = truth.getOrElse(id, 0L)
+      assert(hits >= t, s"doc $id: bloom $hits < true $t — impossible")
+      excess += hits - t; trueMass += t
+    }
+    assert(trueMass > 0)
+    assert(excess.toDouble / trueMass <= 0.01,
+      s"FP excess $excess over true mass $trueMass breaks the 1% claim")
+  }
+
   test("dc4: the corpus scan is join-free and shuffle-free") {
     val df = Pipeline.dc4BloomDecontaminate(spark, sf)
     df.collect()

@@ -195,6 +195,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"dd11 should have no join at all:\n$p")
   }
 
+  test("an1: one exchange serves both the window stats and the per-user rollup") {
+    // the rollup's ClusteredDistribution(user_id) is satisfied by the
+    // window's HashPartitioning(user_id) — a second exchange would mean
+    // the claim in an1's scaladoc regressed
+    val p = plan(graft.ops.Extended.an1ZscoreAnomaly(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"an1 should shuffle exactly once, found $n:\n$p")
+  }
+
   test("rj1: bucketed range join is an equi-join, not a nested loop") {
     val p = plan(graft.ops.Extended.rj1RangeJoin(spark, sf))
     // a bare interval predicate would plan as BroadcastNestedLoopJoin
