@@ -758,6 +758,78 @@ object Multimodal {
        |       a.n_frames, a.max_energy, a.total_energy
        |FROM zc z JOIN ag a USING (doc_id)""".stripMargin
 
+  /** Per-pair motion features over decoded frames: SAD (sum of absolute
+    * per-pixel differences) between consecutive frames — exact
+    * integers. Returns (nPairs, totalSad, maxSad, stillPairs).
+    * `private[graft]` for the spec. */
+  private[graft] def motionFeatures(frames: Vector[Array[Byte]])
+      : (Long, Long, Long, Long) = {
+    var tot = 0L; var mx = 0L; var still = 0L
+    var t = 1
+    while (t < frames.length) {
+      val a = frames(t - 1); val b = frames(t)
+      var sad = 0L
+      var k = 0
+      while (k < a.length) {
+        sad += math.abs((a(k) & 0xFF) - (b(k) & 0xFF)); k += 1
+      }
+      tot += sad; if (sad > mx) mx = sad; if (sad == 0L) still += 1
+      t += 1
+    }
+    ((frames.length - 1).toLong.max(0L), tot, mx, still)
+  }
+
+  /** MM12 — video MOTION features on the real decoder: per consecutive
+    * frame pair the SAD (Σ|pixel diff|), plus the count of STILL pairs
+    * (SAD = 0) — the signal adaptive frame sampling keys on (keep
+    * frames with motion, drop duplicates of the previous frame), the
+    * way mm11's zero-crossing/energy pair is the audio gate. Completes
+    * decode→feature-extract across the image/audio/video triple
+    * (mm8 / mm11 / mm12). Exact integers over [[decodeY4m]]'s frames,
+    * so the composite replays in DuckDB; narrow map, zero shuffle. */
+  def mm12MotionFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withBinary(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (_, _, _, _, frames) = decodeY4m(encodeY4m(payload))
+        val (np, tot, mx, still) = motionFeatures(frames)
+        (id, frames.length.toLong, np, tot, mx, still)
+      })
+      .toDF("doc_id", "n_frames", "n_pairs", "total_sad", "max_sad",
+        "still_pairs")
+  }
+
+  private val mm12Oracle =
+    s"""WITH t AS (SELECT doc_id, octet_length(text::BLOB) AS len, text
+       |           FROM documents),
+       |fr AS (SELECT doc_id, len,
+       |         greatest(len // $Y4M_FRAME, 1) AS f FROM t),
+       |px AS (SELECT doc_id, f,
+       |         list_transform(range(1, f * $Y4M_FRAME + 1),
+       |           j -> CASE WHEN j <= len
+       |                  THEN CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)
+       |                  ELSE 0 END) AS v
+       |       FROM fr JOIN t USING (doc_id, len)),
+       |sd AS (SELECT doc_id, f, u.t AS t, u.sad AS sad FROM (
+       |         SELECT doc_id, f, unnest(list_transform(range(1, f),
+       |           t -> {'t': t, 'sad': list_sum(list_transform(range(1, $Y4M_FRAME + 1),
+       |             k -> abs(v[CAST((t - 1) * $Y4M_FRAME + k AS INT)]
+       |                    - v[CAST(t * $Y4M_FRAME + k AS INT)])))})) AS u
+       |         FROM px)),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(sad) AS BIGINT) AS total_sad,
+       |         CAST(max(sad) AS BIGINT) AS max_sad,
+       |         CAST(sum(CASE WHEN sad = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS still_pairs
+       |       FROM sd GROUP BY doc_id)
+       |SELECT f.doc_id, CAST(f.f AS BIGINT) AS n_frames,
+       |       coalesce(a.n_pairs, 0) AS n_pairs,
+       |       coalesce(a.total_sad, 0) AS total_sad,
+       |       coalesce(a.max_sad, 0) AS max_sad,
+       |       coalesce(a.still_pairs, 0) AS still_pairs
+       |FROM fr f LEFT JOIN ag a USING (doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("mm1_binary_meta", mm1Meta, Some(mm1Oracle)),
     Q("mm2_decode_features", mm2DecodeFeatures, Some(mm2Oracle)),
@@ -768,5 +840,6 @@ object Multimodal {
     Q("mm10_jpeg_decode", mm10JpegDecode, None),
     Q("mm6_wav_decode", mm6WavDecode, Some(mm6Oracle)),
     Q("mm11_audio_features", mm11AudioFeatures, Some(mm11Oracle)),
-    Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)))
+    Q("mm7_y4m_decode", mm7Y4mDecode, Some(mm7Oracle)),
+    Q("mm12_motion_features", mm12MotionFeatures, Some(mm12Oracle)))
 }

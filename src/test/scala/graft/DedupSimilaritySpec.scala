@@ -393,6 +393,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.audioFeatures(8, z) == ((1L, 1L, 2L, 2L)))
   }
 
+  test("mm12 motion features: hand-computed SAD, still-pair detection, single-frame degeneracy") {
+    import graft.ops.Multimodal
+    def f(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    // three 4-px "frames": a->b differs by |10-0|+|0-10| = 20; b->c identical
+    val a = f(10, 0, 5, 5); val b = f(0, 10, 5, 5); val c = f(0, 10, 5, 5)
+    assert(Multimodal.motionFeatures(Vector(a, b, c)) == ((2L, 20L, 20L, 1L)))
+    // unsigned bytes: 255 vs 0 is 255 per pixel, not -1
+    val hi = f(255, 255, 255, 255); val lo = f(0, 0, 0, 0)
+    assert(Multimodal.motionFeatures(Vector(hi, lo)) == ((1L, 1020L, 1020L, 0L)))
+    // one frame: no pairs, all zero
+    assert(Multimodal.motionFeatures(Vector(a)) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("ir2 fuses the two rankings exactly as plain-Scala RRF; query shingles broadcast") {
     import org.apache.spark.sql.functions._
     val df = Similarity.ir2HybridRrf(spark, sf)
