@@ -26,7 +26,10 @@ case class BloomHits(child: Expression, sketch: Array[Long], bits: Long)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "bloom_hits expects array<bigint> without null elements " +
+        "(containsNull = true would read garbage via getLong)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"bloom_hits expects array<bigint>, got ${other.catalogString}")
   }

@@ -755,8 +755,10 @@ object Multimodal {
        |         CAST(sum(e) AS BIGINT) AS total_energy
        |       FROM fr GROUP BY doc_id)
        |SELECT z.doc_id, z.n_samples, z.zero_crossings,
-       |       a.n_frames, a.max_energy, a.total_energy
-       |FROM zc z JOIN ag a USING (doc_id)""".stripMargin
+       |       coalesce(a.n_frames, 0) AS n_frames,
+       |       coalesce(a.max_energy, 0) AS max_energy,
+       |       coalesce(a.total_energy, 0) AS total_energy
+       |FROM zc z LEFT JOIN ag a USING (doc_id)""".stripMargin
 
   /** Per-pair motion features over decoded frames: SAD (sum of absolute
     * per-pixel differences) between consecutive frames — exact

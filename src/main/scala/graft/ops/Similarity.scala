@@ -1075,8 +1075,12 @@ object Similarity {
       .select(col("doc_id").as("qid"), col("s"))
     // packed order key: (2^20 − overlap)·2^40 + id sorts exactly as
     // (overlap DESC, id ASC); overlap < 2^20 (≤ shingles per doc),
-    // id < 2^40 (ScaleGen replica offsets stay ≤ ~2^34)
-    val okey = (lit(1L << 20) - col("overlap")) * lit(1L << 40) + col("doc_id")
+    // id < 2^40 (ScaleGen replica offsets stay ≤ ~2^34). A violation
+    // raises instead of silently corrupting the lexical ranking.
+    val okey = when(
+      col("overlap") >= lit(1L << 20) || col("doc_id") >= lit(1L << 40),
+      raise_error(lit("ir2 order-key overflow: overlap >= 2^20 or doc_id >= 2^40")))
+      .otherwise((lit(1L << 20) - col("overlap")) * lit(1L << 40) + col("doc_id"))
     val lex = sh.join(broadcast(qsh), "s")
       .filter(col("doc_id") =!= col("qid"))
       .groupBy(col("qid"), col("doc_id"))

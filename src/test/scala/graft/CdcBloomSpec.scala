@@ -84,8 +84,8 @@ class CdcBloomSpec extends AnyFunSuite {
     // documented geometry
     val sh = Tables.documents(spark, sf).select(col("doc_id"),
       explode(call_function("rk_shingle_hashes", split(col("text"), " "), lit(3))).as("s"))
-    val benchSet = sh.filter(col("doc_id") < 50).select(col("s")).distinct()
-    val truth = sh.filter(col("doc_id") >= 50)
+    val benchSet = sh.filter(col("doc_id") < Pipeline.BENCH_DOCS).select(col("s")).distinct()
+    val truth = sh.filter(col("doc_id") >= Pipeline.BENCH_DOCS)
       .join(benchSet, "s")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -50,9 +50,9 @@ class ExactOverflowSpec extends AnyFunSuite {
   test("an1's integer z-score test matches an independent BigInt reference; sigma=0 flags nothing") {
     import org.apache.spark.sql.functions._
     import graft.ops.Extended
-    // independent reference: recompute 4·(cn−S)² > 16·... no — the
-    // registered test (cn−S)² > 4(nQ−S²) in plain BigInt over the
-    // fixture's cents, then compare per-user flag counts
+    // independent reference: replay the registered test
+    // (cn−S)² > 4(nQ−S²) in plain BigInt over the fixture's cents,
+    // then compare per-user flag counts
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
