@@ -284,9 +284,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((jw, jh) == (16, 16))
     val maxErr = grad.indices.map(i => math.abs((grad(i) & 0xFF) - (jpx(i) & 0xFF))).max
     assert(maxErr <= 8, s"JPEG gradient error $maxErr exceeds codec tolerance")
-    // determinism: the registered query's contract (rows-only check +
+    // determinism: the registered query's contract (oracle hashing +
     // Bench hashing) needs byte-stable output across encode runs
     assert(Multimodal.encodeJpeg(grad).toSeq == Multimodal.encodeJpeg(grad).toSeq)
+    // mm10's oracle asserts err_le_8 = TRUE for every document; docRamp
+    // has only 2 (bx) × 8 (by) slope combos and a 256-valued intercept —
+    // sweep the full slope space at extreme intercepts so the corpus can
+    // never land outside what this proves
+    // heights cover partial JPEG blocks (1, 5) and full blocks (24)
+    for (bx <- 0 to 1; by <- 0 to 7; a <- Seq(0, 1, 127, 254, 255); h <- Seq(1, 5, 24)) {
+      val seed = Array[Byte](a.toByte, bx.toByte, by.toByte)
+      val ramp = Multimodal.docRamp(seed, 16 * h)
+      val (_, _, px) = Multimodal.decodeImage(Multimodal.encodeJpeg(ramp))
+      val me = ramp.indices.map(i => math.abs((ramp(i) & 0xFF) - (px(i) & 0xFF))).max
+      assert(me <= 8, s"docRamp(a=$a,bx=$bx,by=$by,h=$h) JPEG error $me > 8")
+    }
     // format generality: decodeImage normalizes non-grayscale input
     val rgb = new java.awt.image.BufferedImage(4, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

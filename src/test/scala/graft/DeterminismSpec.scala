@@ -17,12 +17,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite {
   import TestSpark._
 
-  // mm10 decodes REAL lossy JPEG through the JDK codec: DCT output
-  // cannot hash-match a SQL replay by the format's nature, so it is
-  // the registry's one conscious rows-only entry — its accuracy claim
-  // lives in DedupSimilaritySpec (exact dims, gradient error ≤ 8,
-  // encoder determinism), and the run-to-run check below covers it.
-  private val allowedRowsOnly = Set("mm10_jpeg_decode")
+  // Empty again since round 8: mm10 (the last rows-only entry, lossy
+  // JPEG) now registers an oracle over its deterministic projection —
+  // recovered dims plus the ramp-leg error-bound boolean — so every
+  // registered query is DuckDB-hash-checked.
+  private val allowedRowsOnly = Set.empty[String]
 
   private val rowsOnly =
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
