@@ -4,35 +4,42 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** One decoded-media record: metadata is real, `features` comes from the
-  * stubbed decoder. */
+/** One decoded-media record: dimensions recovered by the real PNG
+  * decode, plus exact-integer image features over the decoded pixels. */
 final case class MediaFeatures(
     doc_id: Long,
     n_bytes: Long,
-    fake_width: Int,
-    fake_height: Int,
-    features: Array[Long])
+    width: Int,
+    height: Int,
+    px_sum: Long,
+    grad_x: Long,
+    grad_y: Long,
+    px_min: Int,
+    px_max: Int,
+    n_dark: Long)
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as an
   * opaque `binary` column plus typed metadata, with decode /
   * feature-extract running batched per partition.
   *
-  * Two tiers, both fully oracle-hash-checked:
+  * Everything here is REAL compute, fully oracle-hash-checked (no
+  * stub tier since round 8):
   *
-  *  - REAL decoders for the codec-free formats — mm5 netpbm P5 images,
-  *    mm6 RIFF/WAVE PCM audio, mm7 yuv4mpeg2 video. These parse the
-  *    actual on-disk format grammar (headers, comments, chunk walks,
-  *    frame markers) and production code can point them at real
-  *    payloads unchanged; the corpus has no media, so each query feeds
-  *    them deterministic files synthesized around the document's bytes
-  *    (which is exactly what makes the encode→parse→stats composite
-  *    DuckDB-replayable).
-  *  - DETERMINISTIC FAKES, loudly marked, where a codec LIBRARY would
-  *    be required (mm2 "decode", mm4 "resize" — no JPEG/PNG/ffmpeg in
-  *    this environment): arithmetic over payload bytes chosen to stay
-  *    SQL-expressible, so even stub output hash-compares. The plumbing
-  *    around them (binary columns, batch iteration, schemas,
-  *    partition-parallelism) is the real thing.
+  *  - Format parsers written in this file for the codec-free formats —
+  *    mm5 netpbm P5 images, mm6 RIFF/WAVE PCM audio, mm7 yuv4mpeg2
+  *    video. These parse the actual on-disk format grammar (headers,
+  *    comments, chunk walks, frame markers) and production code can
+  *    point them at real payloads unchanged; the corpus has no media,
+  *    so each query feeds them deterministic files synthesized around
+  *    the document's bytes (which is exactly what makes the
+  *    encode→parse→stats composite DuckDB-replayable).
+  *  - The JDK's own codec stack (`javax.imageio`: PNG DEFLATE+filters,
+  *    JPEG DCT) for the compressed formats — mm2 decode+features, mm4
+  *    thumbnail resize, mm9/mm10 decode. PNG losslessness keeps those
+  *    composites replayable too; JPEG's lossy leg is bounded by the
+  *    spec and oracle-checked on its deterministic projection (mm10).
+  *    What remains genuinely environment-blocked is only the non-JDK
+  *    codec family (MP3/H.264/WebP).
   *
   * Scale notes: decode is a narrow per-partition map — zero shuffle;
   * at 100 TB you size `spark.sql.files.maxPartitionBytes` so one batch
@@ -56,99 +63,141 @@ object Multimodal {
     withBinary(spark, dir).select(
       col("doc_id"), length(col("media")).cast("long").as("n_bytes"))
 
-  /** ========================= STUB =========================
-    * Fake "decode": a real implementation would hand `batch` (an
-    * Iterator of (doc_id, bytes)) to an image/audio codec in chunks.
-    * This deterministic stand-in derives 8 24-bit "features" (a
-    * stepwise-mod polynomial over every 8th byte — reducing mod 2^24
-    * each step keeps the identical arithmetic expressible in ANSI-ish
-    * SQL, so the oracle checks the stub bit-for-bit) and fake
-    * dimensions from the bytes. The batching shape, schema, and
-    * distribution are the real thing.
-    */
-  private def fakeDecodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[MediaFeatures] =
+  /** Real decode + feature extraction, batched per partition: each
+    * payload compresses through the real PNG codec (DEFLATE + filters),
+    * decodes back through [[decodeImage]], and the features are
+    * classic exact-integer image statistics over the DECODED pixels —
+    * total intensity, horizontal/vertical gradient mass (Σ|Δ| along
+    * rows / columns: edge-density, the blur/complexity signal image
+    * curation filters key on), min/max, and the dark-pixel count.
+    * PNG is lossless, so decoded pixels are the document's own bytes
+    * and every feature is DuckDB-replayable. */
+  private def decodeFeatureBatch(
+      batch: Iterator[(Long, Array[Byte])]): Iterator[MediaFeatures] =
     batch.map { case (id, bytes) =>
-      val n = bytes.length
-      val feats = Array.tabulate(8) { i =>
-        var acc = 0L
-        var j = i
-        while (j < n) { acc = (acc * 31 + (bytes(j) & 0xFF)) % 16777216L; j += 8 }
-        acc
+      val (w, h, px) = decodeImage(encodePng(bytes))
+      var sum = 0L; var gx = 0L; var gy = 0L
+      var mn = 255; var mx = 0; var dark = 0L
+      val n = px.length
+      var i = 0
+      while (i < n) {
+        val v = px(i) & 0xFF
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (v < 128) dark += 1
+        if (i % w != w - 1) gx += math.abs((px(i + 1) & 0xFF) - v)
+        if (i + w < n) gy += math.abs((px(i + w) & 0xFF) - v)
+        i += 1
       }
-      MediaFeatures(id, n.toLong, fake_width = (n % 640) + 1, fake_height = (n % 480) + 1, feats)
+      MediaFeatures(id, bytes.length.toLong, w, h, sum, gx, gy, mn, mx, dark)
     }
 
-  /** MM2 — per-partition batched decode + feature extraction. Every
-    * output column (metadata AND stub features) is oracle-checked. */
+  /** MM2 — REAL per-partition batched decode + feature extraction
+    * through the JDK's PNG codec. Every output column (dimensions AND
+    * features) is oracle-hash-checked. */
   def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src: Dataset[(Long, Array[Byte])] = withBinary(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-    src.mapPartitions(fakeDecodeBatch)
-      .select(col("doc_id"), col("n_bytes"), col("fake_width"), col("fake_height"),
-        element_at(col("features"), 1).as("f0"),
-        element_at(col("features"), 8).as("f7"))
+    src.mapPartitions(decodeFeatureBatch).toDF()
   }
 
-  private def featSql(start1: Int): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(range($start1, n + 1, 8),
-       |    j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
-       |  (a, x) -> (a * 31 + x) % 16777216)""".stripMargin
-
   private val mm2Oracle =
-    s"""WITH t AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-       |       CAST((n % 640) + 1 AS INT) AS fake_width,
-       |       CAST((n % 480) + 1 AS INT) AS fake_height,
-       |       ${featSql(1)} AS f0,
-       |       ${featSql(8)} AS f7
-       |FROM t""".stripMargin
+    s"""WITH t AS (SELECT doc_id, octet_length(text::BLOB) AS nb, text,
+       |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
+       |px AS (SELECT doc_id, nb, h,
+       |         list_transform(range(1, $PGM_W * h + 1),
+       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |       FROM t)
+       |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+       |       $PGM_W AS width, CAST(h AS INT) AS height,
+       |       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       |       CAST(coalesce(list_sum(list_transform(
+       |         list_filter(range(1, $PGM_W * h + 1), j -> j % $PGM_W != 0),
+       |         j -> abs(p[CAST(j + 1 AS INT)] - p[CAST(j AS INT)]))), 0) AS BIGINT) AS grad_x,
+       |       CAST(coalesce(list_sum(list_transform(range(1, $PGM_W * (h - 1) + 1),
+       |         j -> abs(p[CAST(j + $PGM_W AS INT)] - p[CAST(j AS INT)]))), 0) AS BIGINT) AS grad_y,
+       |       CAST(list_min(p) AS INT) AS px_min,
+       |       CAST(list_max(p) AS INT) AS px_max,
+       |       CAST(len(list_filter(p, v -> v < 128)) AS BIGINT) AS n_dark
+       |FROM px""".stripMargin
 
-  /** ========================= STUB =========================
-    * Fake "resize": stride-samples the payload down to a fixed 32-byte
-    * thumbnail (a real implementation would scale pixels; the batch
-    * iteration, output schema, and determinism are the real thing). */
-  private def fakeResizeBatch(target: Int)(
-      batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Int, Array[Byte])] =
+  /** Real thumbnail resize, batched per partition: decode through the
+    * real PNG codec, then AREA-AVERAGE (the correct downsample filter —
+    * what production thumbnailers do, not a stride sample) to a bounded
+    * 8×≤8 grid. x shrinks by a fixed factor 2 (16 → 8 columns); y by
+    * fy = ⌈h/8⌉ so any document height lands in ≤ 8 rows, the last row
+    * averaging a partial cell. Integer arithmetic (cell sum // cell
+    * area) end to end, so the thumbnail itself is DuckDB-replayable. */
+  private def resizeBatch(
+      batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Int, Int, Int, String)] =
     batch.map { case (id, bytes) =>
-      val n = bytes.length
-      // an empty payload thumbnails to EMPTY (the oracle's substr over
-      // empty text yields ''; the round-2 one-NUL-byte convention would
-      // hash-mismatch on any empty document — advice r2)
-      val out = new Array[Byte](math.min(target, n))
-      val stride = math.max(1, n / math.max(out.length, 1))
-      var i = 0
-      while (i < out.length) { out(i) = bytes(math.min(i * stride, n - 1)); i += 1 }
-      (id, n, out.length, out)
+      val (w, h, px) = decodeImage(encodePng(bytes))
+      val fx = 2
+      val tw = w / fx
+      val fy = math.max((h + 7) / 8, 1)
+      val th = (h + fy - 1) / fy
+      val sb = new StringBuilder
+      var ty = 0
+      while (ty < th) {
+        val y0 = ty * fy; val y1 = math.min(y0 + fy, h)
+        var tx = 0
+        while (tx < tw) {
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            val base = y * w + tx * fx
+            s += (px(base) & 0xFF) + (px(base + 1) & 0xFF)
+            y += 1
+          }
+          if (sb.nonEmpty) sb.append(',')
+          sb.append((s / (fx.toLong * (y1 - y0))).toInt)
+          tx += 1
+        }
+        ty += 1
+      }
+      (id, w, h, tw, th, sb.toString)
     }
 
-  /** MM4 — batched "resize" over the binary column (mapPartitions, the
-    * JVM analog of a vectorized decode UDF): media → fixed-size
-    * thumbnail bytes + before/after sizes. The thumbnail is emitted as
-    * its (ascii) string so the stride-sample itself is oracle-checked,
-    * not just its row count. */
+  /** MM4 — REAL batched thumbnail resize over the binary column
+    * (mapPartitions, the JVM analog of a vectorized decode UDF):
+    * media → decode → area-average thumbnail + before/after dims. The
+    * thumbnail pixels are emitted as a CSV string so the resample
+    * itself is oracle-hash-checked, not just its row count. */
   def mm4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withBinary(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(fakeResizeBatch(32))
-      .toDF("doc_id", "orig_bytes", "thumb_bytes", "thumb")
-      .select(col("doc_id"), col("orig_bytes"), col("thumb_bytes"),
-        decode(col("thumb"), "UTF-8").as("thumb_str"))
+      .mapPartitions(resizeBatch)
+      .toDF("doc_id", "orig_w", "orig_h", "thumb_w", "thumb_h", "thumb_csv")
   }
 
   private val mm4Oracle =
-    """WITH t AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents),
-      |p AS (SELECT doc_id, text, n,
-      |        least(32, n) AS outlen,
-      |        greatest(1, n // greatest(least(32, n), 1)) AS stride FROM t)
-      |SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(outlen AS INT) AS thumb_bytes,
-      |       array_to_string(list_transform(range(0, outlen),
-      |         i -> substr(text, CAST(least(i * stride, n - 1) + 1 AS INT), 1)), '') AS thumb_str
-      |FROM p""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text,
+       |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
+       |d AS (SELECT doc_id, h, greatest((h + 7) // 8, 1) AS fy,
+       |        list_transform(range(1, $PGM_W * h + 1),
+       |          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |      FROM t),
+       |e AS (SELECT doc_id, h, fy, (h + fy - 1) // fy AS th, p FROM d)
+       |SELECT doc_id, $PGM_W AS orig_w, CAST(h AS INT) AS orig_h,
+       |       ${PGM_W / 2} AS thumb_w, CAST(th AS INT) AS thumb_h,
+       |       array_to_string(list_transform(range(0, th * ${PGM_W / 2}),
+       |         c -> CAST(
+       |           list_sum(list_transform(
+       |             range(0, (least((c // ${PGM_W / 2} + 1) * fy, h)
+       |                       - (c // ${PGM_W / 2}) * fy) * 2),
+       |             k -> p[CAST(((c // ${PGM_W / 2}) * fy + k // 2) * $PGM_W
+       |                        + (c % ${PGM_W / 2}) * 2 + (k % 2) + 1 AS INT)]))
+       |           // (2 * (least((c // ${PGM_W / 2} + 1) * fy, h)
+       |                   - (c // ${PGM_W / 2}) * fy)) AS VARCHAR)), ',') AS thumb_csv
+       |FROM e""".stripMargin
 
-  private val PGM_W = 16
+  // `final` without a type annotation = compile-time constant: mm2/mm4's
+  // oracle strings sit ABOVE this declaration and would otherwise
+  // interpolate the pre-init 0 (object vals initialize in order)
+  private final val PGM_W = 16
 
   /** Synthetic PGM encoder — the stand-in side (the corpus has no real
     * images): wraps a document's utf-8 bytes as a PGM_W-wide 8-bit

@@ -138,7 +138,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
-  test("mm2 decode stub is deterministic and partition-count-independent") {
+  test("mm2 real PNG decode+features is deterministic and partition-count-independent") {
     val a = Multimodal.mm2DecodeFeatures(spark, sf).collect().sortBy(_.getLong(0))
     val b = Multimodal.mm2DecodeFeatures(spark, sf).repartition(7).collect().sortBy(_.getLong(0))
     assert(a.length == b.length && a.length > 0)
