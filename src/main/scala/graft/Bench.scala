@@ -60,6 +60,15 @@ object Bench {
     // read 3-4× their true cold cost), and it would break
     // comparability with the cold-only r1-r3 artifacts.
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
+    // The recorded warm number is the MEDIAN of SPARK_GRAFT_WARM_REPS
+    // back-to-back runs (default 3): single-pass warm sweeps measured
+    // ±80% total swing across fresh JVMs on this box (r7's final sf1
+    // sweep read warm 434 s ABOVE cold 417 s; dd8/dd10 spiked 2-4×
+    // purely by environment pricing) — an artifact that moves that much
+    // cannot adjudicate a 2× bar. A median tosses the one GC/pricing
+    // outlier while staying a real end-to-end measurement.
+    val warmReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "3").toInt)
     var failed = List.empty[String]
     // The declared-quadratic oracle twins run LAST in each sweep: their
     // cold cost swings 2-3× between runs (sf1: cc1 43-124 s) and the
@@ -72,7 +81,7 @@ object Bench {
     val active = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (quadratic(name), name) }
       .filterNot { case (name, _) => skip(name) }
-    def sweep(record: (String, Boolean) => Unit): Seq[(String, Double)] =
+    def sweep(reps: Int)(record: (String, Boolean) => Unit): Seq[(String, Double)] =
       active.map { case (name, fn) =>
         // settle between queries (NOT counted in the query's time): a
         // large join's garbage + deoptimization churn otherwise bleeds
@@ -82,17 +91,26 @@ object Bench {
         // the same between iterations).
         System.gc()
         Thread.sleep(200)
-        val t0 = System.nanoTime()
-        val ok =
-          try { consume(fn(spark, sfDir)); true }
-          catch {
-            case e: Throwable =>
-              // record the failure loudly — a swallowed exception would
-              // read as a near-zero (improved) time in the bench line
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // reps run back-to-back with no settle between them: the first
+        // already runs settled, and the median discards a rep that a
+        // GC cycle or pricing transient hit
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { consume(fn(spark, sfDir)); true }
+            catch {
+              case e: Throwable =>
+                // record the failure loudly — a swallowed exception would
+                // read as a near-zero (improved) time in the bench line
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                false
+            }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        // any failed rep fails the query: a partial median would hide
+        // a flaky operator behind its surviving runs
+        val ok = times.size == reps
+        val dt = if (ok) times.sorted.apply(reps / 2) else -1.0
         // drop model tables the broadcast guard cached for this query
         // (outside the timed window, like the gc settle above)
         graft.ops.Model.release()
@@ -101,7 +119,9 @@ object Bench {
         // the aggregate never mixes real runtimes with time-to-failure
         (name, dt)
       }
-    val results = sweep((name, ok) => if (!ok) failed ::= name)
+    // cold stays single-shot by definition (a second run isn't cold) and
+    // for comparability with the r1-r7 artifacts
+    val results = sweep(1)((name, ok) => if (!ok) failed ::= name)
     // warm failures get their own artifact field: a query that passes
     // cold but fails warm (state left behind by the first run) would
     // otherwise only show as a -1 in the warm column, invisible to a
@@ -117,7 +137,7 @@ object Bench {
         // is not enough after a 27 s self-join; give the JVM a few full
         // GC cycles and let the JIT re-stabilize before timing again.
         for (_ <- 1 to 3) { System.gc(); Thread.sleep(1000) }
-        sweep((name, ok) => if (!ok) warmFailed ::= name)
+        sweep(warmReps)((name, ok) => if (!ok) warmFailed ::= name)
       } else active.map { case (n, _) => (n, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -130,7 +150,7 @@ object Bench {
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val quads = quadratic.toSeq.sorted.filterNot(skip)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"warm_reps":${if (warm) warmReps else 0},"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir"}"""
     // The full per-query line is ~7 KB; the driver's stdout capture keeps
     // only the LAST ~2 KB, so printing it would leave a head-truncated,
     // unparseable fragment in BENCH_r{N}.json (r6's "parsed": null). Two
@@ -143,7 +163,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$warmTotal,"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir","detail":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$warmTotal,"warm_reps":${if (warm) warmReps else 0},"errors":$errs,"warm_errors":$warmErrs,"skipped":$skipped,"quadratic":$quads,"sf":"$sfDir","detail":"$out"}"""
     println(compact)
     spark.stop()
   }
