@@ -1002,10 +1002,23 @@ object Similarity {
     * corpus never shuffles — and the vote aggregate is output-sized
     * (≤ NQ·K rows). Labels ride as integers; everything replays in
     * DuckDB including the sim1 neighbor ranking. */
-  def knn1LabelKnn(spark: SparkSession, dir: String): DataFrame = {
+  def knn1LabelKnn(spark: SparkSession, dir: String): DataFrame =
+    knnVote(spark, dir, sim1BruteTopK(spark, dir).select(col("qid"), col("vec_id")))
+
+  /** KNN2 — knn1's vote over the SIM6 IVF-PQ neighbor lists instead of
+    * sim1's exact corpus scan: the production tier at 100 TB, where a
+    * per-query exact cosine ranking is the scale-killer (the corpus
+    * is probed-cells-only, read 4 bytes/vector in the compressed
+    * domain, and only the rerank shortlist touches raw vectors). Same
+    * vote, same output shape; the neighbor lists differ only where ANN
+    * recall differs, and KnnIvfpqSpec pins that agreement. */
+  def knn2LabelKnnIvfpq(spark: SparkSession, dir: String): DataFrame =
+    knnVote(spark, dir, sim6TopK(spark, dir, NQ, K).select(col("qid"), col("vec_id")))
+
+  /** Shared k-NN majority vote over a (qid, vec_id) neighbor list. */
+  private def knnVote(spark: SparkSession, dir: String, nbrs: DataFrame): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val nbrs = sim1BruteTopK(spark, dir).select(col("qid"), col("vec_id"))
     val votes = labels.join(broadcast(nbrs), "vec_id")
       .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("qid"))
@@ -1020,8 +1033,8 @@ object Similarity {
         (col("pred_label") === col("true_label")).cast("long").as("correct"))
   }
 
-  private val knn1Oracle =
-    s"""WITH knn AS (SELECT * FROM ($sim1Oracle) t),
+  private def knnVoteOracle(rankSql: String): String =
+    s"""WITH knn AS (SELECT * FROM ($rankSql) t),
        |votes AS (SELECT k.qid, CAST(e.label AS BIGINT) AS label,
        |            count(*) AS votes
        |          FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
@@ -1036,6 +1049,13 @@ object Similarity {
        |       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END
        |         AS BIGINT) AS correct
        |FROM pred p JOIN embeddings e ON e.vec_id = p.qid""".stripMargin
+
+  private val knn1Oracle = knnVoteOracle(sim1Oracle)
+  // lazy: sim6OracleFor reads PQ_S/PQ_ITERS vals declared further down
+  // the file; forcing this at declaration position would interpolate
+  // their pre-init zeros (the PGM_W lesson). The registry's `queries`
+  // val at the end of the object forces it after everything is live.
+  private lazy val knn2Oracle = knnVoteOracle(sim6OracleFor(NQ, K))
 
   private val RRF_NQ = 5 // fused queries: doc/vec ids < RRF_NQ
   private val RRF_L = 20 // per-modality candidate list length
@@ -1067,7 +1087,27 @@ object Similarity {
     * sim6's IVF-PQ tier produces the same (qid, id, rank) list). The
     * fusion itself touches only 2·NQ·L ranked rows — model-sized — so
     * the full-outer merge is output-bound. */
-  def ir2HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def ir2HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(spark, dir,
+      bruteTopK(vecs(spark, dir), RRF_NQ, RRF_L)
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd")))
+
+  /** IR3 — ir2's fusion with the dense leg served by the SIM6 IVF-PQ
+    * tier instead of the exact corpus scan: the production hybrid at
+    * 100 TB (ir2's own scaladoc names this substitution; ir3 registers
+    * it as a first-class, oracle-checked query). The lexical leg and
+    * the RRF arithmetic are shared code; only the (qid, id, rank)
+    * dense list changes, by exactly ANN-vs-exact recall, which
+    * KnnIvfpqSpec bounds. */
+  def ir3HybridRrfIvfpq(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(spark, dir,
+      sim6TopK(spark, dir, RRF_NQ, RRF_L)
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd")))
+
+  /** Shared RRF fusion: lexical more-like-this leg + a caller-supplied
+    * dense ranking (qid, id, rd). */
+  private def hybridRrf(spark: SparkSession, dir: String,
+      dense: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val sh = Tables.documents(spark, dir).select(col("doc_id"),
       explode(call_function("rk_shingle_hashes", split(col("text"), " "), lit(3))).as("s"))
@@ -1090,8 +1130,6 @@ object Similarity {
       .agg(call_function("topn_by_key", col("k"), col("doc_id"), lit(RRF_L)).as("ids"))
       .select(col("qid"), posexplode(col("ids")))
       .select(col("qid"), col("col").as("id"), (col("pos") + 1).as("rl"))
-    val dense = bruteTopK(vecs(spark, dir), RRF_NQ, RRF_L)
-      .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd"))
     val rec = (r: Column) => floor(lit(1000000L) / (lit(RRF_K) + r)).cast("long")
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("score_e6").desc, col("id"))
@@ -1103,7 +1141,10 @@ object Similarity {
       .select(col("qid"), col("id"), col("score_e6"), col("fused_rank"))
   }
 
-  private val ir2Oracle: String = {
+  /** Shared RRF-fusion oracle: `denseSql` supplies the (qid, id, rd)
+    * dense ranking CTE body — ir2 plugs the exact-cosine scan, ir3 the
+    * sim6 IVF-PQ replay. */
+  private def irRrfOracleFor(denseSql: String): String = {
     import graft.functions.RkLsh
     val wordFold = RkLsh.wordSql.replace("\n", " ")
     s"""WITH tkr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1120,17 +1161,7 @@ object Similarity {
        |  FROM shr q JOIN shr c ON q.s = c.s AND q.doc_id <> c.doc_id
        |  WHERE q.doc_id < $RRF_NQ
        |  GROUP BY q.doc_id, c.doc_id) WHERE rl <= $RRF_L),
-       |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-       |       WHERE vec_id < $RRF_NQ),
-       |sc AS (SELECT q.qid, e.vec_id AS id,
-       |         floor(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
-       |           (sqrt(list_dot_product(q.qv, q.qv)) *
-       |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
-       |           * 1000000) / 1000000 AS cos
-       |       FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.qid),
-       |den AS (SELECT qid, id, rd FROM (
-       |  SELECT qid, id, row_number() OVER (PARTITION BY qid
-       |           ORDER BY cos DESC, id) AS rd FROM sc) WHERE rd <= $RRF_L),
+       |den AS ($denseSql),
        |fus AS (SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.id, d.id) AS id,
        |          coalesce(CAST(floor(1000000 / ($RRF_K + l.rl)) AS BIGINT), 0)
        |          + coalesce(CAST(floor(1000000 / ($RRF_K + d.rd)) AS BIGINT), 0)
@@ -1143,6 +1174,24 @@ object Similarity {
        |           ORDER BY score_e6 DESC, id) AS fused_rank
        |  FROM fus) WHERE fused_rank <= $RRF_TOP""".stripMargin
   }
+
+  private val ir2Oracle: String = irRrfOracleFor(
+    s"""SELECT qid, id, rd FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, id) AS rd FROM (
+       |    SELECT q.qid, e.vec_id AS id,
+       |           floor(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+       |             (sqrt(list_dot_product(q.qv, q.qv)) *
+       |              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+       |             * 1000000) / 1000000 AS cos
+       |    FROM embeddings e CROSS JOIN (
+       |      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+       |      WHERE vec_id < $RRF_NQ) q
+       |    WHERE e.vec_id <> q.qid)) WHERE rd <= $RRF_L""".stripMargin)
+
+  // lazy for the same init-order reason as knn2Oracle
+  private lazy val ir3Oracle: String = irRrfOracleFor(
+    s"SELECT qid, vec_id AS id, rank AS rd FROM (${sim6OracleFor(RRF_NQ, RRF_L)})")
 
   private val PQ_S = 8 // subspaces
   private val PQ_D = DIM / PQ_S // dims per subspace
@@ -1346,7 +1395,23 @@ object Similarity {
     * shuffle of the big side). All-integer training and scoring, so
     * cells, codes, shortlist, rerank, and every tie replay exactly in
     * the oracle — training loops of BOTH quantizers included. */
-  def sim6IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def sim6IvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    sim6TopK(spark, dir, NQ, K)
+
+  /** ADC shortlist size scales with the requested list length (10×k
+    * floor-ed at the classic PQ_RERANK): a fixed 50-candidate
+    * shortlist feeding a top-20 rerank is only 2.5× the output and
+    * measured recall@20 0.47 at sf0.001 — at 10× it recovers the
+    * shortlist-to-output ratio sim6's own k=5 search has. `k=K` keeps
+    * the historical 50, so sim6_ivfpq hashes are unchanged. */
+  private def sim6Rerank(k: Int): Int = math.max(PQ_RERANK, 10 * k)
+
+  /** [[sim6IvfPqTopK]] parameterized on (queries, list length) so the
+    * consumers that need a DENSE RANKING AT SCALE — knn2's neighbor
+    * lists, ir3's retrieval leg — ride the IVF-PQ tier instead of
+    * sim1's exact corpus scan. */
+  private[graft] def sim6TopK(spark: SparkSession, dir: String,
+      nq: Int, k: Int): DataFrame = {
     val model = ivfAssigned(spark, dir)
     // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
     // partition (extra columns ride through pqModelOn untouched)
@@ -1354,7 +1419,7 @@ object Similarity {
       col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
       col("nrm"), col("dots")))
     // query side: IVF probe list + per-subspace inner-product tables
-    val qTbl = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < NQ)) { (d, s) =>
+    val qTbl = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < nq)) { (d, s) =>
       d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
         typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq)))
     }
@@ -1373,7 +1438,7 @@ object Similarity {
       .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("ip", ip.cast("long"))
       .withColumn("arank", row_number().over(wIp))
-      .filter(col("arank") <= PQ_RERANK)
+      .filter(col("arank") <= sim6Rerank(k))
       .select(col("qid"), col("vec_id"), col("qv"), col("qnrm"))
     // exact rerank: fetch raw vectors for the shortlist only (the
     // shortlist broadcasts; the raw store never shuffles)
@@ -1381,7 +1446,7 @@ object Similarity {
     val scored = raw.join(broadcast(shortlist), "vec_id")
       .withColumn("cos", graft.ops.Exact.floorE6(
         dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
-    topK(scored, K)
+    topK(scored, k)
   }
 
   /** exact integer subspace distance between `t.sub` and `c.c` */
@@ -1490,7 +1555,7 @@ object Similarity {
     * probe CTE is sim3's, the ADC join restricts to probed cells and
     * sums per-subspace integer dots, and the rerank is sim1's exact
     * floor-scaled cosine. */
-  private val sim6Oracle: String =
+  private def sim6OracleFor(nq: Int, k: Int): String =
     s"""WITH $ivfOracleCtes,
        |${pqOracleCtes("p", "SELECT vec_id, uq AS qx FROM uqt")},
        |qp6 AS (
@@ -1498,12 +1563,12 @@ object Similarity {
        |    SELECT u.vec_id, c.pid,
        |           row_number() OVER (PARTITION BY u.vec_id
        |             ORDER BY list_dot_product(u.uq, c.c) DESC, c.pid) AS rn
-       |    FROM uqt u CROSS JOIN c$IVF_ITERS c WHERE u.vec_id < $NQ)
+       |    FROM uqt u CROSS JOIN c$IVF_ITERS c WHERE u.vec_id < $nq)
        |  WHERE rn <= $IVF_PROBES),
        |qd6 AS (
        |  SELECT t.vec_id AS qid, t.s, c.pid,
        |         list_dot_product(t.sub, c.c) AS ipd
-       |  FROM pmelt t JOIN pcb$PQ_ITERS c ON c.s = t.s WHERE t.vec_id < $NQ),
+       |  FROM pmelt t JOIN pcb$PQ_ITERS c ON c.s = t.s WHERE t.vec_id < $nq),
        |adc6 AS (
        |  SELECT qp.qid, pe.vec_id, CAST(sum(qd.ipd) AS BIGINT) AS ip
        |  FROM penc pe
@@ -1515,7 +1580,7 @@ object Similarity {
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS arank
-       |    FROM adc6) WHERE arank <= $PQ_RERANK),
+       |    FROM adc6) WHERE arank <= ${sim6Rerank(k)}),
        |rr6 AS (
        |  SELECT s.qid, s.vec_id,
        |         floor(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) * 1000000) / 1000000 AS cos
@@ -1524,7 +1589,9 @@ object Similarity {
        |SELECT qid, vec_id, cos, rank FROM (
        |  SELECT qid, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-       |  FROM rr6) WHERE rank <= $K""".stripMargin
+       |  FROM rr6) WHERE rank <= $k""".stripMargin
+
+  private val sim6Oracle: String = sim6OracleFor(NQ, K)
 
   val queries: Seq[Q] = Seq(
     Q("pq1_product_quantize", pq1ProductQuantize, Some(pq1Oracle)),
@@ -1532,7 +1599,9 @@ object Similarity {
     Q("sim6_ivfpq", sim6IvfPqTopK, Some(sim6Oracle)),
     Q("emb1_label_outliers", emb1LabelOutliers, Some(emb1Oracle)),
     Q("knn1_label_knn", knn1LabelKnn, Some(knn1Oracle)),
+    Q("knn2_label_knn_ivfpq", knn2LabelKnnIvfpq, Some(knn2Oracle)),
     Q("ir2_hybrid_rrf", ir2HybridRrf, Some(ir2Oracle)),
+    Q("ir3_hybrid_rrf_ivfpq", ir3HybridRrfIvfpq, Some(ir3Oracle)),
     Q("sim1_cosine_topk", sim1BruteTopK, Some(sim1Oracle)),
     Q("sim2_ann_lsh", sim2LshTopK, Some(sim2Oracle)),
     Q("sim3_ann_ivf", sim3AnnIvf, Some(sim3Oracle)),
