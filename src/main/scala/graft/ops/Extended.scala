@@ -21,8 +21,17 @@ object Extended {
     * matching Spark's convention that an event at exactly gap distance
     * starts a new session. */
   def ws1SessionWindow(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+    sessionAgg(Tables.events(spark, dir))
+
+  /** The ws1 aggregation body, shared verbatim by the streaming leg
+    * ([[graft.streaming.SessionStream]]) so the two tiers cannot
+    * drift: takes any (user_id, ts, value) frame — batch, or a
+    * watermarked stream — and `session_window` does the gap-merge in
+    * the aggregation layer in both modes. */
+  private[graft] def sessionAgg(events: DataFrame,
+      gap: String = "2 hours"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"),
         Exact.fromCents(sum(Exact.cents(col("value")))).as("sum_value"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
