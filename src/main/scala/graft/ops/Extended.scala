@@ -63,8 +63,11 @@ object Extended {
     * Composition path (a): equi-join on the key + time predicate, then
     * keep the latest order per event with `max_by` HASH aggregation:
     * the (o_orderdate DESC, o_orderkey DESC) tie-break packs into one
-    * numeric ordering key (days·2^36 + orderkey, unique per order, no
-    * overflow until year ~5 million), so each max_by has a primitive
+    * numeric ordering key (days·2^44 + orderkey, unique per order, no
+    * overflow until year ~3400; 2^44 because sf10's replica offsets
+    * push orderkey past the original 2^36 — the guard below caught
+    * exactly that, 69 000 142 092, in the r8 sf10 sweep), so each
+    * max_by has a primitive
     * buffer and the whole aggregate stays a HashAggregate with map-side
     * partials — the shuffle carries one buffer per event per task, not
     * the full per-event order history, and nothing sorts. (A struct
@@ -78,17 +81,17 @@ object Extended {
   def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val o = Tables.orders(spark, dir)
-    // the packing needs o_orderkey ∈ [0, 2^36); out of range would
+    // the packing needs o_orderkey ∈ [0, 2^44); out of range would
     // silently corrupt the (date, key) tie-break, so fail LOUDLY
     // instead (advice r2) — the guard folds into the packed key, costs
     // one branch per row, and raise_error aborts the job on violation
-    val okGuarded = when(col("o_orderkey") >= 0L && col("o_orderkey") < 68719476736L,
+    val okGuarded = when(col("o_orderkey") >= 0L && col("o_orderkey") < (1L << 44),
         col("o_orderkey"))
       .otherwise(raise_error(concat(
-        lit("aj1: o_orderkey out of packable range [0, 2^36): "),
+        lit("aj1: o_orderkey out of packable range [0, 2^44): "),
         col("o_orderkey").cast("string"))).cast("long"))
     val ordKey = unix_date(col("o_orderdate").cast("date")).cast("long") *
-      68719476736L + okGuarded
+      (1L << 44) + okGuarded
     e.join(o, e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
       .groupBy(col("event_id"), col("user_id"), col("ts"))
       .agg(
