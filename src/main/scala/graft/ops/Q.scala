@@ -73,6 +73,18 @@ object Model {
   def guardedBroadcast(df: DataFrame): DataFrame =
     if (fits(df)) org.apache.spark.sql.functions.broadcast(df) else df
 
+  /** the broadcast-or-shuffle decision for a table whose cardinality
+    * the caller ALREADY knows (a registry-held model table counted at
+    * training time) — no persist, no count job, and crucially no
+    * registration with [[release]], which would evict a long-lived
+    * registry table after the first query that used it */
+  def guardedBroadcastKnown(df: DataFrame, rows: Long): DataFrame = {
+    val max = df.sparkSession.conf.getOption(MaxEntriesConf)
+      .map(_.toLong).getOrElse(DefaultMaxEntries)
+    if (max > 0 && rows <= max) org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** unpersist every model table the guard cached since the last call —
     * the harness invokes this between queries, after the terminal
     * action that consumed the cached table */
