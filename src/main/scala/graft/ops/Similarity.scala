@@ -417,6 +417,67 @@ object Similarity {
   private[graft] final case class IvfModel(assigned: DataFrame, k: Int,
     fine: Option[IvfFine] = None)
 
+  /** Trained quantizer state held by the model registry: the flat
+    * centroid matrix (driver arrays — pure values, session-free) or
+    * the two-level pair of coarse arrays + the persisted fine matrix
+    * table. Nothing corpus-sized lives here. */
+  private sealed trait IvfTrained
+  private final case class FlatTrained(
+      k: Int, centroids: Array[Seq[Long]]) extends IvfTrained
+  private final case class TwoLevelTrained(
+      k1: Int, k2: Int, coarse: Array[Seq[Long]],
+      mat: DataFrame) extends IvfTrained
+
+  /** Quantizer-model registry, the ANN analogue of TextOps' BPE
+    * registry: Lloyd/PQ training happens ONCE per corpus and every
+    * consumer (sim3/sim6/dd7, knn2/ir3's dense tier) reuses the
+    * artifact — the deployment shape [[flatCentroids]] already
+    * documents for the streaming leg (train the quantizer OFFLINE over
+    * a corpus snapshot, assign online). Training is fully
+    * deterministic, so reuse cannot change any result — the oracles
+    * replay the identical unrolled iterations either way; what a reuse
+    * skips is only the redundant re-derivation of the same model. Keys
+    * carry the session confs the trainer reads ([[TargetCellConf]],
+    * [[MaxKConf]]) so a spec forcing the two-level path never sees a
+    * flat model trained under defaults. A tiny LRU (per-entry state is
+    * K×64 longs ≤ 32 MB at the default cap; PQ books are 8×16×8
+    * longs) bounds a long-lived session; evicted two-level matrix
+    * tables are unpersisted. */
+  private val ModelCacheMax = 4
+  private def lruCache[V](onEvict: V => Unit) =
+    new java.util.LinkedHashMap[String, V](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = {
+        val evict = size() > ModelCacheMax
+        if (evict) onEvict(e.getValue)
+        evict
+      }
+    }
+  private val ivfCache = lruCache[IvfTrained] {
+    case TwoLevelTrained(_, _, _, mat) =>
+      try mat.unpersist(false) catch { case _: Throwable => () }
+    case _ => ()
+  }
+  private val pqCache = lruCache[Array[Array[Array[Long]]]](_ => ())
+
+  private def ivfCacheKey(spark: SparkSession, dir: String): String =
+    s"$dir|${spark.conf.getOption(TargetCellConf).getOrElse("")}" +
+      s"|${spark.conf.getOption(MaxKConf).getOrElse("")}"
+
+  /** test hook: drop every registered quantizer model (unpersisting
+    * two-level matrix tables), forcing the next call to retrain */
+  private[graft] def resetModelRegistry(): Unit = {
+    ivfCache.synchronized {
+      ivfCache.values().forEach {
+        case TwoLevelTrained(_, _, _, mat) =>
+          try mat.unpersist(false) catch { case _: Throwable => () }
+        case _ => ()
+      }
+      ivfCache.clear()
+    }
+    pqCache.synchronized { pqCache.clear() }
+  }
+
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): IvfModel = {
     graft.functions.GraftFunctions.registerAll(spark)
     // unit-normalize + integer-grid quantize in ONE codegen'd pass
@@ -430,27 +491,41 @@ object Similarity {
       .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
       .select(col("vec_id"), col("v"), col("nrm"), col("uq"))
 
-    // Lloyd's iterations see a deterministic 1-in-4 sample (k-means
-    // needs representative cluster shapes, not every point; at 100 TB
-    // the training scan is the dominant cost and subsampling is the
-    // standard fix). Only the sample is cached — a few MB here, and at
-    // scale a bounded fraction of the corpus. The count that sizes K
-    // doubles as the cache materialization (the Model.fits pattern —
-    // no second corpus pass).
-    val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-      .select(col("vec_id"), col("uq"))
-    train.cache()
-    val (desired, maxK) = ivfParams(spark, train.count())
+    val key = ivfCacheKey(spark, dir)
+    val hit = ivfCache.synchronized { Option(ivfCache.get(key)) }
+    hit match {
+      case Some(FlatTrained(k, centroids)) =>
+        IvfModel(withCellFlat(e, centroids), k)
+      case Some(TwoLevelTrained(k1, k2, coarse, mat))
+          if mat.sparkSession eq spark =>
+        IvfModel(assignTwoLevel(e, coarse, mat, k2), k1 * k2,
+          Some(IvfFine(k1, k2, mat)))
+      case _ =>
+        // miss (or a two-level matrix bound to a dead session):
+        // train, then register. Lloyd's iterations see a deterministic
+        // 1-in-4 sample (k-means needs representative cluster shapes,
+        // not every point; at 100 TB the training scan is the dominant
+        // cost and subsampling is the standard fix). Only the sample
+        // is cached — a few MB here, and at scale a bounded fraction
+        // of the corpus. The count that sizes K doubles as the cache
+        // materialization (the Model.fits pattern — no second corpus
+        // pass).
+        val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id"), col("uq"))
+        train.cache()
+        val (desired, maxK) = ivfParams(spark, train.count())
 
-    if (desired <= maxK) {
-      val k = desired.toInt
-      val centroids = lloydFlat(train, k)
-      // training is done: release the cached sample (the downstream
-      // query scans the full corpus once; keeping the cache would pin
-      // storage for the rest of the session)
-      train.unpersist()
-      IvfModel(withCellFlat(e, centroids), k)
-    } else twoLevelAssigned(e, train, desired, maxK)
+        if (desired <= maxK) {
+          val k = desired.toInt
+          val centroids = lloydFlat(train, k)
+          // training is done: release the cached sample (the downstream
+          // query scans the full corpus once; keeping the cache would pin
+          // storage for the rest of the session)
+          train.unpersist()
+          ivfCache.synchronized { ivfCache.put(key, FlatTrained(k, centroids)); () }
+          IvfModel(withCellFlat(e, centroids), k)
+        } else twoLevelAssigned(key, e, train, desired, maxK)
+    }
   }
 
   /** The flat-trainer centroids for `dir` — the OFFLINE model the
@@ -464,15 +539,27 @@ object Similarity {
     * assert streaming ≡ batch dd7 exactly. */
   private[graft] def flatCentroids(spark: SparkSession, dir: String): Array[Seq[Long]] = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val train = vecs(spark, dir)
-      .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
-      .filter(pmod(col("vec_id"), lit(4)) === 0)
-      .select(col("vec_id"), col("uq"))
-    train.cache()
-    try {
-      val (desired, maxK) = ivfParams(spark, train.count())
-      lloydFlat(train, math.min(desired, maxK).toInt)
-    } finally { train.unpersist(); () }
+    val key = ivfCacheKey(spark, dir)
+    ivfCache.synchronized { Option(ivfCache.get(key)) } match {
+      case Some(FlatTrained(_, centroids)) => centroids
+      case _ =>
+        val train = vecs(spark, dir)
+          .withColumn("uq", call_function("quantize_unit", col("v"), lit(IVF_Q)))
+          .filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id"), col("uq"))
+        train.cache()
+        try {
+          val (desired, maxK) = ivfParams(spark, train.count())
+          val centroids = lloydFlat(train, math.min(desired, maxK).toInt)
+          // registry-share ONLY in the flat regime: past maxK this
+          // clamped model is NOT what ivfAssigned would train (it goes
+          // two-level), so registering it would poison the shared key
+          if (desired <= maxK) ivfCache.synchronized {
+            ivfCache.put(key, FlatTrained(desired.toInt, centroids)); ()
+          }
+          centroids
+        } finally { train.unpersist(); () }
+    }
   }
 
   /** Driver-held flat Lloyd trainer — the engine-neutral integer-grid
@@ -561,8 +648,30 @@ object Similarity {
     * by declaration (see [[TargetCellConf]]). Correctness is spec'd
     * instead (TwoLevelIvfSpec): structural invariants + sim3/dd7
     * output contracts with the confs forced low. */
-  private def twoLevelAssigned(e: DataFrame, train: DataFrame,
-      desired: Long, maxK: Long): IvfModel = {
+  /** coarse-assign: the two-level analogue of [[withCellFlat]] —
+    * `dots` + argmax against the driver-held coarse matrix. */
+  private def withC1(df: DataFrame, coarse: Array[Seq[Long]]): DataFrame = df
+    .withColumn("dots", call_function("matrix_dots", col("uq"),
+      typedLit(coarse.map(_.map(_.toDouble)).toSeq)))
+    .withColumn("cell1", expr("array_position(dots, array_max(dots)) - 1"))
+
+  /** full-corpus assignment under an already-trained two-level model:
+    * coarse via the broadcast-sized driver matrix, fine via ONE
+    * equi-join against the K1-row matrix table (broadcast while
+    * small, shuffle join at scale — planner's call). A coarse cell
+    * with no training members has no fine row: its corpus rows keep
+    * sub-cell 0. */
+  private def assignTwoLevel(e: DataFrame, coarse: Array[Seq[Long]],
+      mat: DataFrame, k2: Int): DataFrame =
+    withC1(e, coarse).join(mat, Seq("cell1"), "left")
+      .withColumn("fdots", call_function("matrix_dots", col("uq"), col("mat")))
+      .withColumn("cell2", when(col("mat").isNull, lit(0L))
+        .otherwise(expr("array_position(fdots, array_max(fdots)) - 1")))
+      .withColumn("cell", col("cell1") * k2 + col("cell2"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("uq"), col("dots"), col("cell"))
+
+  private def twoLevelAssigned(cacheKey: String, e: DataFrame,
+      train: DataFrame, desired: Long, maxK: Long): IvfModel = {
     val k1 = math.min(maxK, math.ceil(math.sqrt(desired.toDouble)).toLong).toInt
     // k2 is deliberately NOT capped at maxK: the fine model is a
     // distributed (cell1, fidx, c) table, never collected, so maxK (a
@@ -574,11 +683,7 @@ object Similarity {
     // not per driver.
     val k2 = ((desired + k1 - 1) / k1).toInt
     val coarse = lloydFlat(train, k1)
-    def withC1(df: DataFrame) = df
-      .withColumn("dots", call_function("matrix_dots", col("uq"),
-        typedLit(coarse.map(_.map(_.toDouble)).toSeq)))
-      .withColumn("cell1", expr("array_position(dots, array_max(dots)) - 1"))
-    val trainC = withC1(train).select(col("vec_id"), col("uq"), col("cell1"))
+    val trainC = withC1(train, coarse).select(col("vec_id"), col("uq"), col("cell1"))
 
     // fine init: the first K2 training members of each coarse cell by
     // id (rank within cell — the within-cell analogue of flat init)
@@ -607,20 +712,18 @@ object Similarity {
             .as("c"))
     }
 
-    val mat = fineMat(fine)
-    // full-corpus assignment: coarse via the broadcast-sized driver
-    // model, fine via ONE equi-join against the K1-row matrix table
-    // (broadcast while small, shuffle join at scale — planner's call).
-    // A coarse cell with no training members has no fine row: its
-    // corpus rows keep sub-cell 0.
-    val assigned = withC1(e).join(mat, Seq("cell1"), "left")
-      .withColumn("fdots", call_function("matrix_dots", col("uq"), col("mat")))
-      .withColumn("cell2", when(col("mat").isNull, lit(0L))
-        .otherwise(expr("array_position(fdots, array_max(fdots)) - 1")))
-      .withColumn("cell", col("cell1") * k2 + col("cell2"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("uq"), col("dots"), col("cell"))
+    // materialize the fine model ONCE (its lineage is the whole
+    // IVF_ITERS training chain — unpersisted, every downstream action
+    // and every registry reuse would replay the training), then
+    // register: K1 rows of K2×64 matrices, model-sized.
+    val mat = fineMat(fine).persist()
+    mat.count()
     train.unpersist()
-    IvfModel(assigned, k1 * k2, Some(IvfFine(k1, k2, mat)))
+    ivfCache.synchronized {
+      ivfCache.put(cacheKey, TwoLevelTrained(k1, k2, coarse, mat)); ()
+    }
+    IvfModel(assignTwoLevel(e, coarse, mat, k2), k1 * k2,
+      Some(IvfFine(k1, k2, mat)))
   }
 
   /** DuckDB replay of [[sim3AnnIvf]]: quantize to the integer grid,
@@ -1236,17 +1339,50 @@ object Similarity {
       : (Array[Array[Array[Long]]], DataFrame) =
     pqModelOn(spark, vecs(spark, dir)
       .withColumn("qx", expr(s"transform(v, x -> floor(x * $IVF_Q))"))
-      .select(col("vec_id"), col("qx")))
+      .select(col("vec_id"), col("qx")), s"$dir|raw")
+
+  /** scores[p] = ‖c_p‖² − 2·sub·c_p per subspace; argmin with
+    * first-index (smallest code) tie-break — the same order as the
+    * oracle's exact distance. */
+  private def pqScoresCol(books: Array[Array[Array[Long]]], s: Int): Column = {
+    val mat = books(s).map(_.map(_.toDouble).toSeq).toSeq
+    val c2 = books(s).map(c => c.map(x => x * x).sum.toDouble).toSeq
+    zip_with(typedLit(c2),
+      call_function("matrix_dots", pqSubCol(s), typedLit(mat)),
+      (a, b) => a - lit(2.0) * b)
+  }
+
+  /** per-subspace code assignment under a trained codebook set — the
+    * coding pass, one narrow codegen'd map over (vec_id, qx). */
+  private def pqWithCells(books: Array[Array[Array[Long]]],
+      df: DataFrame): DataFrame =
+    (0 until PQ_S).foldLeft(df) { (d, s) =>
+      d.withColumn(s"sc$s", pqScoresCol(books, s))
+        .withColumn(s"cell$s", expr(s"array_position(sc$s, array_min(sc$s)) - 1"))
+    }
 
   /** The PQ trainer on ANY integer-grid corpus: `e` must carry
     * (vec_id, qx: array<long>); extra columns ride through to the coded
     * output untouched (sim6 threads the IVF cell and the raw vector
     * through for the probe join and the rerank). Training semantics are
     * identical for every caller — the 1-in-4 sample, first-PQ_K init,
-    * and floor-division means are all keyed on vec_id/qx only. */
-  private def pqModelOn(spark: SparkSession, e: DataFrame)
+    * and floor-division means are all keyed on vec_id/qx only —
+    * so the learned books are cached per `cacheKey` (corpus dir +
+    * grid domain; see [[ivfCache]]'s scaladoc for the registry
+    * argument) and a hit skips straight to the coding pass. */
+  private def pqModelOn(spark: SparkSession, e: DataFrame, cacheKey: String)
       : (Array[Array[Array[Long]]], DataFrame) = {
     graft.functions.GraftFunctions.registerAll(spark)
+    val cached = pqCache.synchronized { Option(pqCache.get(cacheKey)) }
+    val books = cached.getOrElse {
+      val trained = pqTrainOn(e)
+      pqCache.synchronized { pqCache.put(cacheKey, trained); () }
+      trained
+    }
+    (books, pqWithCells(books, e))
+  }
+
+  private def pqTrainOn(e: DataFrame): Array[Array[Array[Long]]] = {
     val train = e.select(col("vec_id"), col("qx"))
       .filter(pmod(col("vec_id"), lit(4)) === 0)
     train.cache()
@@ -1258,25 +1394,10 @@ object Similarity {
     var books: Array[Array[Array[Long]]] = Array.tabulate(PQ_S, PQ_K)((s, p) =>
       initRows(p).slice(s * PQ_D, (s + 1) * PQ_D).toArray)
 
-    // scores[p] = ‖c_p‖² − 2·sub·c_p; argmin with first-index (smallest
-    // code) tie-break — the same order as the oracle's exact distance
-    def scoresCol(s: Int): Column = {
-      val mat = books(s).map(_.map(_.toDouble).toSeq).toSeq
-      val c2 = books(s).map(c => c.map(x => x * x).sum.toDouble).toSeq
-      zip_with(typedLit(c2),
-        call_function("matrix_dots", pqSubCol(s), typedLit(mat)),
-        (a, b) => a - lit(2.0) * b)
-    }
-    def withCells(df: DataFrame): DataFrame =
-      (0 until PQ_S).foldLeft(df) { (d, s) =>
-        d.withColumn(s"sc$s", scoresCol(s))
-          .withColumn(s"cell$s", expr(s"array_position(sc$s, array_min(sc$s)) - 1"))
-      }
-
     for (_ <- 1 to PQ_ITERS) {
       // ONE job: assign every subspace, melt to (s, cell, sub) rows,
       // aggregate integer sums + counts per (subspace, cell)
-      val melted = withCells(train).select(explode(array((0 until PQ_S).map(s =>
+      val melted = pqWithCells(books, train).select(explode(array((0 until PQ_S).map(s =>
         struct(lit(s).as("s"), col(s"cell$s").as("cell"), pqSubCol(s).as("sub"))): _*)).as("m"))
         .select(col("m.s"), col("m.cell"), col("m.sub"))
       val sums = melted.groupBy(col("s"), col("cell"))
@@ -1294,7 +1415,7 @@ object Similarity {
       }
     }
     train.unpersist()
-    (books, withCells(e))
+    books
   }
 
   def pq1ProductQuantize(spark: SparkSession, dir: String): DataFrame = {
@@ -1417,7 +1538,7 @@ object Similarity {
     // partition (extra columns ride through pqModelOn untouched)
     val (books, coded) = pqModelOn(spark, model.assigned.select(
       col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
-      col("nrm"), col("dots")))
+      col("nrm"), col("dots")), s"$dir|unit")
     // query side: IVF probe list + per-subspace inner-product tables
     val qTbl = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < nq)) { (d, s) =>
       d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),

@@ -616,6 +616,15 @@ object TextOps {
       case _ => trainAndRegister(spark, dir)
     }
 
+  /** test hook: drop the registered tokenizer model (unpersisting its
+    * table), forcing the next call to retrain */
+  private[graft] def resetModelRegistry(): Unit = {
+    val prev = bpeRegistry.getAndSet(null)
+    if (prev != null) {
+      try prev.subs.unpersist(false) catch { case _: Throwable => () }
+    }
+  }
+
   private def trainLoop(spark: SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var wt = bpeInitialWords(spark, dir).persist()
