@@ -696,6 +696,36 @@ object TextOps {
           (a, x) => (a * 1000003L + x) % 1099511627776L).as("sub_fold"))
   }
 
+  /** The learned merge sequence for `dir` as plain (l, r) pairs — the
+    * shippable tokenizer artifact the streaming encode leg
+    * ([[graft.streaming.TokenizeStream]]) carries in its plan: 8 string
+    * pairs, closure-held, no vocab table at all (the canonical BPE
+    * encoder applies merges per word; the vocab-join form batch tok4
+    * uses is the throughput shape for a corpus whose vocabulary is
+    * already materialized). Trains on a registry miss. */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModel(spark, dir).merges.map(m => (m._2, m._3))
+
+  /** Per-word subtoken counts under a merge sequence, computed directly
+    * from the characters (no vocab lookup): fold every merge in step
+    * order over the word's symbols via [[bpeMergeFold]]. Exactly the
+    * arithmetic the trainer applied to the word table, so for any word
+    * the corpus vocabulary contains, size(result) equals tok4's joined
+    * `n_sub` — and unseen words (a live stream's reality) still encode
+    * instead of dropping. One narrow codegen-friendly expression. */
+  private[graft] def bpeEncodeCols(merges: Seq[(String, String)]): Seq[Column] = {
+    val wordSyms: Column => Column = w =>
+      merges.foldLeft(filter(split(w, ""), x => x =!= "")) {
+        case (syms, (l, r)) => bpeMergeFold(syms, l, r)
+      }
+    val ns = transform(words, w => size(wordSyms(w)).cast("long"))
+    Seq(
+      size(ns).cast("long").as("n_words"),
+      aggregate(ns, lit(0L), (a, x) => a + x).as("n_bpe_tokens"),
+      aggregate(ns, lit(0L),
+        (a, x) => (a * 1000003L + x) % 1099511627776L).as("sub_fold"))
+  }
+
   /** One unrolled BPE iteration for the oracle: pair counts from
     * zipped adjacent symbols, winner by (freq DESC, l, r), then the
     * greedy merge via run-parity — positions are matches (`m`), each
