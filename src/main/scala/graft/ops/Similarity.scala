@@ -464,6 +464,47 @@ object Similarity {
     s"$dir|${spark.conf.getOption(TargetCellConf).getOrElse("")}" +
       s"|${spark.conf.getOption(MaxKConf).getOrElse("")}"
 
+  /** the trained flat quantizer for `dir` under the CURRENT session
+    * confs — [[graft.ops.ModelStore]]'s export surface. Trains on a
+    * registry miss; refuses the two-level regime (its fine model is a
+    * distributed table — snapshot the corpus assignment instead at
+    * that scale). */
+  private[graft] def exportFlatIvf(spark: SparkSession, dir: String): Array[Seq[Long]] = {
+    ivfAssigned(spark, dir) // ensure trained + registered
+    ivfCache.synchronized { Option(ivfCache.get(ivfCacheKey(spark, dir))) } match {
+      case Some(FlatTrained(_, centroids)) => centroids
+      case _ => throw new IllegalStateException(
+        "exportFlatIvf: the corpus trains the two-level hierarchy under " +
+          "the current confs; the fine model is a distributed table, not " +
+          "a driver-held export")
+    }
+  }
+
+  /** install an externally-loaded flat quantizer under the current
+    * session confs (the serve-side of [[graft.ops.ModelStore]]) */
+  private[graft] def installFlatIvf(spark: SparkSession, dir: String,
+      centroids: Array[Seq[Long]]): Unit =
+    ivfCache.synchronized {
+      ivfCache.put(ivfCacheKey(spark, dir),
+        FlatTrained(centroids.length, centroids))
+      ()
+    }
+
+  /** the trained unit-grid PQ codebooks riding the IVF model (sim6's
+    * domain) — trains on a registry miss */
+  private[graft] def exportUnitPqBooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Long]]] = {
+    val model = ivfAssigned(spark, dir)
+    pqModelOn(spark, model.assigned.select(
+      col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
+      col("nrm"), col("dots")), s"$dir|unit")._1
+  }
+
+  /** install externally-loaded unit-grid PQ codebooks */
+  private[graft] def installUnitPqBooks(dir: String,
+      books: Array[Array[Array[Long]]]): Unit =
+    pqCache.synchronized { pqCache.put(s"$dir|unit", books); () }
+
   /** test hook: drop every registered quantizer model (unpersisting
     * two-level matrix tables), forcing the next call to retrain */
   private[graft] def resetModelRegistry(): Unit = {

@@ -625,6 +625,29 @@ object TextOps {
     }
   }
 
+  /** the registered (or trained-on-miss) model's persistable parts —
+    * [[graft.ops.ModelStore]]'s export surface */
+  private[graft] def exportBpeModel(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val m = bpeModel(spark, dir)
+    (m.merges, m.subs)
+  }
+
+  /** install an externally-loaded tokenizer model (the serve-side of
+    * [[graft.ops.ModelStore]]): persist + count its table here, so the
+    * registry's invariants (cardinality known, eviction unpersists)
+    * hold exactly as for a model trained in-process */
+  private[graft] def installBpeModel(dir: String,
+      merges: Seq[(Long, String, String, String, Long)],
+      subs: DataFrame): Unit = {
+    val s = subs.persist()
+    val n = s.count()
+    val prev = bpeRegistry.getAndSet(BpeModel(dir, merges, s, n))
+    if (prev != null && (prev.subs.sparkSession eq s.sparkSession)) {
+      try prev.subs.unpersist(false) catch { case _: Throwable => () }
+    }
+  }
+
   /** Re-materialize the fold chain every this-many merge steps. The
     * per-step pair aggregate reads the CURRENT symbol table; holding it
     * as a lazy fold chain over the one persisted word table makes each
