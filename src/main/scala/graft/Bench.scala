@@ -78,6 +78,14 @@ object Bench {
     // variance from real regressions in the scale-path queries.
     val quadratic = Set("cc1_dedup_clusters", "dd4_ngram_jaccard",
       "dd5_embedding_cosine")
+    // Alphabetical order also fixes WHERE model training lands: the
+    // registries (TextOps BPE, Similarity IVF/PQ) train at the first
+    // consumer of each model and serve everyone after, so in a sweep
+    // dd7 pays the IVF Lloyd loop, ir3 the unit-grid PQ books, pq1 the
+    // raw-grid books, tok3 the BPE merges — deterministically, so
+    // cross-round comparisons of any single query compare like with
+    // like. Warm reps reuse what the cold pass registered, which is
+    // the serving path the registry exists to measure.
     val active = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (quadratic(name), name) }
       .filterNot { case (name, _) => skip(name) }
