@@ -182,6 +182,71 @@ object Extended {
       |WHERE m.event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** RJ2 — rj1's range COUNT as distributed rank lookups, the scale
+    * path when the aggregate is all you want: rj1's bucketed equi-join
+    * is the right GENERAL interval join (it carries payload columns
+    * from both sides, and its output IS the pair set), but for a pure
+    * count its intermediate pair stream is quadratic in TIME DENSITY —
+    * at a fixed clock range, 10× the rows puts 10× events AND 10×
+    * markers in every bucket, so within-bucket pairs grow 100×
+    * (measured: isolated warm 2.5 s at sf1 → 54 s at sf10). The count
+    * form needs no pairs at all: with R(x) = #events with t < x,
+    * n_nearby(m) = R(m.t + W) − R(m.t) — two rank lookups per marker.
+    *
+    * Ranks are computed with the pk1/shf1 two-phase distributed
+    * prefix-sum recipe, never a global-order window: union the event
+    * points (+1) with each marker's two query points (s and e), bucket
+    * by the 30-min grid (bucket COUNT is clock-bounded — the pk1
+    * argument for the driver-held offset table), run ONE
+    * within-bucket running sum ordered (t, isEvent) — query points
+    * sort before events at the same instant, which is exactly the
+    * strictly-less rank both endpoints need: events AT m.t belong to
+    * the window (oracle's >=), events AT m.t + W do not (<) — and add
+    * per-bucket offsets joined back from the broadcast cumulative
+    * table. One shuffle on the bucket id; cost is linear in rows at
+    * any density, and the marker's own event makes both ranks exist,
+    * so no marker is lost. Same oracle as rj1 — identical answers,
+    * different plan class. */
+  def rj2RangeCount(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val eventPts = base.select(col("t_us"), lit(1L).as("is_event"),
+      lit(0L).as("marker_id"), lit(0).as("side"))
+    val markers = base.filter(col("event_type") === "purchase")
+    val qStart = markers.select(col("t_us"), lit(0L).as("is_event"),
+      col("event_id").as("marker_id"), lit(0).as("side"))
+    val qEnd = markers.select((col("t_us") + RJ_WINDOW_US).as("t_us"),
+      lit(0L).as("is_event"), col("event_id").as("marker_id"), lit(1).as("side"))
+    val pts = eventPts.union(qStart).union(qEnd)
+      .withColumn("bkt", expr(s"t_us div $RJ_WINDOW_US"))
+    // phase 1: within-bucket running event count; query points order
+    // before events at the same t (is_event ASC), so a query point's
+    // running sum is the strictly-less count inside its bucket. The
+    // (marker_id, side) tail makes the order total; it cannot change
+    // any sum — ties there are all query points, which add 0.
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("t_us"), col("is_event"), col("marker_id"), col("side"))
+    val ranked = pts.withColumn("run", sum(col("is_event")).over(w))
+      .filter(col("is_event") === 0L)
+    // phase 2: per-bucket event totals -> driver (clock-bounded rows of
+    // model state, the PACK_BUCKETS argument) -> cumulative offsets
+    val totals = pts.groupBy(col("bkt"))
+      .agg(sum(col("is_event")).as("n"))
+      .orderBy(col("bkt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val offRows = totals.map { case (bkt, n) =>
+      val off = acc; acc += n; (bkt, off)
+    }
+    import spark.implicits._
+    val offDf = broadcast(offRows.toSeq.toDF("bkt", "off"))
+    ranked.join(offDf, "bkt")
+      .select(col("marker_id"), col("side"), (col("off") + col("run")).as("r"))
+      .groupBy(col("marker_id"))
+      .agg(sum(when(col("side") === 1, col("r")).otherwise(-col("r")))
+        .cast("long").as("n_nearby"))
+  }
+
   /** MM3 — one-to-many generation (the UDTF shape): sample one "frame"
     * per 64-byte block of the opaque media payload. The generator is
     * `explode(sequence(...))` — codegen'd, no UDTF class needed; a real
@@ -678,6 +743,7 @@ object Extended {
     Q("aj1_asof_join", aj1AsOfJoin, Some(aj1Oracle)),
     Q("aj2_asof_custom", aj2AsofCustom, Some(aj1Oracle)),
     Q("rj1_range_join", rj1RangeJoin, Some(rj1Oracle)),
+    Q("rj2_range_count", rj2RangeCount, Some(rj1Oracle)),
     Q("mm3_frame_sample", mm3FrameSample, Some(mm3Oracle)),
     Q("a13_salted_agg", a13SaltedAgg, Some(a13Oracle)),
     Q("sql1_sql_interface", sql1SqlInterface, Some(sql1Oracle)),

@@ -213,6 +213,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("rj2: range count runs on rank lookups — no pair join at all") {
+    val p = plan(graft.ops.Extended.rj2RangeCount(spark, sf))
+    // rj1's pair stream is quadratic in time density; the count form
+    // must join NOTHING except the driver-built bucket-offset table
+    // (one broadcast) — no pair-producing join of any kind, and the
+    // within-bucket window is partitioned (never a global sort)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the running count is per-bucket, never a global-order funnel
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("ivf storage: write-time cell bucketing prunes probes at the SCAN") {
     // SCALE.md's sim3 claim made concrete: persist the corpus
     // partitioned by the k-means cell id, and a probe of 2 of 16 cells
