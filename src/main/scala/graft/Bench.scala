@@ -76,8 +76,14 @@ object Bench {
     // next — at the end of the sweep there is no next. The artifact
     // tags them ("quadratic") so a machine reader can separate their
     // variance from real regressions in the scale-path queries.
+    // rj1 is in the set by the same logic: its bucketed equi-join is
+    // the right GENERAL interval join (output = the pair set, payload
+    // columns from both sides), but the pair stream is quadratic in
+    // time DENSITY (sf10: 54 s vs rj2's 6.5 s) — the routing rule is
+    // pairs → rj1, pure aggregates → rj2 (the rank-lookup form,
+    // linear at any density; plan shape pinned in PlanSpec).
     val quadratic = Set("cc1_dedup_clusters", "dd4_ngram_jaccard",
-      "dd5_embedding_cosine")
+      "dd5_embedding_cosine", "rj1_range_join")
     // Alphabetical order also fixes WHERE model training lands: the
     // registries (TextOps BPE, Similarity IVF/PQ) train at the first
     // consumer of each model and serve everyone after, so in a sweep

@@ -75,8 +75,26 @@ object GraftFunctions {
     }
   }
 
+  /** Sessions already registered, keyed weakly on their function
+    * registry: every query entry point calls [[registerAll]]
+    * defensively, and re-registering 17 functions per query floods
+    * stderr with "function X replaced" registry warnings — hundreds of
+    * lines per bench sweep burying any real warning. Registration is
+    * idempotent either way; this guard only makes it once-per-session.
+    * Weak keys: a dropped session must not be pinned by the guard. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) != null) return
+    try registerInto(spark, reg)
+    catch { case e: Throwable => registered.remove(reg); throw e }
+  }
+
+  private def registerInto(spark: SparkSession,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
     reg.createOrReplaceTempFunction("double_dot", doubleDotBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bloom_hits", exprs => {
       arity("bloom_hits", 3)(exprs)

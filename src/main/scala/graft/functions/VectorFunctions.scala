@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Registers `double_dot` in the active session's function registry
-    * (idempotent, delegating to the single builder in
-    * [[GraftFunctions]]) so [[DoubleDot]] is reachable from the public
-    * Column API — Spark 4 hides direct Expression→Column construction. */
+    * so [[DoubleDot]] is reachable from the public Column API — Spark 4
+    * hides direct Expression→Column construction. Delegates to
+    * [[GraftFunctions.registerAll]], whose per-session guard makes this
+    * a no-op after the first call — `dot` is called per-Column-build,
+    * and re-registering each time flooded stderr with registry
+    * "function replaced" warnings. */
   private def ensureRegistered(): Unit =
-    SparkSession.active.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_dot", GraftFunctions.doubleDotBuilder, "scala_udf")
+    GraftFunctions.registerAll(SparkSession.active)
 
   /** Elementwise dot product in double precision (codegen'd). */
   def dot(a: Column, b: Column): Column = {

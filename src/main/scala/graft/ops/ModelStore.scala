@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Durable storage for the engine's learned models — the piece that
   * turns the in-process registries ([[TextOps]]' BPE model,
@@ -16,21 +17,29 @@ import org.apache.spark.sql.functions._
   * any engine, survivable across Spark versions, diffable):
   *   bpe_merges/    (step, lft, rgt, merged, freq)   — the tok3 table
   *   bpe_subs/      (wd, n_sub)                      — vocabulary-sized
-  *   ivf_centroids/ (cell, c: array<bigint>)         — K×64 grid longs
+  *   ivf_meta/      one row: training confs + corpus fingerprint + regime
+  *   ivf_centroids/ (cell, c: array<bigint>)         — flat: K×64 grid longs
+  *   ivf_coarse/    (cell1, c: array<bigint>)        — two-level: K1 coarse
+  *   ivf_fine/      (cell1, mat: array<array<double>>) — two-level fine
+  *                  matrix, a DISTRIBUTED table written distributed
+  *                  (the `bpe_subs` pattern — never collected)
   *   pq_books/      (s, p, c: array<bigint>)         — 8×16 codebooks
   * Everything driver-held is model-sized by the registries' own
-  * arguments; `bpe_subs` is the one vocabulary-sized table and writes
-  * distributed. The flat-IVF export refuses the two-level regime (its
-  * fine model is a distributed training artifact — at that scale
-  * snapshot the assigned corpus, which is a write-time bucketing
-  * column anyway).
+  * arguments; `bpe_subs` and `ivf_fine` are the distributed tables.
+  * Both IVF regimes persist — at 100 TB two-level is the ONLY regime,
+  * so the fine model exports as parquet rather than refusing.
   *
-  * Loading installs into the registries under the CURRENT session
-  * confs, so a model trained under forced sizing confs cannot be
-  * served under defaults ([[Similarity]]'s conf-keyed cache). Training
-  * determinism makes save→load→serve bit-identical to
-  * train-in-process — ModelStoreSpec pins round-trip equality for
-  * tok4 and sim6 with the training jobs gone. */
+  * A model is only valid for the exact training conditions, so
+  * `ivf_meta` records the sizing confs ([[Similarity.TargetCellConf]],
+  * [[Similarity.MaxKConf]]) and a corpus fingerprint (the embedding
+  * count) at SAVE time, and [[loadIvfPq]] fails loudly when the
+  * serving session's confs or corpus differ — a model trained under
+  * forced sizing confs cannot be silently served under defaults (or
+  * against a different corpus) where sim3/sim6/dd7 would return
+  * results that differ from in-process training. Training determinism
+  * then makes save→load→serve bit-identical to train-in-process —
+  * ModelStoreSpec pins round-trip equality for tok4 and sim6 (both
+  * regimes) with the training jobs gone. */
 object ModelStore {
 
   /** Train (or reuse) the BPE tokenizer for `corpusDir` and persist it
@@ -55,29 +64,86 @@ object ModelStore {
     TextOps.installBpeModel(corpusDir, merges, subs)
   }
 
-  /** Train (or reuse) the flat IVF quantizer + unit-grid PQ codebooks
-    * for `corpusDir` under the current confs and persist them. */
+  private def confOr(spark: SparkSession, key: String): String =
+    spark.conf.getOption(key).getOrElse("")
+
+  /** Train (or reuse) the IVF quantizer (either regime) + unit-grid PQ
+    * codebooks for `corpusDir` under the current confs and persist
+    * them with their training metadata. */
   def saveIvfPq(spark: SparkSession, corpusDir: String, modelDir: String): Unit = {
-    val centroids = Similarity.exportFlatIvf(spark, corpusDir)
-    val books = Similarity.exportUnitPqBooks(spark, corpusDir)
     import spark.implicits._
-    centroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toSeq
-      .toDF("cell", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$modelDir/ivf_centroids")
+    val (regime, k1, k2) = Similarity.exportIvf(spark, corpusDir) match {
+      case Similarity.FlatIvfExport(centroids) =>
+        centroids.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toSeq
+          .toDF("cell", "c").coalesce(1)
+          .write.mode("overwrite").parquet(s"$modelDir/ivf_centroids")
+        ("flat", centroids.length, 0)
+      case Similarity.TwoLevelIvfExport(k1, k2, coarse, mat) =>
+        coarse.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toSeq
+          .toDF("cell1", "c").coalesce(1)
+          .write.mode("overwrite").parquet(s"$modelDir/ivf_coarse")
+        // the fine model writes DISTRIBUTED — K1 rows of K2×64
+        // matrices, partitionable like any table
+        mat.write.mode("overwrite").parquet(s"$modelDir/ivf_fine")
+        ("two_level", k1, k2)
+    }
+    val books = Similarity.exportUnitPqBooks(spark, corpusDir)
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, p) => (s, p, c.toSeq) }
     }.toSeq.toDF("s", "p", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$modelDir/pq_books")
+    // training metadata: the sizing confs the trainer read and the
+    // corpus fingerprint (embedding count — parquet-footer cheap to
+    // re-derive at load, even at 100 TB). loadIvfPq refuses a
+    // mismatch; without this the artifact would silently serve under
+    // conditions it was never trained for.
+    val nVecs = Tables.embeddings(spark, corpusDir).count()
+    Seq((confOr(spark, Similarity.TargetCellConf),
+        confOr(spark, Similarity.MaxKConf),
+        nVecs, regime, k1, k2))
+      .toDF("target_cell", "max_k", "n_vecs", "regime", "k1", "k2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/ivf_meta")
   }
 
   /** Load stored IVF/PQ models and register them for `corpusDir` under
-    * the current confs. */
+    * the current confs. Fails loudly when the serving session's sizing
+    * confs or the corpus fingerprint differ from training — serving a
+    * model outside its training conditions would silently change
+    * sim3/sim6/dd7 results vs in-process training. */
   def loadIvfPq(spark: SparkSession, corpusDir: String, modelDir: String): Unit = {
-    val centroids = spark.read.parquet(s"$modelDir/ivf_centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Long](1))
-    Similarity.installFlatIvf(spark, corpusDir, centroids)
+    val meta = spark.read.parquet(s"$modelDir/ivf_meta").collect().head
+    val (tc, mk) = (meta.getAs[String]("target_cell"), meta.getAs[String]("max_k"))
+    val (curTc, curMk) = (confOr(spark, Similarity.TargetCellConf),
+      confOr(spark, Similarity.MaxKConf))
+    if (tc != curTc || mk != curMk) throw new IllegalStateException(
+      s"loadIvfPq: model at $modelDir was trained under sizing confs " +
+        s"(targetCell='$tc', maxK='$mk') but the serving session has " +
+        s"('$curTc', '$curMk') — serving would differ from in-process " +
+        "training; set the confs to match, or retrain")
+    val nVecs = meta.getAs[Long]("n_vecs")
+    val curN = Tables.embeddings(spark, corpusDir).count()
+    if (nVecs != curN) throw new IllegalStateException(
+      s"loadIvfPq: model at $modelDir was trained over a corpus of " +
+        s"$nVecs embeddings but $corpusDir has $curN — this is a " +
+        "different corpus; point at the training snapshot, or retrain")
+    meta.getAs[String]("regime") match {
+      case "flat" =>
+        val centroids = spark.read.parquet(s"$modelDir/ivf_centroids")
+          .orderBy(col("cell")).collect()
+          .map(_.getSeq[Long](1))
+        Similarity.installFlatIvf(spark, corpusDir, centroids)
+      case "two_level" =>
+        val coarse = spark.read.parquet(s"$modelDir/ivf_coarse")
+          .orderBy(col("cell1")).collect()
+          .map(_.getSeq[Long](1))
+        val mat = spark.read.parquet(s"$modelDir/ivf_fine")
+        Similarity.installTwoLevelIvf(spark, corpusDir,
+          meta.getAs[Int]("k1"), meta.getAs[Int]("k2"), coarse, mat)
+      case other => throw new IllegalStateException(
+        s"loadIvfPq: unknown regime '$other' in $modelDir/ivf_meta")
+    }
     val rows = spark.read.parquet(s"$modelDir/pq_books").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toArray)).toMap
     val nS = rows.keys.map(_._1).max + 1

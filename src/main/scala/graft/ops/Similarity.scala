@@ -464,19 +464,30 @@ object Similarity {
     s"$dir|${spark.conf.getOption(TargetCellConf).getOrElse("")}" +
       s"|${spark.conf.getOption(MaxKConf).getOrElse("")}"
 
-  /** the trained flat quantizer for `dir` under the CURRENT session
-    * confs — [[graft.ops.ModelStore]]'s export surface. Trains on a
-    * registry miss; refuses the two-level regime (its fine model is a
-    * distributed table — snapshot the corpus assignment instead at
-    * that scale). */
-  private[graft] def exportFlatIvf(spark: SparkSession, dir: String): Array[Seq[Long]] = {
+  /** The persistable parts of a trained IVF quantizer — either
+    * regime. Flat: the driver-held centroid matrix. Two-level: the
+    * driver-held coarse matrix plus the DISTRIBUTED fine matrix table
+    * (cell1, mat) — callers persist it as parquet (the `bpe_subs`
+    * pattern), never collect it: at 100 TB two-level is the only
+    * regime, and its fine model is exactly the artifact a serving
+    * fleet must load without retraining. */
+  private[graft] sealed trait IvfExport
+  private[graft] final case class FlatIvfExport(
+      centroids: Array[Seq[Long]]) extends IvfExport
+  private[graft] final case class TwoLevelIvfExport(k1: Int, k2: Int,
+      coarse: Array[Seq[Long]], mat: DataFrame) extends IvfExport
+
+  /** the trained quantizer for `dir` under the CURRENT session confs —
+    * [[graft.ops.ModelStore]]'s export surface. Trains on a registry
+    * miss; returns whichever regime the corpus+confs select. */
+  private[graft] def exportIvf(spark: SparkSession, dir: String): IvfExport = {
     ivfAssigned(spark, dir) // ensure trained + registered
     ivfCache.synchronized { Option(ivfCache.get(ivfCacheKey(spark, dir))) } match {
-      case Some(FlatTrained(_, centroids)) => centroids
+      case Some(FlatTrained(_, centroids)) => FlatIvfExport(centroids)
+      case Some(TwoLevelTrained(k1, k2, coarse, mat)) =>
+        TwoLevelIvfExport(k1, k2, coarse, mat)
       case _ => throw new IllegalStateException(
-        "exportFlatIvf: the corpus trains the two-level hierarchy under " +
-          "the current confs; the fine model is a distributed table, not " +
-          "a driver-held export")
+        "exportIvf: training did not register a model")
     }
   }
 
@@ -489,6 +500,21 @@ object Similarity {
         FlatTrained(centroids.length, centroids))
       ()
     }
+
+  /** install an externally-loaded two-level quantizer under the
+    * current session confs: the fine matrix table is persisted +
+    * materialized here (its lineage is just a parquet scan, but the
+    * registry's reuse contract expects a pinned table, and eviction
+    * unpersists it like a trained one). */
+  private[graft] def installTwoLevelIvf(spark: SparkSession, dir: String,
+      k1: Int, k2: Int, coarse: Array[Seq[Long]], mat: DataFrame): Unit = {
+    val m = mat.persist()
+    m.count()
+    ivfCache.synchronized {
+      ivfCache.put(ivfCacheKey(spark, dir), TwoLevelTrained(k1, k2, coarse, m))
+      ()
+    }
+  }
 
   /** the trained unit-grid PQ codebooks riding the IVF model (sim6's
     * domain) — trains on a registry miss */

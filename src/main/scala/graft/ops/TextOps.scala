@@ -593,8 +593,38 @@ object TextOps {
     * recorded, so encoders use [[Model.guardedBroadcastKnown]] — the
     * per-query [[Model.release]] sweep must not evict a registry
     * table, and no re-count job is needed per encode. */
+  private val BpeCacheMax = 4
   private val bpeRegistry =
-    new java.util.concurrent.atomic.AtomicReference[BpeModel](null)
+    new java.util.LinkedHashMap[String, BpeModel](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, BpeModel]): Boolean = {
+        val evict = size() > BpeCacheMax
+        if (evict) {
+          try e.getValue.subs.unpersist(false) catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  /** Per-corpus training locks: a registry miss trains under the
+    * corpus's lock, so two concurrent consumers of the SAME corpus
+    * share one training run (the second re-checks the registry inside
+    * the lock and serves the first's model) while different corpora
+    * train in parallel. The keyed map (vs the former single
+    * AtomicReference slot) also means alternating corpora in one
+    * session no longer evict each other's models. */
+  private val bpeTrainLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def register(dir: String, model: BpeModel): Unit =
+    bpeRegistry.synchronized {
+      val prev = bpeRegistry.put(dir, model)
+      // drop a superseded model's cached table (session-matched: a
+      // dead session's unpersist throws and the try absorbs it)
+      if (prev != null && (prev ne model)) {
+        try prev.subs.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
 
   private def trainAndRegister(spark: SparkSession, dir: String): BpeModel = {
     val (merges, wt, anchored) = trainLoop(spark, dir)
@@ -604,26 +634,37 @@ object TextOps {
     val nSubs = subs.count()
     anchored.unpersist()
     val model = BpeModel(dir, merges, subs, nSubs)
-    val prev = bpeRegistry.getAndSet(model)
-    // drop the superseded model's cached table (no-op if never persisted)
-    if (prev != null && (prev.subs.sparkSession eq spark)) prev.subs.unpersist()
+    register(dir, model)
     model
   }
 
-  private def bpeModel(spark: SparkSession, dir: String): BpeModel =
-    Option(bpeRegistry.get()) match {
-      case Some(m) if m.dir == dir && (m.subs.sparkSession eq spark) => m
-      case _ => trainAndRegister(spark, dir)
-    }
+  /** tok3's explicit-retrain entry: takes the corpus lock so a
+    * concurrent encoder's miss waits and then serves this run's model
+    * instead of training its own. */
+  private def trainLocked(spark: SparkSession, dir: String): BpeModel = {
+    val lock = bpeTrainLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized { trainAndRegister(spark, dir) }
+  }
 
-  /** test hook: drop the registered tokenizer model (unpersisting its
-    * table), forcing the next call to retrain */
-  private[graft] def resetModelRegistry(): Unit = {
-    val prev = bpeRegistry.getAndSet(null)
-    if (prev != null) {
-      try prev.subs.unpersist(false) catch { case _: Throwable => () }
+  private def bpeModel(spark: SparkSession, dir: String): BpeModel = {
+    def live: Option[BpeModel] =
+      bpeRegistry.synchronized { Option(bpeRegistry.get(dir)) }
+        .filter(_.subs.sparkSession eq spark)
+    live.getOrElse {
+      val lock = bpeTrainLocks.computeIfAbsent(dir, _ => new Object)
+      lock.synchronized { live.getOrElse(trainAndRegister(spark, dir)) }
     }
   }
+
+  /** test hook: drop every registered tokenizer model (unpersisting
+    * its table), forcing the next call to retrain */
+  private[graft] def resetModelRegistry(): Unit =
+    bpeRegistry.synchronized {
+      bpeRegistry.values().forEach { m =>
+        try m.subs.unpersist(false) catch { case _: Throwable => () }
+      }
+      bpeRegistry.clear()
+    }
 
   /** the registered (or trained-on-miss) model's persistable parts —
     * [[graft.ops.ModelStore]]'s export surface */
@@ -642,10 +683,7 @@ object TextOps {
       subs: DataFrame): Unit = {
     val s = subs.persist()
     val n = s.count()
-    val prev = bpeRegistry.getAndSet(BpeModel(dir, merges, s, n))
-    if (prev != null && (prev.subs.sparkSession eq s.sparkSession)) {
-      try prev.subs.unpersist(false) catch { case _: Throwable => () }
-    }
+    register(dir, BpeModel(dir, merges, s, n))
   }
 
   /** Re-materialize the fold chain every this-many merge steps. The
@@ -708,7 +746,7 @@ object TextOps {
     * oracle-checkable: the DuckDB twin unrolls all BPE_MERGES
     * iterations and must reproduce the identical merge sequence. */
   def tok3BpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val model = trainAndRegister(spark, dir)
+    val model = trainLocked(spark, dir)
     import spark.implicits._
     model.merges.toDF("step", "lft", "rgt", "merged", "freq")
   }

@@ -71,4 +71,86 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(serveJobs <= 6,
       s"expected stored models to serve without training jobs, ran $serveJobs")
   }
+
+  private val lowCaps = Seq(
+    Similarity.TargetCellConf -> "4",
+    Similarity.MaxKConf -> "4")
+
+  private def withConfs[A](confs: Seq[(String, String)])(body: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("TWO-LEVEL IVF round-trips: the fine model persists distributed and serves identically") {
+    // the only regime that exists at 100 TB: force the sizing confs low
+    // (TwoLevelIvfSpec's threshold — trainN 125, target 4, maxK 4 →
+    // K1=4, K2=8) so sf0.001 trains the hierarchy, then round-trip
+    val store = Files.createTempDirectory("graft_models_").toString
+    withConfs(lowCaps) {
+      Similarity.resetModelRegistry()
+      var trained: Seq[String] = null
+      val trainJobs = jobsDuring { trained = rows(Similarity.sim6IvfPqTopK(spark, sf)) }
+      // the trained model must actually BE two-level, or this test
+      // silently degrades to the flat round-trip
+      assert(Similarity.ivfAssigned(spark, sf).fine.isDefined,
+        "two-level did not engage under the forced confs")
+      ModelStore.saveIvfPq(spark, sf, store)
+      // the fine matrix is a distributed parquet table, not a refusal
+      val fine = spark.read.parquet(s"$store/ivf_fine")
+      assert(fine.columns.toSeq == Seq("cell1", "mat"))
+      assert(fine.count() <= 4, "fine model must be K1 rows")
+
+      Similarity.resetModelRegistry() // a fresh serving session
+      ModelStore.loadIvfPq(spark, sf, store)
+      var served: Seq[String] = null
+      val serveJobs = jobsDuring { served = rows(Similarity.sim6IvfPqTopK(spark, sf)) }
+      Similarity.resetModelRegistry()
+      assert(served === trained)
+      // in-process two-level training runs the coarse Lloyd loop PLUS
+      // IVF_ITERS fine-refinement joins before the search (measured
+      // ~30 jobs cold); served-from-store pays only the search's own
+      // handful (measured 10: the two-level probe joins the persisted
+      // fine matrix, which broadcasts per stage). The claim is
+      // RELATIVE — serving must skip the training bulk — plus a loose
+      // absolute ceiling so both numbers can't drift up together.
+      assert(serveJobs * 2 <= trainJobs,
+        s"expected the stored two-level model to skip training: served in $serveJobs jobs vs $trainJobs trained")
+      assert(serveJobs <= 14,
+        s"two-level serving should be a handful of search jobs, ran $serveJobs")
+    }
+  }
+
+  test("loadIvfPq fails loudly when the serving session's confs differ from training") {
+    val store = Files.createTempDirectory("graft_models_").toString
+    withConfs(lowCaps) {
+      Similarity.resetModelRegistry()
+      ModelStore.saveIvfPq(spark, sf, store)
+    }
+    Similarity.resetModelRegistry()
+    // serving session runs DEFAULT confs — the exact silent-drift case
+    // the metadata exists to refuse
+    val e = intercept[IllegalStateException] { ModelStore.loadIvfPq(spark, sf, store) }
+    assert(e.getMessage.contains("sizing confs"), e.getMessage)
+  }
+
+  test("loadIvfPq fails loudly when pointed at a different corpus") {
+    val store = Files.createTempDirectory("graft_models_").toString
+    Similarity.resetModelRegistry()
+    ModelStore.saveIvfPq(spark, sf, store)
+    // a corpus with a different embedding count: the fingerprint must
+    // refuse before any model is installed
+    val other = Files.createTempDirectory("graft_other_corpus_").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+      .write.mode("overwrite").parquet(s"$other/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      ModelStore.loadIvfPq(spark, other, store)
+    }
+    assert(e.getMessage.contains("different corpus"), e.getMessage)
+    Similarity.resetModelRegistry()
+  }
 }
