@@ -108,7 +108,7 @@ object Multimodal {
        |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
        |px AS (SELECT doc_id, nb, h,
        |         list_transform(range(1, $PGM_W * h + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS p
        |       FROM t)
        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
        |       $PGM_W AS width, CAST(h AS INT) AS height,
@@ -178,7 +178,7 @@ object Multimodal {
        |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
        |d AS (SELECT doc_id, h, greatest((h + 7) // 8, 1) AS fy,
        |        list_transform(range(1, $PGM_W * h + 1),
-       |          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |          j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS p
        |      FROM t),
        |e AS (SELECT doc_id, h, fy, (h + fy - 1) // fy AS th, p FROM d)
        |SELECT doc_id, $PGM_W AS orig_w, CAST(h AS INT) AS orig_h,
@@ -274,7 +274,7 @@ object Multimodal {
        |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
        |px AS (SELECT doc_id, h,
        |         list_transform(range(1, $PGM_W * h + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS p
        |       FROM t)
        |SELECT doc_id, $PGM_W AS width, CAST(h AS INT) AS height,
        |       CAST(list_sum(p) AS BIGINT) AS px_sum,
@@ -410,7 +410,7 @@ object Multimodal {
   private val mm6Oracle =
     s"""WITH t AS (SELECT doc_id, text,
        |         list_transform(range(1, octet_length(text::BLOB) + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS s
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS s
        |       FROM documents)
        |SELECT doc_id, $WAV_RATE AS sample_rate, 1 AS channels, 8 AS bits,
        |       CAST(len(s) AS BIGINT) AS n_samples,
@@ -514,7 +514,7 @@ object Multimodal {
        |         greatest(octet_length(text::BLOB) // $Y4M_FRAME, 1) AS nf FROM documents),
        |px AS (SELECT doc_id, nf,
        |         list_transform(range(1, nf * $Y4M_FRAME + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS p
        |       FROM t)
        |SELECT doc_id, $Y4M_W AS width, $Y4M_H AS height, CAST(nf AS INT) AS n_frames,
        |       floor(nf * 1 * 1000000 / 25) / 1000 AS duration_ms,
@@ -583,7 +583,7 @@ object Multimodal {
        |         greatest(octet_length(text::BLOB) // $PGM_W, 1) AS h FROM documents),
        |px AS (SELECT doc_id, h, h // 2 AS oh,
        |         list_transform(range(1, $PGM_W * h + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS p
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT) AS p
        |       FROM t),
        |rs AS (SELECT doc_id, h, oh,
        |         list_transform(range(0, ${PGM_W / 2} * oh), k ->
@@ -704,41 +704,36 @@ object Multimodal {
     }
   }
 
-  /** MM10 — REAL JPEG decode (lossy DCT through the JDK codec), now
-    * fully oracle-checked on its DETERMINISTIC outputs: the document's
-    * own bytes go through encode→decode and the recovered dimensions
-    * are hash-compared (any decode failure or dimension drift fails
-    * the oracle); the accuracy claim rides along as a per-document
-    * boolean — a second encode→decode over [[docRamp]] (the smooth
-    * regime the spec proves ≤ 8 on) must land within that bound for
-    * EVERY document, and the oracle expects literal TRUE. The raw
-    * error values on noisy corpus bytes are codec-specific (lossy DCT
-    * cannot hash-match SQL) and live in the spec, not the registry.
-    * Narrow map, zero shuffle; two codec passes per document. */
+  /** MM10 — REAL JPEG decode (lossy DCT through the JDK codec),
+    * oracle-checked on its DETERMINISTIC outputs: the document's own
+    * bytes go through encode→decode and the recovered dimensions are
+    * hash-compared (any decode failure or dimension drift fails the
+    * oracle). The codec-ACCURACY claim (pixel error ≤ 8 on the smooth
+    * [[docRamp]] regime) is deliberately NOT a registry column: it is
+    * a property of the ENVIRONMENT's ImageIO implementation, not of
+    * the query — a different JVM vendor's JPEG encoder exceeding the
+    * bound must surface as an environment difference, not a
+    * query-correctness failure. The spec tier
+    * (DedupSimilaritySpec's slope-space sweep) asserts the bound over
+    * the FULL docRamp parameter space — every (intercept, bx, by)
+    * combination any corpus can produce, at partial- and full-block
+    * heights past the corpus maximum — which is strictly stronger than
+    * a per-document boolean. Narrow map, zero shuffle, one codec pass
+    * per document. */
   def mm10JpegDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withBinary(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val (w, h, _) = decodeImage(encodeJpeg(payload))
-        val ramp = docRamp(payload, w * h)
-        val (_, _, px) = decodeImage(encodeJpeg(ramp))
-        var maxErr = 0
-        var i = 0
-        while (i < px.length) {
-          val e = math.abs((px(i) & 0xFF) - (ramp(i) & 0xFF))
-          if (e > maxErr) maxErr = e
-          i += 1
-        }
-        (id, w, h, maxErr <= 8)
+        (id, w, h)
       })
-      .toDF("doc_id", "width", "height", "err_le_8")
+      .toDF("doc_id", "width", "height")
   }
 
   private val mm10Oracle =
     s"""SELECT doc_id, $PGM_W AS width,
-       |  CAST(greatest(octet_length(text::BLOB) // $PGM_W, 1) AS INT) AS height,
-       |  TRUE AS err_le_8
+       |  CAST(greatest(octet_length(text::BLOB) // $PGM_W, 1) AS INT) AS height
        |FROM documents""".stripMargin
 
   /** mm11 analysis-frame width (samples). */
@@ -805,7 +800,7 @@ object Multimodal {
   private val mm11Oracle =
     s"""WITH t AS (SELECT doc_id,
        |         list_transform(range(1, octet_length(text::BLOB) + 1),
-       |           j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128) AS s
+       |           j -> ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT - 128) AS s
        |       FROM documents),
        |zc AS (SELECT doc_id,
        |         CAST(coalesce(len(list_filter(range(2, len(s) + 1),
@@ -879,7 +874,7 @@ object Multimodal {
        |px AS (SELECT doc_id, f,
        |         list_transform(range(1, f * $Y4M_FRAME + 1),
        |           j -> CASE WHEN j <= len
-       |                  THEN CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)
+       |                  THEN ('0x' || substr(hex(encode(text)), CAST(2 * j - 1 AS INT), 2))::BIGINT
        |                  ELSE 0 END) AS v
        |       FROM fr JOIN t USING (doc_id, len)),
        |sd AS (SELECT doc_id, f, u.t AS t, u.sad AS sad FROM (

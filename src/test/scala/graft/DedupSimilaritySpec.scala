@@ -287,12 +287,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // determinism: the registered query's contract (oracle hashing +
     // Bench hashing) needs byte-stable output across encode runs
     assert(Multimodal.encodeJpeg(grad).toSeq == Multimodal.encodeJpeg(grad).toSeq)
-    // mm10's oracle asserts err_le_8 = TRUE for every document; docRamp
-    // has only 2 (bx) × 8 (by) slope combos and a 256-valued intercept —
-    // sweep the full slope space at extreme intercepts so the corpus can
-    // never land outside what this proves
-    // heights cover partial JPEG blocks (1, 5) and full blocks (24)
-    for (bx <- 0 to 1; by <- 0 to 7; a <- Seq(0, 1, 127, 254, 255); h <- Seq(1, 5, 24)) {
+    // the codec-accuracy bound lives HERE, not in mm10's registry
+    // oracle (it is a property of this JVM's ImageIO, not of the
+    // query — an oracle literal would turn a vendor-codec difference
+    // into a correctness failure): docRamp has only 2 (bx) × 8 (by)
+    // slope combos and a 256-valued intercept — sweep the full slope
+    // space at extreme intercepts so no corpus can land outside what
+    // this proves. Heights cover partial JPEG blocks (1, 5), full
+    // blocks (24), and past the driver corpora's maximum (35 rows =
+    // 553-byte documents / 16 px per row).
+    for (bx <- 0 to 1; by <- 0 to 7; a <- Seq(0, 1, 127, 254, 255); h <- Seq(1, 5, 24, 35)) {
       val seed = Array[Byte](a.toByte, bx.toByte, by.toByte)
       val ramp = Multimodal.docRamp(seed, 16 * h)
       val (_, _, px) = Multimodal.decodeImage(Multimodal.encodeJpeg(ramp))

@@ -18,9 +18,10 @@ class DeterminismSpec extends AnyFunSuite {
   import TestSpark._
 
   // Empty again since round 8: mm10 (the last rows-only entry, lossy
-  // JPEG) now registers an oracle over its deterministic projection —
-  // recovered dims plus the ramp-leg error-bound boolean — so every
-  // registered query is DuckDB-hash-checked.
+  // JPEG) now registers an oracle over its deterministic projection
+  // (recovered dims); the codec-accuracy bound is spec-tier since
+  // round 9 (it is an environment property — see mm10's scaladoc). So
+  // every registered query is DuckDB-hash-checked.
   private val allowedRowsOnly = Set.empty[String]
 
   private val rowsOnly =
