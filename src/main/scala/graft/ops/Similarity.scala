@@ -1599,7 +1599,52 @@ object Similarity {
     * lists, ir3's retrieval leg — ride the IVF-PQ tier instead of
     * sim1's exact corpus scan. */
   private[graft] def sim6TopK(spark: SparkSession, dir: String,
-      nq: Int, k: Int): DataFrame = {
+      nq: Int, k: Int): DataFrame =
+    sim6Rank(spark, dir, k, (_, coded) => coded.filter(col("vec_id") < nq))
+
+  /** The driver-held top-level centroid matrix of the trained model —
+    * flat centroids, or the two-level COARSE matrix — the matrix an
+    * EXTERNAL query's `dots` column is computed against for probe
+    * selection (the corpus side gets the same column from its
+    * assignment scan). */
+  private def topMatrix(spark: SparkSession, dir: String): Array[Seq[Long]] = {
+    ivfAssigned(spark, dir) // ensure trained + registered
+    ivfCache.synchronized { Option(ivfCache.get(ivfCacheKey(spark, dir))) } match {
+      case Some(FlatTrained(_, c)) => c
+      case Some(TwoLevelTrained(_, _, coarse, _)) => coarse
+      case _ => throw new IllegalStateException(
+        "topMatrix: training did not register a model")
+    }
+  }
+
+  /** [[sim6TopK]] over EXTERNAL query vectors — the serve surface the
+    * streaming ANN leg ([[graft.streaming.AnnServeStream]]) shares
+    * with batch, so the tiers cannot drift: `queries` is a (qid,
+    * v: array<float|double>) relation, and each query's uq/dots
+    * columns are derived from its RAW vector by the corpus
+    * assignment's exact scalar sequence ([[graft.functions.QuantizeUnit]],
+    * [[graft.functions.MatrixDots]]) — a query that IS a corpus vector
+    * (knn2's contract: qid = vec_id < NQ) therefore gets bit-identical
+    * probe lists and scores to [[sim6TopK]]. A corpus vector never
+    * returns itself (vec_id ≠ qid, the knn2/sim6 rule). */
+  private[graft] def sim6ServeQueries(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    sim6Rank(spark, dir, k, (_, _) => {
+      val cents = typedLit(topMatrix(spark, dir).map(_.map(_.toDouble)).toSeq)
+      queries
+        .select(col("qid").cast("long").as("vec_id"), asDouble(col("v")).as("v"))
+        .withColumn("nrm", norm2(col("v")))
+        .withColumn("qx", call_function("quantize_unit", col("v"), lit(IVF_Q)))
+        .withColumn("dots", call_function("matrix_dots", col("qx"), cents))
+    })
+
+  /** The shared IVF-PQ ranking body: `querySide` supplies the query
+    * relation — (vec_id, v, nrm, qx, dots) — either filtered out of
+    * the coded corpus ([[sim6TopK]]) or derived from external raw
+    * vectors ([[sim6ServeQueries]]); everything downstream (probe
+    * selection, ADC shortlist, exact rerank) is one code path. */
+  private def sim6Rank(spark: SparkSession, dir: String, k: Int,
+      querySide: (IvfModel, DataFrame) => DataFrame): DataFrame = {
     val model = ivfAssigned(spark, dir)
     // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
     // partition (extra columns ride through pqModelOn untouched)
@@ -1607,7 +1652,7 @@ object Similarity {
       col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
       col("nrm"), col("dots")), s"$dir|unit")
     // query side: IVF probe list + per-subspace inner-product tables
-    val qTbl = (0 until PQ_S).foldLeft(coded.filter(col("vec_id") < nq)) { (d, s) =>
+    val qTbl = (0 until PQ_S).foldLeft(querySide(model, coded)) { (d, s) =>
       d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
         typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq)))
     }

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Similarity
+
+/** Streaming ANN SERVING: a live stream of query vectors answered
+  * against the trained IVF-PQ index, top-k per query, one served
+  * result set per micro-batch — the resident-service shape the
+  * reference deploys as (`faust_app/ma_agg.py:83-91` is an always-on
+  * job answering whatever arrives, not a batch sweep), applied to the
+  * engine's ANN tier.
+  *
+  * Deployment shape (the 100 TB serving reality):
+  *  - the MODEL is trained OFFLINE and loaded once per serving session
+  *    ([[graft.ops.ModelStore.loadIvfPq]] — quantizer + codebooks +
+  *    coarse/fine centroids); the serving job never pays the Lloyd/PQ
+  *    loops. The corpus index (cell-assigned, PQ-coded) is the static
+  *    side; query vectors are the stream.
+  *  - each micro-batch of queries runs through
+  *    [[Similarity.sim6ServeQueries]] — the SAME body batch knn2/ir3
+  *    rank through, so the tiers cannot drift (the SessionStream
+  *    move): probe selection against the driver-held centroid matrix,
+  *    compressed-domain ADC shortlist over probed cells only, exact
+  *    rerank on the shortlist. A query batch BROADCASTS onto the coded
+  *    corpus; the corpus never shuffles per batch.
+  *  - `foreachBatch` is the right Structured Streaming construct here,
+  *    not `flatMapGroupsWithState`: serving is per-query-set ranking
+  *    against a STATIC indexed corpus — there is no cross-batch
+  *    keyed state to hold (the index IS the state, and it lives in
+  *    the model registry + parquet, not in the stream) — and the
+  *    micro-batch boundary is exactly the service's natural batching.
+  *    Checkpointing gives exactly-once batch ids; a restart re-serves
+  *    only the uncommitted batch (AnnServeSpec pins recovery).
+  *
+  * Determinism: [[Similarity.sim6ServeQueries]] derives each query's
+  * grid/probe columns from its raw vector with the corpus assignment's
+  * exact scalar sequence, so a query that is a corpus vector returns
+  * the bit-identical top-k list batch [[Similarity.sim6TopK]] emits —
+  * AnnServeSpec asserts list equality and the knn2 vote equality on
+  * the same queries. */
+object AnnServeStream {
+
+  /** Start the serving query: `queries` is a STREAMING (qid, v)
+    * relation; each micro-batch is answered with the top-`k` corpus
+    * neighbors per query — (qid, vec_id, cos, rank) — and handed to
+    * `sink` with its batch id (exactly-once under checkpointing when
+    * the sink is idempotent by batch id, the standard foreachBatch
+    * contract). The model for `corpusDir` must already be registered
+    * in the serving session (ModelStore.loadIvfPq, or in-process
+    * training on first use). */
+  def serve(queries: DataFrame, corpusDir: String, k: Int,
+      checkpointDir: String)(sink: (Long, DataFrame) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty triggers happen (timer/startup batches): serving them
+        // would still train-on-miss in a cold session — skip
+        if (!batch.isEmpty) {
+          sink(batchId,
+            Similarity.sim6ServeQueries(batch.sparkSession, corpusDir, batch, k))
+        }
+      }
+      .start()
+
+  /** Convenience for sinks that append to a parquet directory — the
+    * idempotent-by-batch-id file layout (one subdirectory per batch,
+    * overwritten on re-serve after a restart, so replays cannot
+    * duplicate). */
+  def serveToParquet(queries: DataFrame, corpusDir: String, k: Int,
+      checkpointDir: String, outDir: String): StreamingQuery =
+    serve(queries, corpusDir, k, checkpointDir) { (batchId, hits) =>
+      hits.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+}
