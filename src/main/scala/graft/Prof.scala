@@ -3,15 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
-/** Scratch per-query profiler: times each named query twice (cold +
-  * warm) on a dir, printing plans on demand. Not part of the driver
-  * contract. Usage: runMain graft.Prof <sfDir> <q1,q2,...> [explain]
-  */
+/** Scratch per-query profiler: times each named query `reps` times in
+  * one JVM (run 1 = cold, the rest warm), printing plans on demand.
+  * Not part of the driver contract.
+  * Usage: runMain graft.Prof <sfDir> <q1,q2,...> [explain|reps=N]
+  * One JVM per invocation IS the isolation: the sf10 artifact's
+  * heavy-tail medians come from per-query `reps=4` invocations (cold +
+  * median-of-3 warm) so no other query's GC/code-cache churn prices
+  * the measurement. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args(1).split(",").toSeq
     val explain = args.length > 2 && args(2) == "explain"
+    val reps = args.drop(2).collectFirst {
+      case a if a.startsWith("reps=") => math.max(1, a.stripPrefix("reps=").toInt)
+    }.getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,7 +49,7 @@ object Prof {
     }
     for (n <- names; fn = SparkEntry.queries(n)) {
       if (explain) fn(spark, dir).explain("formatted")
-      for (i <- 1 to 2) {
+      for (i <- 1 to reps) {
         System.gc(); Thread.sleep(200)
         val t0 = System.nanoTime()
         consume(fn(spark, dir))

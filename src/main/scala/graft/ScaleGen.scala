@@ -29,13 +29,29 @@ import org.apache.spark.sql.functions._
   *    schema-dispatching `Tables.events` loader either way.
   *
   * Usage: `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`
+  *
+  * A 4th argument `uniquedocs` switches the DOCUMENT replication to
+  * grow UNIQUE content at FIXED replica-group size: every word of a
+  * replica-r>0 document carries the replica tag, so replicas share no
+  * word shingles with their source (cross-replica near-dup groups
+  * don't form) while the SOURCE's planted near-dup structure is
+  * preserved within each replica (both members of a planted pair get
+  * the same per-word tag). Dedup/cluster group sizes therefore stay
+  * the source corpus's as the factor grows — the fixture that
+  * separates OUTPUT-BOUND growth (the default near-dup mode multiplies
+  * each dedup group by `factor`, so emitted pair sets grow
+  * C(factor·g, 2) per group) from SCAN-BOUND growth (this mode: pair
+  * sets grow linearly with the corpus). SCALE.md's dd2/dd3/cc2/cur2
+  * sweep uses both modes to prove the sf10 blow-up is the fixture's
+  * pair-output combinatorics, not the operators' scan path.
   */
 object ScaleGen {
 
   private val KEY_OFFSET = 1000000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val uniqueDocs = args.length > 3 && args(3) == "uniquedocs"
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -98,9 +114,19 @@ object ScaleGen {
     require(factor <= 676, s"replica suffix encoding supports <= 676 replicas, got $factor")
     val repWord = typedLit((0 until factor).map(i =>
       "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar))
-    val suffixed = when(col("rep") === 0, col("text"))
-      .otherwise(concat(col("text"), lit(" xq"),
-        element_at(repWord, (col("rep") + 1).cast("int"))))
+    val repTag = element_at(repWord, (col("rep") + 1).cast("int"))
+    val suffixed =
+      if (uniqueDocs)
+        // fixed-replica-group mode: tag EVERY word, so replica text
+        // shares no shingles with its source (corpus charset [a-z ]
+        // is preserved; within-replica planted near-dups stay near-dup
+        // because both members carry the same tag)
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("q"), repTag)), " "))
+      else
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" xq"), repTag))
     write(replicate(Tables.documents(spark, srcDir))
       .withColumn("doc_id", off("doc_id"))
       .withColumn("text", suffixed), "documents")
@@ -115,7 +141,7 @@ object ScaleGen {
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", perturbed), "embeddings")
 
-    println(s"""{"scalegen":"done","out":"$outDir","factor":$factor}""")
+    println(s"""{"scalegen":"done","out":"$outDir","factor":$factor,"uniquedocs":$uniqueDocs}""")
     spark.stop()
   }
 }
