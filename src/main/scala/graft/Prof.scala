@@ -15,7 +15,9 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args(1).split(",").toSeq
-    val explain = args.length > 2 && args(2) == "explain"
+    // both flags parse position-independently from the tail: a
+    // positional args(2) check silently dropped "reps=4 explain"
+    val explain = args.drop(2).contains("explain")
     val reps = args.drop(2).collectFirst {
       case a if a.startsWith("reps=") => math.max(1, a.stripPrefix("reps=").toInt)
     }.getOrElse(2)

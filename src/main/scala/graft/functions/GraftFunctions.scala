@@ -88,9 +88,19 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) != null) return
-    try registerInto(spark, reg)
-    catch { case e: Throwable => registered.remove(reg); throw e }
+    // fast path without the lock — the map is a synchronizedMap, and
+    // a TRUE entry is only ever published AFTER registerInto succeeded
+    if (registered.get(reg) != null) return
+    // registration runs under a lock and the flag publishes after it
+    // completes: a putIfAbsent-then-register would let a concurrent
+    // first caller (e.g. VectorFunctions.dot racing a training thread)
+    // return early and fail with "undefined function double_dot"
+    registered.synchronized {
+      if (registered.get(reg) == null) {
+        registerInto(spark, reg)
+        registered.put(reg, java.lang.Boolean.TRUE)
+      }
+    }
   }
 
   private def registerInto(spark: SparkSession,

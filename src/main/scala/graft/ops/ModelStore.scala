@@ -95,16 +95,39 @@ object ModelStore {
     }.toSeq.toDF("s", "p", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$modelDir/pq_books")
     // training metadata: the sizing confs the trainer read and the
-    // corpus fingerprint (embedding count — parquet-footer cheap to
-    // re-derive at load, even at 100 TB). loadIvfPq refuses a
-    // mismatch; without this the artifact would silently serve under
-    // conditions it was never trained for.
-    val nVecs = Tables.embeddings(spark, corpusDir).count()
+    // corpus fingerprint. Row count alone is too weak — a regenerated
+    // corpus with the same cardinality would serve silently against a
+    // stale quantizer — so the fingerprint also records the vec_id
+    // range and an order-free xxhash64 over a deterministic 1-in-997
+    // sample of (vec_id, embedding). One aggregate scan at save AND at
+    // load: at 100 TB that load-time scan is the price of refusing to
+    // serve a model against a corpus it was never trained on (and it
+    // is a projection of two columns, a fraction of any serve sweep).
+    val fp = corpusFingerprint(spark, corpusDir)
     Seq((confOr(spark, Similarity.TargetCellConf),
         confOr(spark, Similarity.MaxKConf),
-        nVecs, regime, k1, k2))
-      .toDF("target_cell", "max_k", "n_vecs", "regime", "k1", "k2")
+        fp.n, regime, k1, k2, fp.minId, fp.maxId, fp.sampleHash))
+      .toDF("target_cell", "max_k", "n_vecs", "regime", "k1", "k2",
+        "min_id", "max_id", "sample_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/ivf_meta")
+  }
+
+  private case class Fingerprint(n: Long, minId: Long, maxId: Long,
+      sampleHash: Long)
+
+  /** One-pass corpus fingerprint: count + vec_id range + bit_xor of
+    * xxhash64(vec_id, embedding) over the deterministic 1-in-997
+    * sample. bit_xor makes the hash partitioning- and order-free, so
+    * save and load agree however the scan parallelizes. */
+  private def corpusFingerprint(spark: SparkSession,
+      corpusDir: String): Fingerprint = {
+    val r = Tables.embeddings(spark, corpusDir)
+      .agg(count(lit(1)).as("n"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
+        coalesce(bit_xor(when(pmod(col("vec_id"), lit(997)) === 0,
+          xxhash64(col("vec_id"), col("embedding")))), lit(0L)).as("h"))
+      .collect().head
+    Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** Load stored IVF/PQ models and register them for `corpusDir` under
@@ -123,11 +146,24 @@ object ModelStore {
         s"('$curTc', '$curMk') — serving would differ from in-process " +
         "training; set the confs to match, or retrain")
     val nVecs = meta.getAs[Long]("n_vecs")
-    val curN = Tables.embeddings(spark, corpusDir).count()
-    if (nVecs != curN) throw new IllegalStateException(
+    val cur = corpusFingerprint(spark, corpusDir)
+    if (nVecs != cur.n) throw new IllegalStateException(
       s"loadIvfPq: model at $modelDir was trained over a corpus of " +
-        s"$nVecs embeddings but $corpusDir has $curN — this is a " +
+        s"$nVecs embeddings but $corpusDir has ${cur.n} — this is a " +
         "different corpus; point at the training snapshot, or retrain")
+    // the stronger fingerprint legs (vec_id range + sampled content
+    // hash): equal cardinality is NOT equal corpus — a regenerated
+    // corpus must refuse, not serve sim3/sim6/dd7 off a stale quantizer
+    if (meta.schema.fieldNames.contains("sample_hash")) {
+      val (mn, mx, h) = (meta.getAs[Long]("min_id"),
+        meta.getAs[Long]("max_id"), meta.getAs[Long]("sample_hash"))
+      if (mn != cur.minId || mx != cur.maxId || h != cur.sampleHash)
+        throw new IllegalStateException(
+          s"loadIvfPq: corpus at $corpusDir has the trained cardinality " +
+            s"but a different fingerprint (ids [$mn,$mx]→[${cur.minId}," +
+            s"${cur.maxId}], sample hash $h→${cur.sampleHash}) — the " +
+            "content changed; point at the training snapshot, or retrain")
+    }
     meta.getAs[String]("regime") match {
       case "flat" =>
         val centroids = spark.read.parquet(s"$modelDir/ivf_centroids")

@@ -564,7 +564,15 @@ object Similarity {
       case Some(FlatTrained(k, centroids)) =>
         IvfModel(withCellFlat(e, centroids), k)
       case Some(TwoLevelTrained(k1, k2, coarse, mat))
-          if mat.sparkSession eq spark =>
+          // same-CONTEXT, not same-session: foreachBatch hands the
+          // sink a cloned session (sparkSessionForStream), and a
+          // session-identity guard would silently retrain the full
+          // two-level model on the first micro-batch — the exact
+          // offline-train/online-serve split the serving leg exists
+          // to avoid. Cached data + the persisted fine matrix live in
+          // sharedState (per-context), so any session of the training
+          // context can reuse the model.
+          if mat.sparkSession.sparkContext eq spark.sparkContext =>
         IvfModel(assignTwoLevel(e, coarse, mat, k2), k1 * k2,
           Some(IvfFine(k1, k2, mat)))
       case _ =>
@@ -1600,7 +1608,8 @@ object Similarity {
     * sim1's exact corpus scan. */
   private[graft] def sim6TopK(spark: SparkSession, dir: String,
       nq: Int, k: Int): DataFrame =
-    sim6Rank(spark, dir, k, (_, coded) => coded.filter(col("vec_id") < nq))
+    sim6Rank(spark, dir, k, (_, coded) => coded.filter(col("vec_id") < nq),
+      excludeSelf = true)
 
   /** The driver-held top-level centroid matrix of the trained model —
     * flat centroids, or the two-level COARSE matrix — the matrix an
@@ -1625,10 +1634,18 @@ object Similarity {
     * assignment's exact scalar sequence ([[graft.functions.QuantizeUnit]],
     * [[graft.functions.MatrixDots]]) — a query that IS a corpus vector
     * (knn2's contract: qid = vec_id < NQ) therefore gets bit-identical
-    * probe lists and scores to [[sim6TopK]]. A corpus vector never
-    * returns itself (vec_id ≠ qid, the knn2/sim6 rule). */
+    * probe lists and scores to [[sim6TopK]].
+    *
+    * Self-exclusion is an EXPLICIT flag, not inherited: `excludeSelf =
+    * true` is the knn2/sim6 contract (qids ARE corpus vec_ids; a
+    * vector must not vote for itself), but an external serving client
+    * owns its qid space — with the exclusion baked in, a client whose
+    * request id happened to equal a corpus vec_id would silently lose
+    * that corpus vector from its top-k. Callers whose qids are not
+    * corpus ids pass `excludeSelf = false` (the
+    * [[graft.streaming.AnnServeStream]] default). */
   private[graft] def sim6ServeQueries(spark: SparkSession, dir: String,
-      queries: DataFrame, k: Int): DataFrame =
+      queries: DataFrame, k: Int, excludeSelf: Boolean): DataFrame =
     sim6Rank(spark, dir, k, (_, _) => {
       val cents = typedLit(topMatrix(spark, dir).map(_.map(_.toDouble)).toSeq)
       queries
@@ -1636,7 +1653,7 @@ object Similarity {
         .withColumn("nrm", norm2(col("v")))
         .withColumn("qx", call_function("quantize_unit", col("v"), lit(IVF_Q)))
         .withColumn("dots", call_function("matrix_dots", col("qx"), cents))
-    })
+    }, excludeSelf)
 
   /** The shared IVF-PQ ranking body: `querySide` supplies the query
     * relation — (vec_id, v, nrm, qx, dots) — either filtered out of
@@ -1644,7 +1661,8 @@ object Similarity {
     * vectors ([[sim6ServeQueries]]); everything downstream (probe
     * selection, ADC shortlist, exact rerank) is one code path. */
   private def sim6Rank(spark: SparkSession, dir: String, k: Int,
-      querySide: (IvfModel, DataFrame) => DataFrame): DataFrame = {
+      querySide: (IvfModel, DataFrame) => DataFrame,
+      excludeSelf: Boolean): DataFrame = {
     val model = ivfAssigned(spark, dir)
     // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
     // partition (extra columns ride through pqModelOn untouched)
@@ -1666,9 +1684,12 @@ object Similarity {
     val ip = (0 until PQ_S).map(s =>
       element_at(col(s"tbl$s"), (col(s"cell$s") + 1).cast("int"))).reduce(_ + _)
     val wIp = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id"))
+    val joinCond =
+      if (excludeSelf) col("cell") === col("probe") && col("vec_id") =!= col("qid")
+      else col("cell") === col("probe")
     val shortlist = coded
       .select(col("vec_id") +: col("cell") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
-      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .join(broadcast(q), joinCond)
       .withColumn("ip", ip.cast("long"))
       .withColumn("arank", row_number().over(wIp))
       .filter(col("arank") <= sim6Rerank(k))

@@ -48,17 +48,26 @@ object AnnServeStream {
     * the sink is idempotent by batch id, the standard foreachBatch
     * contract). The model for `corpusDir` must already be registered
     * in the serving session (ModelStore.loadIvfPq, or in-process
-    * training on first use). */
+    * training on first use).
+    *
+    * `excludeSelf`: an external serving client owns its qid space, so
+    * by DEFAULT a qid that happens to equal a corpus vec_id does NOT
+    * suppress that corpus vector from the client's top-k. Pass
+    * `excludeSelf = true` only when qids ARE corpus vec_ids and
+    * reflexive hits are unwanted — the knn2/sim6 batch contract
+    * (AnnServeSpec serves corpus vectors under that flag to pin
+    * bit-equality with batch sim6TopK). */
   def serve(queries: DataFrame, corpusDir: String, k: Int,
-      checkpointDir: String)(sink: (Long, DataFrame) => Unit): StreamingQuery =
+      checkpointDir: String, excludeSelf: Boolean = false)
+      (sink: (Long, DataFrame) => Unit): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // empty triggers happen (timer/startup batches): serving them
         // would still train-on-miss in a cold session — skip
         if (!batch.isEmpty) {
-          sink(batchId,
-            Similarity.sim6ServeQueries(batch.sparkSession, corpusDir, batch, k))
+          sink(batchId, Similarity.sim6ServeQueries(
+            batch.sparkSession, corpusDir, batch, k, excludeSelf))
         }
       }
       .start()
@@ -68,8 +77,9 @@ object AnnServeStream {
     * overwritten on re-serve after a restart, so replays cannot
     * duplicate). */
   def serveToParquet(queries: DataFrame, corpusDir: String, k: Int,
-      checkpointDir: String, outDir: String): StreamingQuery =
-    serve(queries, corpusDir, k, checkpointDir) { (batchId, hits) =>
+      checkpointDir: String, outDir: String,
+      excludeSelf: Boolean = false): StreamingQuery =
+    serve(queries, corpusDir, k, checkpointDir, excludeSelf) { (batchId, hits) =>
       hits.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     }
 }

@@ -48,7 +48,7 @@ class AnnServeSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt_").toString
     val q = AnnServeStream.serve(
       input.toDF().withColumnRenamed("_1", "qid").withColumnRenamed("_2", "v"),
-      sf, 5, ckpt) { (_, hits) =>
+      sf, 5, ckpt, excludeSelf = true) { (_, hits) =>
       served.synchronized { served ++= hitSet(hits.collect().toIndexedSeq); () }
     }
     try {
@@ -101,7 +101,7 @@ class AnnServeSpec extends AnyFunSuite {
         .schema("qid LONG, v ARRAY<DOUBLE>")
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir.getAbsolutePath + "/*"),
-      sf, 5, ckptDir, outDir)
+      sf, 5, ckptDir, outDir, excludeSelf = true)
 
     writeBatch("b0", a)
     val q1 = start()
@@ -122,5 +122,87 @@ class AnnServeSpec extends AnyFunSuite {
     val perQid = out.groupBy("qid").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perQid.values.forall(_ == 5), s"per-qid list sizes: $perQid")
+  }
+
+  test("TWO-LEVEL model loaded from the store serves in-stream without retraining") {
+    // foreachBatch hands the sink a CLONED session
+    // (sparkSessionForStream): a session-identity guard on the cached
+    // fine matrix would silently re-run the full coarse Lloyd + fine
+    // refinement inside the first micro-batch — in the regime that is
+    // the only one at 100 TB. This pins both the reuse (job count) and
+    // the results under the forced two-level sizing confs.
+    val lowCaps = Seq(Similarity.TargetCellConf -> "4",
+      Similarity.MaxKConf -> "4")
+    val saved = lowCaps.map { case (k, _) => k -> spark.conf.getOption(k) }
+    lowCaps.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val store = java.nio.file.Files.createTempDirectory("graft_ann2l_store_").toString
+      Similarity.resetModelRegistry()
+      ModelStore.saveIvfPq(spark, sf, store)
+      val batchLists = hitSet(Similarity.sim6IvfPqTopK(spark, sf).collect().toIndexedSeq)
+      assert(Similarity.ivfAssigned(spark, sf).fine.isDefined,
+        "two-level did not engage under the forced confs")
+      Similarity.resetModelRegistry()
+      ModelStore.loadIvfPq(spark, sf, store)
+
+      val input = MemoryStream[(Long, Seq[Double])](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Double])]], spark)
+      val served = scala.collection.mutable.ArrayBuffer.empty[Hit]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ann2l_ckpt_").toString
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      val q = AnnServeStream.serve(
+        input.toDF().withColumnRenamed("_1", "qid").withColumnRenamed("_2", "v"),
+        sf, 5, ckpt, excludeSelf = true) { (_, hits) =>
+        served.synchronized { served ++= hitSet(hits.collect().toIndexedSeq); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        input.addData(queryVecs(10))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      assert(served.synchronized(served.toSet) == batchLists,
+        "two-level in-stream serve drifted from batch")
+      // served-from-store two-level search is ~10 jobs (+ a couple of
+      // micro-batch bookkeeping jobs); an in-stream retrain re-runs
+      // the coarse Lloyd loop + fine refinement (~30 jobs cold, see
+      // ModelStoreSpec) on top — the ceiling distinguishes cleanly
+      assert(jobs.get() <= 20,
+        s"in-stream two-level serve ran ${jobs.get()} jobs — retraining leaked into the micro-batch")
+      Similarity.resetModelRegistry()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("external qid colliding with a corpus vec_id keeps that corpus vector (excludeSelf=false)") {
+    // an external client's request id is NOT a corpus id: a query
+    // whose qid collides with corpus vec_id j, sent with j's own
+    // vector, must still see j at rank 1 (cos = 1) rather than
+    // silently losing it to the knn2-contract self-exclusion
+    val j = 3L
+    val v = Tables.embeddings(spark, sf).filter(col("vec_id") === j)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head()
+    val hits = graft.ops.Similarity.sim6ServeQueries(
+      spark, sf, Seq((j, v)).toDF("qid", "v"), 5, excludeSelf = false)
+      .orderBy(col("rank")).collect()
+    assert(hits.head.getLong(1) == j && hits.head.getDouble(2) >= 0.999999,
+      s"rank-1 must be the colliding corpus vector itself: ${hits.toSeq}")
+    // and under the knn2 contract the same call drops it
+    val excl = graft.ops.Similarity.sim6ServeQueries(
+      spark, sf, Seq((j, v)).toDF("qid", "v"), 5, excludeSelf = true)
+      .collect()
+    assert(!excl.exists(_.getLong(1) == j),
+      s"excludeSelf=true must suppress vec_id == qid: ${excl.toSeq}")
   }
 }

@@ -153,4 +153,26 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different corpus"), e.getMessage)
     Similarity.resetModelRegistry()
   }
+
+  test("loadIvfPq refuses a same-count corpus whose content changed") {
+    import org.apache.spark.sql.functions._
+    val store = Files.createTempDirectory("graft_models_").toString
+    Similarity.resetModelRegistry()
+    ModelStore.saveIvfPq(spark, sf, store)
+    // same cardinality, same vec_id range — only the CONTENT of a
+    // sampled row differs (vec_id 0 is in the 1-in-997 sample): the
+    // count-only fingerprint served this silently; the sampled hash
+    // must refuse
+    val other = Files.createTempDirectory("graft_regen_corpus_").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id") === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$other/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      ModelStore.loadIvfPq(spark, other, store)
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    Similarity.resetModelRegistry()
+  }
 }
