@@ -64,8 +64,16 @@ object Model {
     val max = df.sparkSession.conf.getOption(MaxEntriesConf)
       .map(_.toLong).getOrElse(DefaultMaxEntries)
     max > 0 && {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      synchronized { live += df }
+      // storageLevel does a semantic CacheManager lookup: back-to-back
+      // reps of the same query (Bench's warm medians run with no
+      // release between reps, by design — the later reps measure the
+      // serve path) rebuild a semantically-equal plan, and re-persisting
+      // it only logs "Asked to cache already cached data" and would
+      // double-register the same cache entry for release
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized { live += df }
+      }
       df.count() <= max
     }
   }

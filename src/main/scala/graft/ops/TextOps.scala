@@ -478,15 +478,21 @@ object TextOps {
     * bounded-broadcast class of ta6's top-16, NOT the corpus-derived
     * class tok1/lm1 must avoid). Reassembly is the tok1 groupBy. */
   def tok2CappedEncode(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val t = docs(spark, dir).withColumn("w", words)
-    val vocab = t.select(explode(col("w")).as("wd"))
+    // ids are assigned on the COLLECTED capped vocabulary — ≤CAP rows
+    // of driver-held model state (the tok1 offset-table precedent).
+    // The previous bounded-but-global row_number() window still made
+    // WindowExec print its single-partition warning on every run,
+    // burying real warnings in bench tails; driver-side enumeration of
+    // a constant-bounded model table is warning-free and plan-free.
+    val top = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("wd")).limit(TOK2_CAP)
-      // window over ≤CAP rows post-limit — bounded model state
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("wd"))).cast("long"))
-      .select(col("wd"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (wd, cnt) => (-cnt, wd) }
+    val vocab = top.zipWithIndex
+      .map { case ((wd, _), i) => (wd, i + 1L) }.toSeq.toDF("wd", "id")
     t.select(col("doc_id"), posexplode(col("w"))).withColumnRenamed("col", "wd")
       .join(broadcast(vocab), Seq("wd"), "left")
       .withColumn("id", coalesce(col("id"), lit(0L)))
@@ -620,8 +626,14 @@ object TextOps {
     bpeRegistry.synchronized {
       val prev = bpeRegistry.put(dir, model)
       // drop a superseded model's cached table (session-matched: a
-      // dead session's unpersist throws and the try absorbs it)
-      if (prev != null && (prev ne model)) {
+      // dead session's unpersist throws and the try absorbs it) —
+      // UNLESS the new model's table is the same semantic plan
+      // (tok3's explicit retrain rebuilds the identical deterministic
+      // table): unpersisting prev would evict the shared cache entry
+      // out from under the model just registered
+      if (prev != null && (prev ne model) &&
+          !prev.subs.queryExecution.analyzed.sameResult(
+            model.subs.queryExecution.analyzed)) {
         try prev.subs.unpersist(false) catch { case _: Throwable => () }
       }
     }
@@ -630,7 +642,12 @@ object TextOps {
     val (merges, wt, anchored) = trainLoop(spark, dir)
     val subs = wt
       .select(col("wd"), size(col("syms")).cast("long").as("n_sub"))
-      .persist()
+    // an explicit tok3 retrain rebuilds the same deterministic plan the
+    // registry already holds cached — storageLevel's semantic lookup
+    // skips the re-persist (which would only WARN and double-register)
+    if (subs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      subs.persist(); ()
+    }
     val nSubs = subs.count()
     anchored.unpersist()
     val model = BpeModel(dir, merges, subs, nSubs)
