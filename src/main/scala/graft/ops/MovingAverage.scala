@@ -49,45 +49,125 @@ object MovingAverage {
     * aggregate is the faithful reading; round 2 used a per-user global
     * min, which also cost a second scan of the fact table).
     *
-    * Single-scan shape: the A7 `type` column is a string aggregate —
-    * a string in the agg buffer would demote the hot windowed
-    * aggregation to SortAggregate (no hash agg, no codegen). So the
-    * aggregation is TWO-PHASE over one scan: phase 1 groups by
-    * (window, user_id, event_type) — the string rides as a GROUPING KEY
-    * (UnsafeRow keys take strings; buffers stay all-numeric, the
-    * HashAggregate survives); phase 2 merges the per-type partials per
-    * (window, user_id) — min(event_type) IS a string buffer there, but
-    * phase 2's input is output-sized (windows × users × ≤5 types), so
-    * its SortAggregate touches ~0.1% of the rows phase 1 consumed. At
-    * 100 TB the fact table is read once and both exchanges carry
-    * aggregate rows, not events. */
+    * PANE-BASED two-phase shape (stream slicing — the w2 plan,
+    * upgraded to carry w1's full buffer set): phase 1 aggregates
+    * events into NON-OVERLAPPING 6-hour panes keyed by (pane,
+    * user_id); phase 2 explodes each PANE into the 4 hopping windows
+    * containing it and merges field-wise — the A9 additive
+    * partial→final protocol the reference itself defines for V3
+    * (`ma_agg.py:284-300`; `154-155` is the same window arithmetic).
+    * Critically, NO window expansion touches an event: the naive
+    * `window(ts, 24h, 6h)` groupBy copies every event into its 4
+    * overlapping windows BEFORE the map-side partial aggregate —
+    * 4× the scan-side hash work and 4× the first exchange's payload
+    * on the engine's single hottest query.
+    *
+    * The A7 `type` column (min(event_type) over window members) is
+    * the one non-additive-looking buffer, and a string agg buffer
+    * would demote every aggregate it touches to SortAggregate — at
+    * event volume, two corpus-sized SORTS (measured 2-3× slower than
+    * the naive plan at sf10, where the r9 string-keyed two-phase
+    * formulation held 19.5 s). So event_type goes through a
+    * DRIVER-HELD CATEGORICAL DICTIONARY: the distinct types (a
+    * CATEGORICAL column — the reference's real_or_filled has exactly
+    * two values, `ma_agg.py:60-61`; this corpus has 5) collect sorted
+    * to the driver (bounded model state, the tok2-vocab precedent),
+    * min aggregates the integer code, and the final projection
+    * decodes via element_at on the literal array. Every buffer in
+    * BOTH phases is then numeric ⇒ HashAggregate end-to-end, zero
+    * sorts, and the per-type key expansion disappears (the merge key
+    * space halves: (ws,user), not (ws,user,type)). A corpus whose
+    * type cardinality exceeds the cap falls back to riding the string
+    * as a grouping key ([[w1PanesStringKeyed]]) — same results,
+    * SortAggregate merge.
+    *
+    * At 100 TB: one fact scan (plus the one-column distinct for the
+    * dictionary — dictionary-encoded parquet, a metadata-ish read),
+    * first exchange carries PANE aggregates, second carries merged
+    * windows, both hash-combined map-side. The exactly-5 gate filters
+    * after the merge, same as the reference fires only complete
+    * windows. */
   def w1SlidingSma(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
+    val dict = e.select(col("event_type")).filter(col("event_type").isNotNull)
+      .distinct().limit(W1_TYPE_DICT_CAP + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (dict.length > W1_TYPE_DICT_CAP) w1PanesStringKeyed(e)
+    else {
+      val merged = w1Panes(
+        e.withColumn("tc", array_position(typedLit(dict), col("event_type"))))
+        .groupBy(col("ws"), col("user_id"))
+        .agg(
+          sum(col("s_cents")).as("s_cents"),
+          sum(col("cv")).as("count_of_value"),
+          sum(col("p_real")).as("real_count"),
+          sum(col("p_filled")).as("filled_count"),
+          min(col("min_ts")).as("min_ts"),
+          max(col("max_ts")).as("max_ts"),
+          sum(col("cnt")).as("window_data_count"),
+          min(col("tc_min")).as("tc"))
+      w1Finish(merged.withColumn("type",
+        element_at(typedLit(dict), col("tc").cast("int"))))
+    }
+  }
+
+  /** pane cardinality cap for the categorical-dictionary plan — far
+    * above any real event-type vocabulary, small enough that the
+    * decode literal and the when-free array_position stay trivial */
+  private val W1_TYPE_DICT_CAP = 64
+
+  /** Phase 1 + the pane→window explode, shared by both w1 plans: 6h
+    * pane partials per (pane, user_id [, event_type in the fallback]),
+    * each pane copied to the 4 24h/6h hopping windows containing it —
+    * the same 6h-aligned grid `window(ts, 24h, 6h)` generates. Expects
+    * an optional integer `tc` column (dictionary code; the fallback
+    * passes none and keys the string instead). */
+  private def w1Panes(e: DataFrame): DataFrame = {
+    val hasTc = e.columns.contains("tc")
+    val extraKey = if (hasTc) Nil else Seq(col("event_type"))
     // sums aggregate as exact integer cents and the mean truncates in
     // scaled-integer space (Exact.*) — bit-stable across engines at any
     // SF, where float sums + round() are not
-    val perType = e
-      .groupBy(window(col("ts"), "24 hours", "6 hours"), col("user_id"), col("event_type"))
-      .agg(
-        coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("s_cents"),
-        count(when(col("k") =!= 0, lit(1))).as("cv"),
-        min(col("ts")).as("min_ts"),
-        max(col("ts")).as("max_ts"),
-        count(lit(1)).as("cnt"))
-    perType
-      .groupBy(col("window"), col("user_id"))
+    val aggs = Seq(
+      coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("s_cents"),
+      count(when(col("k") =!= 0, lit(1))).as("cv"),
+      count(when(col("event_type") === "purchase", lit(1))).as("p_real"),
+      count(when(col("event_type") =!= "purchase", lit(1))).as("p_filled"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"),
+      count(lit(1)).as("cnt")) ++
+      (if (hasTc) Seq(min(col("tc")).as("tc_min")) else Nil)
+    e.groupBy(window(col("ts"), "6 hours").as("pane") +: col("user_id") +: extraKey: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("*"),
+        explode(expr(
+          "transform(sequence(0, 3), i -> pane.start - i * INTERVAL 6 HOUR)")).as("ws"))
+      .drop("pane")
+  }
+
+  /** the >cap-cardinality fallback: event_type rides as a pane
+    * GROUPING KEY (UnsafeRow keys take strings; buffers stay numeric,
+    * phase 1 stays a HashAggregate) and the merge pays a
+    * SortAggregate for the min(event_type) string buffer */
+  private[graft] def w1PanesStringKeyed(e: DataFrame): DataFrame =
+    w1Finish(w1Panes(e)
+      .groupBy(col("ws"), col("user_id"))
       .agg(
         sum(col("s_cents")).as("s_cents"),
         sum(col("cv")).as("count_of_value"),
-        coalesce(sum(when(col("event_type") === "purchase", col("cnt"))), lit(0L)).as("real_count"),
-        coalesce(sum(when(col("event_type") =!= "purchase", col("cnt"))), lit(0L)).as("filled_count"),
+        sum(col("p_real")).as("real_count"),
+        sum(col("p_filled")).as("filled_count"),
         min(col("min_ts")).as("min_ts"),
         max(col("max_ts")).as("max_ts"),
         sum(col("cnt")).as("window_data_count"),
-        min(col("event_type")).as("type"))
+        min(col("event_type")).as("type")))
+
+  /** the exactly-5 gate + output projection, shared by both plans */
+  private def w1Finish(merged: DataFrame): DataFrame =
+    merged
       .filter(col("window_data_count") === 5)
       .select(
-        date_format(col("window.start"), SEC).as("window_start"),
+        date_format(col("ws"), SEC).as("window_start"),
         col("user_id"),
         lit("5_MA_data").as("ma_type"),
         col("type"),
@@ -97,7 +177,6 @@ object MovingAverage {
         col("count_of_value"),
         Exact.centsMean(col("s_cents"), col("count_of_value")).as("sma_value"),
         col("window_data_count"), col("real_count"), col("filled_count"))
-  }
 
   private val w1Oracle: String =
     s"""WITH ex AS (
