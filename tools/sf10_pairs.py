@@ -12,11 +12,20 @@ see SCALE.md round-8/9 notes). Protocol:
         warm_isolated:      {query: median-of-3 isolated warm}
         cold_isolated:      {query: isolated fresh-JVM cold}
         warm_isolated_reps: 3
-     and FAILS (exit 1) if any isolated median warm > 1.5x isolated cold
+     and makes the `warm` column AUTHORITATIVE: where an isolated
+     median exists it REPLACES the in-sweep value (the displaced
+     number moves to warm_insweep_superseded, and the query is listed
+     in superseded_by_isolated), and warm_total is recomputed over the
+     final column — a machine reader summing `warm` can no longer
+     price a query 3x off its adjudicated cost (r9: cur2 84 s in-sweep
+     vs 27 s isolated, pure alphabetical GC bleed after cc2).
+     FAILS (exit 1) if any isolated median warm > 1.5x isolated cold
      (the adjudication bar the in-sweep column could not hold).
 
 Usage: sf10_pairs.py <artifact.json> <prof_log_dir>
   prof_log_dir holds one <query>.log per probed query (Prof stdout).
+  Idempotent: re-running re-supersedes from the preserved in-sweep
+  values, so an updated pair log simply re-prices its query.
 """
 import json
 import re
@@ -42,7 +51,7 @@ def parse_prof(path: Path):
 def main():
     artifact_path, log_dir = sys.argv[1], Path(sys.argv[2])
     art = json.loads(Path(artifact_path).read_text())
-    cold_iso, warm_iso, reps = {}, {}, set()
+    cold_iso, warm_iso = {}, {}
     for log in sorted(log_dir.glob("*.log")):
         for name, (cold, warm) in parse_prof(log).items():
             cold_iso[name] = cold
@@ -51,6 +60,19 @@ def main():
     art["cold_isolated"] = cold_iso
     art["warm_isolated"] = warm_iso
     art["warm_isolated_reps"] = 3
+    # authoritative warm column: isolated medians displace in-sweep
+    # values (idempotent — the original in-sweep number is preserved in
+    # warm_insweep_superseded and re-read on a second run)
+    superseded = art.get("warm_insweep_superseded", {})
+    warm = art.get("warm", {})
+    for q, w in warm_iso.items():
+        if q in warm:
+            superseded.setdefault(q, warm[q])
+            warm[q] = w
+    art["warm"] = warm
+    art["warm_insweep_superseded"] = superseded
+    art["superseded_by_isolated"] = sorted(superseded)
+    art["warm_total"] = sum(warm.values())
     Path(artifact_path).write_text(json.dumps(art) + "\n")
     bad = {q: (cold_iso[q], w) for q, w in warm_iso.items()
            if w > 1.5 * cold_iso[q]}
@@ -59,7 +81,9 @@ def main():
     ok = {q: (cold_iso[q], w) for q, w in warm_iso.items() if q not in bad}
     for q, (c, w) in sorted(ok.items()):
         print(f"ok {q}: cold {c:.1f} / warm median {w:.2f}")
-    print(f"merged {len(warm_iso)} isolated pairs into {artifact_path}")
+    print(f"merged {len(warm_iso)} isolated pairs into {artifact_path} "
+          f"({len(superseded)} in-sweep warm values superseded; "
+          f"warm_total recomputed = {art['warm_total']:.1f})")
     sys.exit(1 if bad else 0)
 
 
