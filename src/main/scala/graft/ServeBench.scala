@@ -12,9 +12,19 @@ import graft.ops.ModelStore
   * queries' train-in-query sweep numbers is the amortization a
   * 1000-session serving fleet banks per session at 100 TB.
   *
+  * The `append` leg measures INCREMENTAL INDEX MAINTENANCE
+  * ([[graft.ops.ModelStore.loadIvfPqDelta]]): `grow` writes a corpus
+  * with a deterministic appended tail (default +10%, ids past the
+  * trained range, the ScaleGen perturbation recipe), and `append` —
+  * again a fresh JVM — delta-loads the BASE-trained model against the
+  * grown corpus and serves the dense tier over it: the cost of serving
+  * corpus growth WITHOUT the retrain the strict gate would force.
+  *
   * Usage:
   *   runMain graft.ServeBench <sfDir> <modelDir> train
   *   runMain graft.ServeBench <sfDir> <modelDir> serve [q1,q2,...]
+  *   runMain graft.ServeBench <baseDir> <grownDir> grow [frac]
+  *   runMain graft.ServeBench <grownDir> <modelDir> append [q1,q2,...]
   * Output: one `[servebench]` line per step/query with seconds, plus a
   * final JSON line for the artifact. */
 object ServeBench {
@@ -28,7 +38,12 @@ object ServeBench {
   def main(args: Array[String]): Unit = {
     val (dir, modelDir, mode) = (args(0), args(1), args(2))
     val names =
-      if (args.length > 3) args(3).split(",").toSeq
+      if (args.length > 3 && mode != "grow") args(3).split(",").toSeq
+      else if (mode == "append")
+        // the embedding-only dense tier (the grown dir carries
+        // embeddings + a pass-through documents copy; BPE has no
+        // delta story — a document append retrains the tokenizer)
+        Seq("sim6_ivfpq", "knn2_label_knn_ivfpq", "dd7_semantic_dedup")
       else Seq("sim6_ivfpq", "knn2_label_knn_ivfpq", "ir3_hybrid_rrf_ivfpq",
         "tok4_bpe_encode", "dd7_semantic_dedup")
     val spark = SparkSession.builder()
@@ -65,7 +80,42 @@ object ServeBench {
           time(n) { consume(SparkEntry.queries(n)(spark, dir)) }
           graft.ops.Model.release()
         }
-      case other => sys.error(s"unknown mode '$other' (train|serve)")
+      case "grow" =>
+        // write <grownDir> (= the modelDir arg slot): base embeddings
+        // plus a deterministic +frac appended tail with ids past the
+        // trained range (the ScaleGen perturbation recipe, rep=1), and
+        // a pass-through documents copy so mixed queries still read
+        import org.apache.spark.sql.functions._
+        val frac = if (args.length > 3) args(3).toDouble else 0.10
+        val emb = Tables.embeddings(spark, dir)
+        val Array(n, maxId) = emb
+          .agg(count(lit(1)), max(col("vec_id"))).collect()
+          .head.toSeq.map(_.asInstanceOf[Long].longValue).toArray
+        val nApp = math.max(1L, (n * frac).toLong)
+        val appended = emb.filter(col("vec_id") < nApp)
+          .withColumn("vec_id", col("vec_id") + lit(maxId + 1L))
+          .withColumn("embedding", zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x + (pmod(col("vec_id") * 31 + i * 7 + 13, lit(17)) - 8)
+              .cast("float") * lit(0.002f)).cast("float")))
+        time("grow_embeddings") {
+          emb.unionByName(appended).repartition(32)
+            .write.mode("overwrite").parquet(s"$modelDir/embeddings.parquet")
+        }
+        time("copy_documents") {
+          spark.read.parquet(s"$dir/documents.parquet")
+            .write.mode("overwrite").parquet(s"$modelDir/documents.parquet")
+        }
+        println(s"""{"servebench_grow":"done","base":"$dir","grown":"$modelDir","appended":$nApp}""")
+      case "append" =>
+        // the incremental-maintenance leg: dir is the GROWN corpus,
+        // the model was trained on the base — delta load, then serve
+        time("load_ivfpq_delta") { ModelStore.loadIvfPqDelta(spark, dir, modelDir) }
+        for (n <- names) {
+          time(n) { consume(SparkEntry.queries(n)(spark, dir)) }
+          graft.ops.Model.release()
+        }
+      case other => sys.error(s"unknown mode '$other' (train|serve|grow|append)")
     }
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

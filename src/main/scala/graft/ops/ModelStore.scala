@@ -130,6 +130,15 @@ object ModelStore {
     Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** The allowed corpus-growth fraction for [[loadIvfPqDelta]] before
+    * a full retrain is forced — the staleness bound: centroids and
+    * codebooks trained on N vectors keep serving appended vectors well
+    * while the append is a small fraction of N (the quantizer's cell
+    * geometry is a property of the distribution, not the rows), but an
+    * index serving 2× its training corpus is a different index. */
+  val MaxStaleGrowthConf = "graft.ivf.maxStaleGrowth"
+  private val DefaultMaxStaleGrowth = 0.25
+
   /** Load stored IVF/PQ models and register them for `corpusDir` under
     * the current confs. Fails loudly when the serving session's sizing
     * confs or the corpus fingerprint differ from training — serving a
@@ -137,20 +146,14 @@ object ModelStore {
     * sim3/sim6/dd7 results vs in-process training. */
   def loadIvfPq(spark: SparkSession, corpusDir: String, modelDir: String): Unit = {
     val meta = spark.read.parquet(s"$modelDir/ivf_meta").collect().head
-    val (tc, mk) = (meta.getAs[String]("target_cell"), meta.getAs[String]("max_k"))
-    val (curTc, curMk) = (confOr(spark, Similarity.TargetCellConf),
-      confOr(spark, Similarity.MaxKConf))
-    if (tc != curTc || mk != curMk) throw new IllegalStateException(
-      s"loadIvfPq: model at $modelDir was trained under sizing confs " +
-        s"(targetCell='$tc', maxK='$mk') but the serving session has " +
-        s"('$curTc', '$curMk') — serving would differ from in-process " +
-        "training; set the confs to match, or retrain")
+    checkConfs(spark, modelDir, meta, "loadIvfPq")
     val nVecs = meta.getAs[Long]("n_vecs")
     val cur = corpusFingerprint(spark, corpusDir)
     if (nVecs != cur.n) throw new IllegalStateException(
       s"loadIvfPq: model at $modelDir was trained over a corpus of " +
         s"$nVecs embeddings but $corpusDir has ${cur.n} — this is a " +
-        "different corpus; point at the training snapshot, or retrain")
+        "different corpus; point at the training snapshot, use " +
+        "loadIvfPqDelta for a bounded append, or retrain")
     // the stronger fingerprint legs (vec_id range + sampled content
     // hash): equal cardinality is NOT equal corpus — a regenerated
     // corpus must refuse, not serve sim3/sim6/dd7 off a stale quantizer
@@ -164,6 +167,99 @@ object ModelStore {
             s"${cur.maxId}], sample hash $h→${cur.sampleHash}) — the " +
             "content changed; point at the training snapshot, or retrain")
     }
+    installIvfPq(spark, corpusDir, modelDir, meta)
+  }
+
+  /** DELTA load: serve a GROWN corpus off the stored model — the
+    * continuous-append reality at 100 TB, where the strict gate's
+    * "retrain" answer is the most expensive job in the system. The
+    * appended vectors need no new machinery: cell assignment and PQ
+    * coding already run over the full corpus at serve time, so new
+    * vectors simply land in existing cells/codes. What delta load adds
+    * is the SAFETY the strict gate provided, rebuilt for appends:
+    *
+    *  - PREFIX CHECK: the current corpus restricted to the trained
+    *    vec_id range must reproduce the training fingerprint exactly
+    *    (count + id range + sampled content hash, one aggregate scan)
+    *    — "grown" means appended-to, never edited-in-place; a mutated
+    *    prefix still refuses.
+    *  - STALENESS BOUND: the append fraction must stay under
+    *    [[MaxStaleGrowthConf]] (default 25%) — past it the stored
+    *    centroids describe a different distribution and the caller is
+    *    told to retrain. The bound is the re-train trigger: a serving
+    *    fleet calls delta load until it trips, then schedules one
+    *    training job.
+    *
+    * Serving off a stale-but-bounded quantizer is APPROXIMATE relative
+    * to a full retrain on the grown corpus — that is the explicit
+    * trade (AnnDeltaSpec pins top-k recall against the retrained index
+    * at a 10% append). Requires a model saved with the fingerprint
+    * legs (legacy metas cannot prove the prefix — refuse). */
+  def loadIvfPqDelta(spark: SparkSession, corpusDir: String,
+      modelDir: String): Unit = {
+    val meta = spark.read.parquet(s"$modelDir/ivf_meta").collect().head
+    checkConfs(spark, modelDir, meta, "loadIvfPqDelta")
+    if (!meta.schema.fieldNames.contains("sample_hash"))
+      throw new IllegalStateException(
+        s"loadIvfPqDelta: model at $modelDir predates the prefix " +
+          "fingerprint — an append cannot be verified; retrain (and " +
+          "re-save) on a current snapshot")
+    val (nVecs, mn, mx, h) = (meta.getAs[Long]("n_vecs"),
+      meta.getAs[Long]("min_id"), meta.getAs[Long]("max_id"),
+      meta.getAs[Long]("sample_hash"))
+    val (prefix, total) = prefixFingerprint(spark, corpusDir, mx)
+    if (prefix.n != nVecs || prefix.minId != mn || prefix.maxId != mx ||
+        prefix.sampleHash != h)
+      throw new IllegalStateException(
+        s"loadIvfPqDelta: corpus at $corpusDir is not an append of the " +
+          s"training snapshot — within trained ids [$mn,$mx] it has " +
+          s"${prefix.n} rows (trained $nVecs), ids [${prefix.minId}," +
+          s"${prefix.maxId}], sample hash ${prefix.sampleHash} (trained " +
+          s"$h); the trained prefix was edited — retrain")
+    val growth = (total - nVecs).toDouble / nVecs
+    val maxGrowth = spark.conf.getOption(MaxStaleGrowthConf)
+      .map(_.toDouble).getOrElse(DefaultMaxStaleGrowth)
+    if (growth > maxGrowth) throw new IllegalStateException(
+      f"loadIvfPqDelta: corpus grew ${growth * 100}%.1f%% past the " +
+        f"staleness bound (${maxGrowth * 100}%.1f%%, $MaxStaleGrowthConf)" +
+        s" — $total vs $nVecs trained; the stored quantizer no longer " +
+        "describes this distribution: retrain")
+    installIvfPq(spark, corpusDir, modelDir, meta)
+  }
+
+  private def checkConfs(spark: SparkSession, modelDir: String,
+      meta: org.apache.spark.sql.Row, who: String): Unit = {
+    val (tc, mk) = (meta.getAs[String]("target_cell"), meta.getAs[String]("max_k"))
+    val (curTc, curMk) = (confOr(spark, Similarity.TargetCellConf),
+      confOr(spark, Similarity.MaxKConf))
+    if (tc != curTc || mk != curMk) throw new IllegalStateException(
+      s"$who: model at $modelDir was trained under sizing confs " +
+        s"(targetCell='$tc', maxK='$mk') but the serving session has " +
+        s"('$curTc', '$curMk') — serving would differ from in-process " +
+        "training; set the confs to match, or retrain")
+  }
+
+  /** one-scan append check: the fingerprint of the corpus restricted
+    * to the trained id range, plus the total row count */
+  private def prefixFingerprint(spark: SparkSession, corpusDir: String,
+      trainedMax: Long): (Fingerprint, Long) = {
+    val in = col("vec_id") <= trainedMax
+    val r = Tables.embeddings(spark, corpusDir)
+      .agg(count(when(in, lit(1))).as("n"),
+        min(when(in, col("vec_id"))).as("min_id"),
+        max(when(in, col("vec_id"))).as("max_id"),
+        coalesce(bit_xor(when(in && pmod(col("vec_id"), lit(997)) === 0,
+          xxhash64(col("vec_id"), col("embedding")))), lit(0L)).as("h"),
+        count(lit(1)).as("total"))
+      .collect().head
+    (Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+      r.getLong(4))
+  }
+
+  /** the shared install tail: register whichever IVF regime the meta
+    * records, then the PQ codebooks, all keyed to `corpusDir` */
+  private def installIvfPq(spark: SparkSession, corpusDir: String,
+      modelDir: String, meta: org.apache.spark.sql.Row): Unit = {
     meta.getAs[String]("regime") match {
       case "flat" =>
         val centroids = spark.read.parquet(s"$modelDir/ivf_centroids")
