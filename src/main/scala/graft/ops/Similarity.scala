@@ -543,6 +543,12 @@ object Similarity {
       ivfCache.clear()
     }
     pqCache.synchronized { pqCache.clear() }
+    servedCorpusCache.synchronized {
+      servedCorpusCache.values().forEach { df =>
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+      servedCorpusCache.clear()
+    }
   }
 
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): IvfModel = {
@@ -1660,15 +1666,60 @@ object Similarity {
     * the coded corpus ([[sim6TopK]]) or derived from external raw
     * vectors ([[sim6ServeQueries]]); everything downstream (probe
     * selection, ADC shortlist, exact rerank) is one code path. */
+  /** The coded-corpus cache for RESIDENT SERVING: the corpus side of
+    * the IVF-PQ ranking (cell-assigned, PQ-coded — [[sim6Rank]]'s
+    * `coded` relation) is STATIC per (corpus, confs), but a batch
+    * query derives it lazily, so a streaming serve loop
+    * ([[graft.streaming.AnnServeStream]]) re-ran the full corpus
+    * coding scan on EVERY micro-batch (measured at sf1: ~4 s/batch of
+    * which the 125-query ranking itself is a fraction).
+    * [[pinServedCorpus]] persists it once per serving session; keyed
+    * like the model registry, context-checked like the two-level fine
+    * matrix (foreachBatch hands sinks a cloned session), evicted with
+    * an unpersist. Derivation is deterministic, so a hit cannot change
+    * any result — only skip the rebuild. */
+  private val servedCorpusCache = lruCache[DataFrame] { df =>
+    try df.unpersist(false) catch { case _: Throwable => () }
+  }
+
+  /** persist + register the coded corpus for a serving session */
+  private[graft] def pinServedCorpus(spark: SparkSession, dir: String): Unit = {
+    val key = ivfCacheKey(spark, dir)
+    val hit = servedCorpusCache.synchronized {
+      Option(servedCorpusCache.get(key))
+    }.exists(_.sparkSession.sparkContext eq spark.sparkContext)
+    if (!hit) {
+      val model = ivfAssigned(spark, dir)
+      val coded = pqModelOn(spark, model.assigned.select(
+        col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
+        col("nrm"), col("dots")), s"$dir|unit")._2
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.count()
+      servedCorpusCache.synchronized {
+        servedCorpusCache.put(key, coded); ()
+      }
+    }
+  }
+
+  /** the serving session's pinned coded corpus, if one is registered
+    * for this (corpus, confs) on this SparkContext */
+  private def pinnedCorpus(spark: SparkSession, dir: String): Option[DataFrame] =
+    servedCorpusCache.synchronized {
+      Option(servedCorpusCache.get(ivfCacheKey(spark, dir)))
+    }.filter(_.sparkSession.sparkContext eq spark.sparkContext)
+
   private def sim6Rank(spark: SparkSession, dir: String, k: Int,
       querySide: (IvfModel, DataFrame) => DataFrame,
       excludeSelf: Boolean): DataFrame = {
     val model = ivfAssigned(spark, dir)
     // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
-    // partition (extra columns ride through pqModelOn untouched)
-    val (books, coded) = pqModelOn(spark, model.assigned.select(
+    // partition (extra columns ride through pqModelOn untouched); a
+    // serving session substitutes its PINNED coded corpus (identical
+    // deterministic derivation — only the rebuild is skipped)
+    val (books, codedFresh) = pqModelOn(spark, model.assigned.select(
       col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
       col("nrm"), col("dots")), s"$dir|unit")
+    val coded = pinnedCorpus(spark, dir).getOrElse(codedFresh)
     // query side: IVF probe list + per-subspace inner-product tables
     val qTbl = (0 until PQ_S).foldLeft(querySide(model, coded)) { (d, s) =>
       d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
@@ -1695,8 +1746,12 @@ object Similarity {
       .filter(col("arank") <= sim6Rerank(k))
       .select(col("qid"), col("vec_id"), col("qv"), col("qnrm"))
     // exact rerank: fetch raw vectors for the shortlist only (the
-    // shortlist broadcasts; the raw store never shuffles)
-    val raw = model.assigned.select(col("vec_id"), col("v"), col("nrm"))
+    // shortlist broadcasts; the raw store never shuffles). A serving
+    // session reads its PINNED corpus (v/nrm ride the coded relation —
+    // no per-batch re-assignment anywhere); a batch session keeps the
+    // leaner assignment scan.
+    val raw = pinnedCorpus(spark, dir).getOrElse(model.assigned)
+      .select(col("vec_id"), col("v"), col("nrm"))
     val scored = raw.join(broadcast(shortlist), "vec_id")
       .withColumn("cos", graft.ops.Exact.floorE6(
         dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))

@@ -59,18 +59,32 @@ object AnnServeStream {
     * bit-equality with batch sim6TopK). */
   def serve(queries: DataFrame, corpusDir: String, k: Int,
       checkpointDir: String, excludeSelf: Boolean = false)
-      (sink: (Long, DataFrame) => Unit): StreamingQuery =
+      (sink: (Long, DataFrame) => Unit): StreamingQuery = {
+    // the corpus side (cell-assigned, PQ-coded) is STATIC for the life
+    // of the serving query — pin it once so micro-batches pay only
+    // their own ranking, not a per-batch corpus coding scan (measured
+    // at sf1: 4.4 s/batch unpinned → the ranking fraction pinned)
+    Similarity.pinServedCorpus(queries.sparkSession, corpusDir)
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // empty triggers happen (timer/startup batches): serving them
-        // would still train-on-miss in a cold session — skip
-        if (!batch.isEmpty) {
-          sink(batchId, Similarity.sim6ServeQueries(
-            batch.sparkSession, corpusDir, batch, k, excludeSelf))
-        }
+        // a foreachBatch DataFrame re-executes its batch plan on EVERY
+        // action — the emptiness check plus the serve ranking would
+        // read the source twice (measured: doubled numInputRows in
+        // StreamBench). The query batch is small by definition (it
+        // broadcasts onto the corpus), so pin it for the batch body.
+        batch.persist()
+        try {
+          // empty triggers happen (timer/startup batches): serving them
+          // would still train-on-miss in a cold session — skip
+          if (!batch.isEmpty) {
+            sink(batchId, Similarity.sim6ServeQueries(
+              batch.sparkSession, corpusDir, batch, k, excludeSelf))
+          }
+        } finally { batch.unpersist(); () }
       }
       .start()
+  }
 
   /** Convenience for sinks that append to a parquet directory — the
     * idempotent-by-batch-id file layout (one subdirectory per batch,
