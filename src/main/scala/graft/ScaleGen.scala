@@ -51,7 +51,9 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
-    val uniqueDocs = args.length > 3 && args(3) == "uniquedocs"
+    val flags = args.drop(3).toSet
+    val uniqueDocs = flags("uniquedocs")
+    val skew = flags("skew")
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -102,9 +104,21 @@ object ScaleGen {
     // the Tables conversion so the written file round-trips through the
     // same schema-dispatching loader)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(replicate(spark.read.parquet(s"$srcDir/events.parquet"))
+    val evReplicated = replicate(spark.read.parquet(s"$srcDir/events.parquet"))
       .withColumn("event_id", off("event_id"))
-      .withColumn("user_id", off("user_id")), "events")
+      .withColumn("user_id", off("user_id"))
+    // skew mode: ONE hot user holds ~20% of all events (every 5th
+    // event_id remaps to source user 1, which keeps its orders) — the
+    // hot-partition fixture for the join family's skew probes. Numbers
+    // from this fixture are PERF-ONLY (remapping changes per-user
+    // results, so the oracle gate doesn't apply); deterministic, so
+    // pairs are reproducible.
+    val evOut =
+      if (skew) evReplicated.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(1L))
+          .otherwise(col("user_id")))
+      else evReplicated
+    write(evOut, "events")
 
     // documents: replica suffix word keeps replicas near-dup, not exact.
     // Base-26 TWO-letter encoding — unique per replica up to 676, where
@@ -141,7 +155,7 @@ object ScaleGen {
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", perturbed), "embeddings")
 
-    println(s"""{"scalegen":"done","out":"$outDir","factor":$factor,"uniquedocs":$uniqueDocs}""")
+    println(s"""{"scalegen":"done","out":"$outDir","factor":$factor,"uniquedocs":$uniqueDocs,"skew":$skew}""")
     spark.stop()
   }
 }

@@ -77,10 +77,33 @@ object Extended {
     * orders-per-key; for unbounded history the union-sort-merge
     * formulation (tag both sides, sort by (key, time), carry last
     * order forward) avoids the expansion — at this cardinality the
-    * join form is cheaper and AQE handles skew. */
+    * join form is cheaper.
+    *
+    * Skew (round 10): "AQE handles skew" was FALSE for this plan —
+    * the (event_id, user_id, ts) grouping's required distribution is
+    * satisfied by the join's user_id partitioning (subset rule), so
+    * Catalyst reuses it, the join output acquires a required
+    * distribution, and OptimizeSkewedJoin refuses to split a hot
+    * user's partition (SkewSpec reproduces the refusal on the
+    * unsalted shape). The fix is a deterministic SALT: events carry
+    * salt = hash(event_id) mod 8 and the order side replicates ×8,
+    * so the join shuffles on (user_id, salt) and a hot user spreads
+    * over 8 tasks by construction — no AQE cooperation needed. Cost:
+    * ONLY the smaller (orders) side's ×8 replication — the salt also
+    * rides the grouping keys (functionally dependent on event_id, so
+    * groups are unchanged), which keeps the aggregate's distribution
+    * satisfied by the join partitioning: no extra exchange vs the
+    * unsalted plan. Isolated sf1 pairs on the ScaleGen skew fixture
+    * (one user = 20% of events): uniform 2.9 s warm (1.4× the
+    * unsalted 2.0 — the replication's price), skew 3.4 s = 1.18× of
+    * uniform; the unsalted plan's hot partition is unbounded. */
+  private val AJ1_SALT = 8
   def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(AJ1_SALT)))
     val o = Tables.orders(spark, dir)
+      .withColumn("o_salt",
+        explode(typedLit((0 until AJ1_SALT).map(_.toLong))))
     // the packing needs o_orderkey ∈ [0, 2^44); out of range would
     // silently corrupt the (date, key) tie-break, so fail LOUDLY
     // instead (advice r2) — the guard folds into the packed key, costs
@@ -92,8 +115,14 @@ object Extended {
         col("o_orderkey").cast("string"))).cast("long"))
     val ordKey = unix_date(col("o_orderdate").cast("date")).cast("long") *
       (1L << 44) + okGuarded
-    e.join(o, e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
-      .groupBy(col("event_id"), col("user_id"), col("ts"))
+    e.join(o, e("user_id") === o("o_custkey") && e("salt") === o("o_salt") &&
+        e("ts") >= o("o_orderdate"))
+      // salt rides the GROUPING keys: it is functionally dependent on
+      // event_id (same groups), and with it the join's (user_id, salt)
+      // partitioning satisfies the aggregate's distribution — the
+      // salted plan pays NO extra exchange over the unsalted one, only
+      // the small side's ×8 replication
+      .groupBy(col("event_id"), col("user_id"), col("ts"), col("salt"))
       .agg(
         max_by(col("o_orderkey"), ordKey).as("o_orderkey"),
         max_by(col("o_totalprice"), ordKey).as("o_totalprice"),
@@ -195,10 +224,10 @@ object Extended {
     *
     * Ranks are computed with the pk1/shf1 two-phase distributed
     * prefix-sum recipe, never a global-order window: union the event
-    * points (+1) with each marker's two query points (s and e), bucket
-    * by the 30-min grid (bucket COUNT is clock-bounded — the pk1
+    * points with each marker's two query points (s and e), bucket by a
+    * sub-window grid (bucket COUNT is clock-bounded — the pk1
     * argument for the driver-held offset table), run ONE
-    * within-bucket running sum ordered (t, isEvent) — query points
+    * within-bucket running sum ordered (t, weight) — query points
     * sort before events at the same instant, which is exactly the
     * strictly-less rank both endpoints need: events AT m.t belong to
     * the window (oracle's >=), events AT m.t + W do not (<) — and add
@@ -206,32 +235,47 @@ object Extended {
     * table. One shuffle on the bucket id; cost is linear in rows at
     * any density, and the marker's own event makes both ranks exist,
     * so no marker is lost. Same oracle as rj1 — identical answers,
-    * different plan class. */
+    * different plan class.
+    *
+    * Skew hardening (round 10): a TIME-hot corpus (a flash burst
+    * putting ~20% of events in one window span) would one-task the
+    * within-bucket window — AQE cannot split a window partition. Two
+    * structural moves keep the plan balanced at any density profile:
+    * (a) event points PRE-AGGREGATE per distinct instant (weight =
+    * count, map-side combinable) so a same-instant burst collapses to
+    * ONE window row, and (b) the prefix-sum grid is a 16× SUB-WINDOW
+    * grid — the construction is grid-agnostic (ranks come from the
+    * cumulative offsets), so a finer grid just spreads a dense span
+    * across 16× more partitions. Offset rows stay clock-bounded
+    * (~25k/month at W/16). */
   def rj2RangeCount(spark: SparkSession, dir: String): DataFrame = {
+    val sub = RJ_WINDOW_US / 16
     val base = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-    val eventPts = base.select(col("t_us"), lit(1L).as("is_event"),
-      lit(0L).as("marker_id"), lit(0).as("side"))
+    // (a) same-instant collapse: one weighted point per distinct t_us
+    val eventPts = base.groupBy(col("t_us")).agg(count(lit(1)).as("w_event"))
+      .select(col("t_us"), col("w_event"),
+        lit(0L).as("marker_id"), lit(0).as("side"))
     val markers = base.filter(col("event_type") === "purchase")
-    val qStart = markers.select(col("t_us"), lit(0L).as("is_event"),
+    val qStart = markers.select(col("t_us"), lit(0L).as("w_event"),
       col("event_id").as("marker_id"), lit(0).as("side"))
     val qEnd = markers.select((col("t_us") + RJ_WINDOW_US).as("t_us"),
-      lit(0L).as("is_event"), col("event_id").as("marker_id"), lit(1).as("side"))
+      lit(0L).as("w_event"), col("event_id").as("marker_id"), lit(1).as("side"))
     val pts = eventPts.union(qStart).union(qEnd)
-      .withColumn("bkt", expr(s"t_us div $RJ_WINDOW_US"))
-    // phase 1: within-bucket running event count; query points order
-    // before events at the same t (is_event ASC), so a query point's
-    // running sum is the strictly-less count inside its bucket. The
-    // (marker_id, side) tail makes the order total; it cannot change
-    // any sum — ties there are all query points, which add 0.
+      .withColumn("bkt", expr(s"t_us div $sub"))
+    // phase 1: within-bucket running event weight; query points order
+    // before events at the same t (w_event ASC: 0 < any count), so a
+    // query point's running sum is the strictly-less count inside its
+    // bucket. The (marker_id, side) tail makes the order total; it
+    // cannot change any sum — ties there are all query points (+0).
     val w = Window.partitionBy(col("bkt"))
-      .orderBy(col("t_us"), col("is_event"), col("marker_id"), col("side"))
-    val ranked = pts.withColumn("run", sum(col("is_event")).over(w))
-      .filter(col("is_event") === 0L)
+      .orderBy(col("t_us"), col("w_event"), col("marker_id"), col("side"))
+    val ranked = pts.withColumn("run", sum(col("w_event")).over(w))
+      .filter(col("w_event") === 0L)
     // phase 2: per-bucket event totals -> driver (clock-bounded rows of
     // model state, the PACK_BUCKETS argument) -> cumulative offsets
     val totals = pts.groupBy(col("bkt"))
-      .agg(sum(col("is_event")).as("n"))
+      .agg(sum(col("w_event")).as("n"))
       .orderBy(col("bkt")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     var acc = 0L
