@@ -82,28 +82,28 @@ object Extended {
     * Skew (round 10): "AQE handles skew" was FALSE for this plan —
     * the (event_id, user_id, ts) grouping's required distribution is
     * satisfied by the join's user_id partitioning (subset rule), so
-    * Catalyst reuses it, the join output acquires a required
-    * distribution, and OptimizeSkewedJoin refuses to split a hot
-    * user's partition (SkewSpec reproduces the refusal on the
-    * unsalted shape). The fix is a deterministic SALT: events carry
-    * salt = hash(event_id) mod 8 and the order side replicates ×8,
-    * so the join shuffles on (user_id, salt) and a hot user spreads
-    * over 8 tasks by construction — no AQE cooperation needed. Cost:
-    * ONLY the smaller (orders) side's ×8 replication — the salt also
-    * rides the grouping keys (functionally dependent on event_id, so
-    * groups are unchanged), which keeps the aggregate's distribution
-    * satisfied by the join partitioning: no extra exchange vs the
-    * unsalted plan. Isolated sf1 pairs on the ScaleGen skew fixture
-    * (one user = 20% of events): uniform 2.9 s warm (1.4× the
-    * unsalted 2.0 — the replication's price), skew 3.4 s = 1.18× of
-    * uniform; the unsalted plan's hot partition is unbounded. */
-  private val AJ1_SALT = 8
+    * Catalyst reused it, the join output acquired a required
+    * distribution, and OptimizeSkewedJoin refuses to split a join
+    * whose output partitioning is required — a hot user's partition
+    * was structurally one-task-bound at ANY scale. Two fixes were
+    * measured: a static salt (events salt = hash(event_id) mod 8,
+    * orders ×8) spreads by construction but taxes the UNIFORM case
+    * with the small side's replication — fine at sf1 (1.4×) but 14×
+    * at sf10, where orders are 15M rows and ×8 of them dominate. The
+    * landed fix is ADAPTIVE: group by `event_id` ALONE (the event
+    * primary key — user_id and ts are constant per event and ride as
+    * min() aggregates), so the aggregate's ClusteredDistribution no
+    * longer contains the join key and the join partitioning cannot
+    * satisfy it. That unpins the join output, and AQE's skew split is
+    * free to act exactly when a partition is actually hot
+    * (replicating only the matching blocks, only then); the uniform
+    * case pays one exchange of map-side-combined partial buffers
+    * (~one per event), on the UNIFORM event_id key. SkewSpec pins the
+    * skew=true split on the real plan under forced-low thresholds,
+    * and the measured pairs live in SCALE.md. */
   def aj1AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(AJ1_SALT)))
     val o = Tables.orders(spark, dir)
-      .withColumn("o_salt",
-        explode(typedLit((0 until AJ1_SALT).map(_.toLong))))
     // the packing needs o_orderkey ∈ [0, 2^44); out of range would
     // silently corrupt the (date, key) tie-break, so fail LOUDLY
     // instead (advice r2) — the guard folds into the packed key, costs
@@ -115,15 +115,16 @@ object Extended {
         col("o_orderkey").cast("string"))).cast("long"))
     val ordKey = unix_date(col("o_orderdate").cast("date")).cast("long") *
       (1L << 44) + okGuarded
-    e.join(o, e("user_id") === o("o_custkey") && e("salt") === o("o_salt") &&
-        e("ts") >= o("o_orderdate"))
-      // salt rides the GROUPING keys: it is functionally dependent on
-      // event_id (same groups), and with it the join's (user_id, salt)
-      // partitioning satisfies the aggregate's distribution — the
-      // salted plan pays NO extra exchange over the unsalted one, only
-      // the small side's ×8 replication
-      .groupBy(col("event_id"), col("user_id"), col("ts"), col("salt"))
+    e.join(o, e("user_id") === o("o_custkey") && e("ts") >= o("o_orderdate"))
+      // event_id ALONE is the grouping key (it is the event PK;
+      // user_id/ts are constant per event and ride as min()) — the
+      // point is that the grouping's distribution must NOT contain
+      // the join key, which unpins the join output for AQE's skew
+      // split (see scaladoc)
+      .groupBy(col("event_id"))
       .agg(
+        min(col("user_id")).as("user_id"),
+        min(col("ts")).as("ts"),
         max_by(col("o_orderkey"), ordKey).as("o_orderkey"),
         max_by(col("o_totalprice"), ordKey).as("o_totalprice"),
         max_by(col("o_orderdate"), ordKey).as("best_date"))

@@ -73,28 +73,32 @@ class SkewSpec extends AnyFunSuite {
     dir
   }
 
-  test("aj1 on a hot-key corpus: the salted join spreads the hot user by construction") {
+  test("aj1 on a hot-key corpus: AQE splits the skewed join partition on the REAL plan") {
     val dir = skewedDir()
     withConfs(Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       // force the shuffle join — at test SF the orders side would
       // broadcast and the skew question would not arise
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      // grouping by event_id ALONE unpins the join output (a grouping
+      // that contains user_id is satisfied by the join partitioning —
+      // partition keys ⊆ grouping keys — and OptimizeSkewedJoin then
+      // REFUSES; reproduced in round 10 before the fix landed): the
+      // hot user's partition must split
       val p = plan(Extended.aj1AsOfJoin(spark, dir))
-      // the join's exchanges carry the SALT next to the key: a hot
-      // user's rows spread over AJ1_SALT partitions structurally.
-      // (AQE skew-split can NOT save the unsalted shape here: the
-      // downstream grouping's required distribution is satisfied by
-      // the join's user_id partitioning, so the join output acquires
-      // a required distribution and OptimizeSkewedJoin refuses —
-      // reproduced before the salt landed.)
-      assert("Exchange hashpartitioning\\(user_id[^)]*salt".r.findAllIn(p).nonEmpty,
-        "events side must shuffle on (user_id, salt):\n" + p)
-      // correctness under the salt: aj2 (the custom as-of exec,
-      // sharing aj1's DuckDB oracle) is the in-engine twin
+      assert(p.contains("skew=true"),
+        "aj1's hot-user join partition must AQE-split:\n" + p)
+      // correctness of the PK-grouped form: aj2 (the custom as-of
+      // exec, sharing aj1's DuckDB oracle) is the in-engine twin
       val a1 = Extended.aj1AsOfJoin(spark, dir).collect().map(_.toString).sorted
       val a2 = Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
       assert(a1.length > 0 && a1.sameElements(a2),
-        s"salted aj1 drifted from aj2: ${a1.length} vs ${a2.length} rows")
+        s"aj1 drifted from aj2: ${a1.length} vs ${a2.length} rows")
     }
   }
 
