@@ -544,8 +544,8 @@ object Similarity {
     }
     pqCache.synchronized { pqCache.clear() }
     servedCorpusCache.synchronized {
-      servedCorpusCache.values().forEach { df =>
-        try df.unpersist(false) catch { case _: Throwable => () }
+      servedCorpusCache.values().forEach { sm =>
+        try sm.coded.unpersist(false) catch { case _: Throwable => () }
       }
       servedCorpusCache.clear()
     }
@@ -1437,10 +1437,13 @@ object Similarity {
     * coding pass, one narrow codegen'd map over (vec_id, qx). */
   private def pqWithCells(books: Array[Array[Array[Long]]],
       df: DataFrame): DataFrame =
-    (0 until PQ_S).foldLeft(df) { (d, s) =>
-      d.withColumn(s"sc$s", pqScoresCol(books, s))
-        .withColumn(s"cell$s", expr(s"array_position(sc$s, array_min(sc$s)) - 1"))
-    }
+    // two withColumns passes (scores, then the argmins that reference
+    // them) instead of a 16-step withColumn chain: same columns, 2
+    // analyzer rounds instead of 16
+    df.withColumns((0 until PQ_S).map(s =>
+        s"sc$s" -> pqScoresCol(books, s)).toMap)
+      .withColumns((0 until PQ_S).map(s =>
+        s"cell$s" -> expr(s"array_position(sc$s, array_min(sc$s)) - 1")).toMap)
 
   /** The PQ trainer on ANY integer-grid corpus: `e` must carry
     * (vec_id, qx: array<long>); extra columns ride through to the coded
@@ -1451,15 +1454,22 @@ object Similarity {
     * so the learned books are cached per `cacheKey` (corpus dir +
     * grid domain; see [[ivfCache]]'s scaladoc for the registry
     * argument) and a hit skips straight to the coding pass. */
-  private def pqModelOn(spark: SparkSession, e: DataFrame, cacheKey: String)
-      : (Array[Array[Array[Long]]], DataFrame) = {
+  /** the trained codebooks alone — the serve pin wants them without
+    * paying the coding-plan derivation [[pqModelOn]] adds */
+  private def pqBooks(spark: SparkSession, e: DataFrame, cacheKey: String)
+      : Array[Array[Array[Long]]] = {
     graft.functions.GraftFunctions.registerAll(spark)
     val cached = pqCache.synchronized { Option(pqCache.get(cacheKey)) }
-    val books = cached.getOrElse {
+    cached.getOrElse {
       val trained = pqTrainOn(e)
       pqCache.synchronized { pqCache.put(cacheKey, trained); () }
       trained
     }
+  }
+
+  private def pqModelOn(spark: SparkSession, e: DataFrame, cacheKey: String)
+      : (Array[Array[Array[Long]]], DataFrame) = {
+    val books = pqBooks(spark, e, cacheKey)
     (books, pqWithCells(books, e))
   }
 
@@ -1653,23 +1663,34 @@ object Similarity {
   private[graft] def sim6ServeQueries(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, excludeSelf: Boolean): DataFrame =
     sim6Rank(spark, dir, k, (_, _) => {
-      val cents = typedLit(topMatrix(spark, dir).map(_.map(_.toDouble)).toSeq)
+      // a serving session reads the pin-time centroid snapshot; batch
+      // callers fall back to the registry (identical values)
+      val cents = typedLit(served(spark, dir).map(_.cents).getOrElse(
+        topMatrix(spark, dir).map(_.map(_.toDouble).toSeq).toSeq))
       queries
         .select(col("qid").cast("long").as("vec_id"), asDouble(col("v")).as("v"))
-        .withColumn("nrm", norm2(col("v")))
-        .withColumn("qx", call_function("quantize_unit", col("v"), lit(IVF_Q)))
+        .withColumns(Map(
+          "nrm" -> norm2(col("v")),
+          "qx" -> call_function("quantize_unit", col("v"), lit(IVF_Q))))
         .withColumn("dots", call_function("matrix_dots", col("qx"), cents))
     }, excludeSelf)
 
-  /** The shared IVF-PQ ranking body: `querySide` supplies the query
-    * relation — (vec_id, v, nrm, qx, dots) — either filtered out of
-    * the coded corpus ([[sim6TopK]]) or derived from external raw
-    * vectors ([[sim6ServeQueries]]); everything downstream (probe
-    * selection, ADC shortlist, exact rerank) is one code path. */
-  /** The coded-corpus cache for RESIDENT SERVING: the corpus side of
-    * the IVF-PQ ranking (cell-assigned, PQ-coded — [[sim6Rank]]'s
-    * `coded` relation) is STATIC per (corpus, confs), but a batch
-    * query derives it lazily, so a streaming serve loop
+  /** Everything the serve path needs per micro-batch, snapshotted at
+    * pin time so a batch pays ZERO model-plan re-derivation: the
+    * persisted coded corpus plus its two pre-analyzed projections (the
+    * ADC scan side `slim`, the rerank side `raw`), the PQ codebooks,
+    * the driver-held top-level centroid matrix, and the IvfModel whose
+    * k/fine drive probe selection. Measured before this existed
+    * (ProfServe, sf1, 125-query batch): ~0.5 s/batch of driver plan
+    * building — ivfAssigned ran twice and the 16-column coding plan
+    * was rebuilt every batch — against ~1 s of actual ranking work. */
+  private[graft] final case class ServedModel(model: IvfModel,
+      coded: DataFrame, slim: DataFrame, raw: DataFrame,
+      books: Array[Array[Array[Long]]], cents: Seq[Seq[Double]])
+
+  /** The registry for RESIDENT SERVING ([[ServedModel]]): the corpus
+    * side of the IVF-PQ ranking is STATIC per (corpus, confs), but a
+    * batch query derives it lazily, so a streaming serve loop
     * ([[graft.streaming.AnnServeStream]]) re-ran the full corpus
     * coding scan on EVERY micro-batch (measured at sf1: ~4 s/batch of
     * which the 125-query ranking itself is a fraction).
@@ -1678,56 +1699,104 @@ object Similarity {
     * matrix (foreachBatch hands sinks a cloned session), evicted with
     * an unpersist. Derivation is deterministic, so a hit cannot change
     * any result — only skip the rebuild. */
-  private val servedCorpusCache = lruCache[DataFrame] { df =>
-    try df.unpersist(false) catch { case _: Throwable => () }
+  private val servedCorpusCache = lruCache[ServedModel] { sm =>
+    try sm.coded.unpersist(false) catch { case _: Throwable => () }
   }
 
-  /** persist + register the coded corpus for a serving session */
-  private[graft] def pinServedCorpus(spark: SparkSession, dir: String): Unit = {
-    val key = ivfCacheKey(spark, dir)
-    val hit = servedCorpusCache.synchronized {
-      Option(servedCorpusCache.get(key))
-    }.exists(_.sparkSession.sparkContext eq spark.sparkContext)
-    if (!hit) {
-      val model = ivfAssigned(spark, dir)
-      val coded = pqModelOn(spark, model.assigned.select(
-        col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
-        col("nrm"), col("dots")), s"$dir|unit")._2
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      coded.count()
-      servedCorpusCache.synchronized {
-        servedCorpusCache.put(key, coded); ()
+  /** persist + register the coded corpus and its serve-time plan
+    * snapshot for a serving session. The whole build runs INSIDE the
+    * cache lock: when the hit test and the put were separate blocks,
+    * two concurrent serve() starts both persisted the corpus and the
+    * second put displaced the first WITHOUT the LRU eviction hook
+    * firing — a leaked MEMORY_AND_DISK corpus copy per race. Serving
+    * sessions pin once, so lock hold time is not a concern; a
+    * displaced entry (re-pin after a context restart) is unpersisted
+    * explicitly. */
+  private[graft] def pinServedCorpus(spark: SparkSession, dir: String): Unit =
+    servedCorpusCache.synchronized {
+      val key = ivfCacheKey(spark, dir)
+      val hit = Option(servedCorpusCache.get(key))
+        .exists(_.coded.sparkSession.sparkContext eq spark.sparkContext)
+      if (!hit) {
+        val model = ivfAssigned(spark, dir)
+        val eSel = model.assigned.select(
+          col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
+          col("nrm"), col("dots"))
+        val books = pqBooks(spark, eSel, s"$dir|unit")
+        val codedPlan = pqWithCells(books, eSel)
+        // serve-time slicing: the parquet-scan partitioning (sized for
+        // batch scans under files.maxPartitionBytes) is the wrong
+        // granularity for a resident corpus that is re-scanned every
+        // micro-batch — at sf1 it left 600-row cached partitions whose
+        // per-task scheduling cost dwarfed the ADC work. Target a row
+        // density where task launch is amortized (~8k coded rows per
+        // slice, capped at the core count); `graft.serve.slices`
+        // overrides for corpora whose row width is unusual.
+        val n0 = codedPlan.count()
+        val slices = spark.conf.getOption("graft.serve.slices")
+          .map(_.toInt).filter(_ > 0).getOrElse {
+            val byRows = math.ceil(n0 / 8192.0).toInt
+            math.min(math.max(byRows, 1),
+              spark.sparkContext.defaultParallelism)
+          }
+        val coded = codedPlan.coalesce(slices)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        coded.count()
+        val slim = coded.select(col("vec_id") +: col("cell") +:
+          (0 until PQ_S).map(s => col(s"cell$s")): _*)
+        val raw = coded.select(col("vec_id"), col("v"), col("nrm"))
+        val cents = topMatrix(spark, dir).map(_.map(_.toDouble).toSeq).toSeq
+        Option(servedCorpusCache.put(key,
+          ServedModel(model, coded, slim, raw, books, cents))).foreach { old =>
+          try old.coded.unpersist(false) catch { case _: Throwable => () }
+        }
       }
     }
-  }
 
-  /** the serving session's pinned coded corpus, if one is registered
-    * for this (corpus, confs) on this SparkContext */
-  private def pinnedCorpus(spark: SparkSession, dir: String): Option[DataFrame] =
+  /** the serving session's pinned snapshot, if one is registered for
+    * this (corpus, confs) on this SparkContext */
+  private def served(spark: SparkSession, dir: String): Option[ServedModel] =
     servedCorpusCache.synchronized {
       Option(servedCorpusCache.get(ivfCacheKey(spark, dir)))
-    }.filter(_.sparkSession.sparkContext eq spark.sparkContext)
+    }.filter(_.coded.sparkSession.sparkContext eq spark.sparkContext)
 
+  /** The shared IVF-PQ ranking body: `querySide` supplies the query
+    * relation — (vec_id, v, nrm, qx, dots) — either filtered out of
+    * the coded corpus ([[sim6TopK]]) or derived from external raw
+    * vectors ([[sim6ServeQueries]]); everything downstream (probe
+    * selection, ADC shortlist, exact rerank) is one code path. */
   private def sim6Rank(spark: SparkSession, dir: String, k: Int,
       querySide: (IvfModel, DataFrame) => DataFrame,
       excludeSelf: Boolean): DataFrame = {
-    val model = ivfAssigned(spark, dir)
-    // PQ codebooks trained on the SAME unit-grid vectors the IVF cells
-    // partition (extra columns ride through pqModelOn untouched); a
-    // serving session substitutes its PINNED coded corpus (identical
-    // deterministic derivation — only the rebuild is skipped)
-    val (books, codedFresh) = pqModelOn(spark, model.assigned.select(
-      col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
-      col("nrm"), col("dots")), s"$dir|unit")
-    val coded = pinnedCorpus(spark, dir).getOrElse(codedFresh)
-    // query side: IVF probe list + per-subspace inner-product tables
-    val qTbl = (0 until PQ_S).foldLeft(querySide(model, coded)) { (d, s) =>
-      d.withColumn(s"tbl$s", call_function("matrix_dots", pqSubCol(s),
-        typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq)))
+    // a serving session reads its PINNED snapshot — corpus plans,
+    // codebooks and probe model derived once at pin time; a batch
+    // session derives them here. The derivations are identical and
+    // deterministic, so the regimes cannot differ in results
+    // (AnnServeSpec pins serve ≡ batch bit-equality).
+    val (model, books, coded, slim, raw) = served(spark, dir) match {
+      case Some(sm) => (sm.model, sm.books, sm.coded, sm.slim, sm.raw)
+      case None =>
+        // PQ codebooks trained on the SAME unit-grid vectors the IVF
+        // cells partition (extra columns ride through pqModelOn
+        // untouched)
+        val model = ivfAssigned(spark, dir)
+        val (books, coded) = pqModelOn(spark, model.assigned.select(
+          col("vec_id"), col("uq").as("qx"), col("cell"), col("v"),
+          col("nrm"), col("dots")), s"$dir|unit")
+        val slim = coded.select(col("vec_id") +: col("cell") +:
+          (0 until PQ_S).map(s => col(s"cell$s")): _*)
+        (model, books, coded, slim,
+          model.assigned.select(col("vec_id"), col("v"), col("nrm")))
     }
+    // query side: IVF probe list + per-subspace inner-product tables
+    // (ONE withColumns pass — a per-subspace withColumn chain re-ran
+    // the analyzer 8 times per serve micro-batch)
+    val qRel = querySide(model, coded)
+    val qTbl = qRel.withColumns(
+      (0 until PQ_S).map(s => s"tbl$s" -> call_function("matrix_dots",
+        pqSubCol(s), typedLit(books(s).map(_.map(_.toDouble).toSeq).toSeq))).toMap)
     val q = withProbes(model, qTbl, col("qx"))
-      .select(col("vec_id").as("qid") +: col("v").as("qv") +:
-        col("nrm").as("qnrm") +: col("probe") +:
+      .select(col("vec_id").as("qid") +: col("probe") +:
         (0 until PQ_S).map(s => col(s"tbl$s")): _*)
     // compressed-domain scan: probed cells only, codes only — the ADC
     // score is an exact integer-valued double (8 int-dot lookups,
@@ -1738,20 +1807,25 @@ object Similarity {
     val joinCond =
       if (excludeSelf) col("cell") === col("probe") && col("vec_id") =!= col("qid")
       else col("cell") === col("probe")
-    val shortlist = coded
-      .select(col("vec_id") +: col("cell") +: (0 until PQ_S).map(s => col(s"cell$s")): _*)
+    // the candidate rows carry ONLY (qid, vec_id, ip) through the
+    // ranking shuffle — the query's raw 64-double vector re-attaches
+    // AFTER the top-sim6Rerank cut, as a join of two tiny relations
+    // inside the broadcast subtree. Carrying qv/qnrm on every
+    // candidate row shuffled ~40× the bytes for the same result.
+    val qVec = qRel.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val shortlist = slim
       .join(broadcast(q), joinCond)
       .withColumn("ip", ip.cast("long"))
       .withColumn("arank", row_number().over(wIp))
       .filter(col("arank") <= sim6Rerank(k))
-      .select(col("qid"), col("vec_id"), col("qv"), col("qnrm"))
+      .select(col("qid"), col("vec_id"))
+      .join(broadcast(qVec), "qid")
     // exact rerank: fetch raw vectors for the shortlist only (the
     // shortlist broadcasts; the raw store never shuffles). A serving
-    // session reads its PINNED corpus (v/nrm ride the coded relation —
-    // no per-batch re-assignment anywhere); a batch session keeps the
-    // leaner assignment scan.
-    val raw = pinnedCorpus(spark, dir).getOrElse(model.assigned)
-      .select(col("vec_id"), col("v"), col("nrm"))
+    // session's `raw` rides the pinned coded relation — no per-batch
+    // re-assignment anywhere; a batch session's is the leaner
+    // assignment scan.
     val scored = raw.join(broadcast(shortlist), "vec_id")
       .withColumn("cos", graft.ops.Exact.floorE6(
         dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))

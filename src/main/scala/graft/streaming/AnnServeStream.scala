@@ -68,20 +68,33 @@ object AnnServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // a foreachBatch DataFrame re-executes its batch plan on EVERY
-        // action — the emptiness check plus the serve ranking would
-        // read the source twice (measured: doubled numInputRows in
-        // StreamBench). The query batch is small by definition (it
-        // broadcasts onto the corpus), so pin it for the batch body.
-        batch.persist()
-        try {
-          // empty triggers happen (timer/startup batches): serving them
-          // would still train-on-miss in a cold session — skip
-          if (!batch.isEmpty) {
-            sink(batchId, Similarity.sim6ServeQueries(
-              batch.sparkSession, corpusDir, batch, k, excludeSelf))
-          }
-        } finally { batch.unpersist(); () }
+        // serve plans are small and fixed-shape with every broadcast
+        // explicit: AQE's per-stage re-planning is pure driver latency
+        // here (measured: no task-count win, extra materialization
+        // jobs), and a session-wide shuffle width sized for batch
+        // analytics is overkill for a per-batch candidate shuffle.
+        // Both confs land on the STREAMING-clone session foreachBatch
+        // hands us — the user's session is untouched.
+        val ss = batch.sparkSession
+        ss.conf.set("spark.sql.adaptive.enabled", "false")
+        ss.conf.set("spark.sql.shuffle.partitions",
+          ss.conf.getOption("graft.serve.shufflePartitions").getOrElse("8"))
+        // A query batch is tiny BY CONTRACT (it broadcasts onto the
+        // corpus), so materialize it once on the driver: a foreachBatch
+        // DataFrame re-executes its source plan on EVERY action (the
+        // old persist+isEmpty dance), and a LocalRelation feeds the
+        // ranking's query side with zero scan tasks per downstream job.
+        val rows = batch.collect()
+        // empty triggers happen (timer/startup batches) — skip them
+        if (rows.nonEmpty) {
+          // ONE-partition RDD, not a LocalRelation: LocalTableScanExec
+          // parallelizes to defaultParallelism, so each broadcast build
+          // over the batch was a 32-task job for 125 rows
+          val local = ss.createDataFrame(
+            ss.sparkContext.parallelize(rows.toSeq, 1), batch.schema)
+          sink(batchId, Similarity.sim6ServeQueries(
+            ss, corpusDir, local, k, excludeSelf))
+        }
       }
       .start()
   }

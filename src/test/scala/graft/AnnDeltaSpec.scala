@@ -72,7 +72,9 @@ class AnnDeltaSpec extends AnyFunSuite {
     val serveJobs = jobsDuring {
       served = lists(Similarity.sim6IvfPqTopK(spark, grown))
     }
-    assert(serveJobs <= 6,
+    // 7 = the search's own jobs (incl. the qVec re-attach broadcast);
+    // a retrain adds ~10 more
+    assert(serveJobs <= 7,
       s"delta-served sim6 must not retrain: ran $serveJobs jobs")
     // appended vectors are first-class corpus members: they can appear
     // in result lists (vec_id >= 450 reachable), and the index covers

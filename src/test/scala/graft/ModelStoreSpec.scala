@@ -67,8 +67,10 @@ class ModelStoreSpec extends AnyFunSuite {
     Similarity.resetModelRegistry()
     assert(served === trained)
     // in-process cold sim6 ran ~10+ training jobs (Lloyd + PQ iters +
-    // sample counts) before the search's own handful
-    assert(serveJobs <= 6,
+    // sample counts) before the search's own handful (7 since the
+    // shortlist re-attaches query vectors via a dedicated broadcast —
+    // one extra tiny job that slims the candidate shuffle)
+    assert(serveJobs <= 7,
       s"expected stored models to serve without training jobs, ran $serveJobs")
   }
 
