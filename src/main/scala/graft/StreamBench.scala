@@ -45,7 +45,12 @@ object StreamBench {
   private final case class LegResult(
       leg: String, rows: Long, outRows: Long, wallS: Double,
       rowsPerS: Double, meanBatchS: Double, recoveryS: Double,
-      stateRows: Long, stateMemBytes: Long, rocksdbSstBytes: Long)
+      stateRows: Long, providerMemBytes: Long, rocksdbSstBytes: Long) {
+    /** durable bytes per state row — the number that scales to 100 TB
+      * (provider memory is a bounded cache, not state size) */
+    def sstBytesPerRow: Double =
+      if (stateRows == 0) 0.0 else rocksdbSstBytes.toDouble / stateRows
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -54,29 +59,68 @@ object StreamBench {
       else Files.createTempDirectory("graft_streambench_").toString
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // state shards are sized to STATE VOLUME, not to the core count:
+      // every shard pays a changelog-commit fsync per batch (measured
+      // at sf1: ~340 ms summed PER SHARD per batch — 10.9 s across 32,
+      // dwarfing the 2.5 s of actual update work), so over-sharding
+      // 74k state rows across 32 RocksDB instances made every leg
+      // commit-bound. 8 shards ≈ 9k rows each here; a 100 TB deployment
+      // picks the shard count from projected state rows the same way
+      // (state partitioning is fixed at first checkpoint — it is a
+      // deliberate capacity decision, not a parallelism default).
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.files.maxPartitionBytes", "256k")
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit the batch's delta to the
+      // checkpoint instead of a full SST snapshot per partition per
+      // batch — the production RocksDB deployment shape (snapshots
+      // still happen, in the background maintenance thread)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // bound the provider's block-cache/memtable memory so the
+      // reported in-memory figure is a configured design property, not
+      // an unbounded cache high-water mark (round-10's 262 MB read as
+      // "state size" when the durable state was 29.6 MB of SSTs)
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val legs = if (leg == "all") Seq("dedup", "semdedup", "annserve") else Seq(leg)
+    val legs =
+      if (leg == "all")
+        Seq("dedup", "dedup4", "semdedup", "annserve", "annserve500")
+      else Seq(leg)
     val results = legs.map {
       case "dedup" => runDedup(spark, sfDir, s"$work/dedup")
+      // the dedup amortization leg (see annserve500): 4 files/trigger
+      // spreads the per-trigger floor over 4× the documents
+      case "dedup4" => runDedup(spark, sfDir, s"$work/dedup4", 4)
       case "semdedup" => runSemDedup(spark, sfDir, s"$work/semdedup")
-      case "annserve" => runAnnServe(spark, sfDir, s"$work/annserve")
-      case other => sys.error(s"unknown leg '$other' (dedup|semdedup|annserve|all)")
+      case "annserve" => runAnnServe(spark, sfDir, s"$work/annserve", 125)
+      // the amortization leg: the per-trigger floor (offset/WAL commits
+      // + job machinery, ~0.25-0.3 s) is a property of micro-batching,
+      // not of the ranking — a serving deployment sizes its batches to
+      // amortize it, so measure the SAME pipeline at 4× the batch size
+      case "annserve500" => runAnnServe(spark, sfDir, s"$work/annserve500", 500)
+      case other =>
+        sys.error(s"unknown leg '$other' (dedup|dedup4|semdedup|annserve|annserve500|all)")
     }
+    // provider_mem_bytes is the RocksDB block-cache/memtable footprint
+    // (BOUNDED by maxMemoryUsageMB above — a cache, not state);
+    // durable state size is rocksdb_sst_bytes, legible per-row as
+    // sst_bytes_per_row. Round 10 published the provider figure as
+    // "state_mem_bytes" and it read as 3.5 KB/row of state; the
+    // durable figure is ~400 B/row.
     val js = results.map(r =>
       s"""{"leg":"${r.leg}","rows":${r.rows},"out_rows":${r.outRows},""" +
         s""""wall_s":${f"${r.wallS}%.2f"},"rows_per_s":${f"${r.rowsPerS}%.0f"},""" +
         s""""mean_batch_s":${f"${r.meanBatchS}%.3f"},"recovery_s":${f"${r.recoveryS}%.2f"},""" +
-        s""""state_rows":${r.stateRows},"state_mem_bytes":${r.stateMemBytes},""" +
-        s""""rocksdb_sst_bytes":${r.rocksdbSstBytes}}""").mkString("[", ",", "]")
+        s""""state_rows":${r.stateRows},"provider_mem_bytes":${r.providerMemBytes},""" +
+        s""""rocksdb_sst_bytes":${r.rocksdbSstBytes},""" +
+        s""""sst_bytes_per_row":${f"${r.sstBytesPerRow}%.1f"}}""").mkString("[", ",", "]")
     println(s"""{"streambench":"$sfDir","legs":$js}""")
     spark.stop()
   }
@@ -112,6 +156,12 @@ object StreamBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val newP = q.recentProgress.filterNot(p => before(p.batchId))
       .filter(_.numInputRows > 0)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) newP.foreach { p =>
+      println(s"[streambench-debug] batch ${p.batchId} rows=${p.numInputRows} " +
+        s"durations=${p.durationMs}")
+      if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("full"))
+        println(s"[streambench-debug-full] ${p.json}")
+    }
     val rows = newP.map(_.numInputRows).sum
     val batchS =
       if (newP.isEmpty) 0.0
@@ -168,27 +218,29 @@ object StreamBench {
       sRows, sMem, sSst)
     println(f"[streambench] $leg TOTAL: ${res.rows} rows → ${res.outRows} out " +
       f"in ${res.wallS}%.2f s = ${res.rowsPerS}%.0f rows/s; " +
-      s"final state rows=${res.stateRows} mem=${res.stateMemBytes} " +
-      s"sst=${res.rocksdbSstBytes}")
+      s"final state rows=${res.stateRows} providerMem=${res.providerMemBytes} " +
+      f"sst=${res.rocksdbSstBytes} (${res.sstBytesPerRow}%.1f B/row)")
     res
   }
 
   // ---- legs ---------------------------------------------------------
 
-  private def runDedup(spark: SparkSession, sfDir: String, work: String): LegResult = {
+  private def runDedup(spark: SparkSession, sfDir: String, work: String,
+      mfpt: Int = 1): LegResult = {
     val (files, src) = stage(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), work)
     val out = new java.util.concurrent.atomic.AtomicLong(0)
     def start() = DedupStream.nearDupPairs(
       spark.readStream.schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", "1").parquet(src))
+        .option("maxFilesPerTrigger", mfpt.toString).parquet(src))
       .writeStream
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[DedupStream.DupPair], _: Long) =>
         out.addAndGet(b.count()); ()
       }
       .start()
-    protocol("dedup", files, src, () => start(), () => out.get())
+    protocol(if (mfpt == 1) "dedup" else s"dedup$mfpt",
+      files, src, () => start(), () => out.get())
   }
 
   private def runSemDedup(spark: SparkSession, sfDir: String, work: String): LegResult = {
@@ -211,7 +263,8 @@ object StreamBench {
     protocol("semdedup", files, src, () => start(), () => out.get())
   }
 
-  private def runAnnServe(spark: SparkSession, sfDir: String, work: String): LegResult = {
+  private def runAnnServe(spark: SparkSession, sfDir: String, work: String,
+      perFile: Int): LegResult = {
     // offline: train + persist once per workDir, load into the registry
     val modelDir = s"$work/models"
     if (!Files.exists(Paths.get(modelDir, "ivf_meta"))) {
@@ -220,9 +273,12 @@ object StreamBench {
     }
     Similarity.resetModelRegistry()
     ModelStore.loadIvfPq(spark, sfDir, modelDir)
-    // query stream: 2000 corpus vectors as external (qid, v) requests
+    // query stream: the 16·perFile smallest-id corpus vectors as
+    // external (qid, v) requests, ~perFile per micro-batch under
+    // maxFilesPerTrigger=1 (an id-range filter silently under-selects
+    // on ScaleGen fixtures, whose replica vec_ids are offset-sparse)
     val (files, src) = stage(
-      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 2000)
+      Tables.embeddings(spark, sfDir).orderBy(col("vec_id")).limit(16 * perFile)
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("v")), work)
     val out = new java.util.concurrent.atomic.AtomicLong(0)
@@ -232,6 +288,7 @@ object StreamBench {
       sfDir, 10, s"$work/ckpt") { (_, hits) =>
       out.addAndGet(hits.count()); ()
     }
-    protocol("annserve", files, src, () => start(), () => out.get())
+    protocol(if (perFile == 125) "annserve" else s"annserve$perFile",
+      files, src, () => start(), () => out.get())
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -69,7 +71,15 @@ object SemanticDedupStream {
 
   final case class EmbRow(vec_id: Long, v: Seq[Double])
   final case class CellProbe(vec_id: Long, cell: Int, v: Seq[Double], nrm: Double)
-  final case class CellMember(id: Long, v: Seq[Double], nrm: Double)
+  /** a cell's members flattened to primitive arrays, id-ASCENDING:
+    * `vs` holds `dim` doubles per member in `ids` order. The obvious
+    * `Seq[CellMember(id, v: Seq[Double], nrm)]` paid the nested-Seq
+    * encoder (per-element boxing on every touched cell's full rewrite,
+    * every batch — ~127 members × 64 doubles each here) plus an
+    * O(m log m) re-sort per arrival; arrays ride UnsafeArrayData's
+    * bulk copy and insert in place. */
+  final case class Cell(ids: Array[Long], nrms: Array[Double],
+      vs: Array[Double])
   final case class SemVerdict(vec_id: Long, cell: Long, n_near: Long,
       max_cos: Option[Double], keep: Boolean)
 
@@ -150,42 +160,63 @@ object SemanticDedupStream {
       .groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (cell: Int, rows: Iterator[CellProbe],
-            state: GroupState[Seq[CellMember]]) => {
+            state: GroupState[Cell]) => {
           if (state.hasTimedOut) {
             // cold cell past the dedup horizon: forget its members —
             // the next arrival re-creates the cell from scratch
             state.remove()
             Iterator.empty
           } else {
-            // invariant: members is id-ascending and ≤ cellCap long —
+            // invariant: members are id-ascending and ≤ cellCap long —
             // the cell's min-id anchors among everything seen so far
-            var members = state.getOption.getOrElse(Seq.empty)
+            val c0 = state.getOption.getOrElse(Cell(Array.emptyLongArray,
+              Array.emptyDoubleArray, Array.emptyDoubleArray))
+            val ids = ArrayBuffer.empty[Long] ++= c0.ids
+            val nrms = ArrayBuffer.empty[Double] ++= c0.nrms
+            val vs = ArrayBuffer.empty[Double] ++= c0.vs
             // id order within the batch = batch dd7's da < db rule
             val out = rows.toSeq.sortBy(_.vec_id).map { p =>
+              // every vector shares the corpus dim, so the probe's
+              // length is the member stride (state-derived dim would
+              // be 0 for a cell born this batch)
+              val dim = p.v.length
               var nNear = 0L
               var maxCos = Double.NegativeInfinity
-              members.foreach { m =>
-                if (m.id < p.vec_id) {
-                  val c = cosE6(m.v, m.nrm, p.v, p.nrm)
-                  if (c >= Similarity.DD7_TAU) {
-                    nNear += 1
-                    if (c > maxCos) maxCos = c
-                  }
+              // members are id-ascending: everything before the first
+              // id ≥ vec_id is exactly the old `m.id < p.vec_id` set,
+              // compared in the same (ascending-id) order
+              var m = 0
+              while (m < ids.length && ids(m) < p.vec_id) {
+                var acc = 0.0
+                var i = 0
+                val off = m * dim
+                while (i < dim) { acc += vs(off + i) * p.v(i); i += 1 }
+                val c = math.floor(acc / (nrms(m) * p.nrm) * 1000000L) / 1e6
+                if (c >= Similarity.DD7_TAU) {
+                  nNear += 1
+                  if (c > maxCos) maxCos = c
+                }
+                m += 1
+              }
+              val present = m < ids.length && ids(m) == p.vec_id
+              // id-sorted insert keeps the cap MIN-ID (not first-seen):
+              // a full cell admits a smaller id by evicting its max
+              if (!present &&
+                  (ids.lengthCompare(cellCap) < 0 || ids.last > p.vec_id)) {
+                ids.insert(m, p.vec_id)
+                nrms.insert(m, p.nrm)
+                vs.insertAll(m * dim, p.v)
+                if (ids.length > cellCap) {
+                  ids.remove(cellCap)
+                  nrms.remove(cellCap)
+                  vs.remove(cellCap * dim, dim)
                 }
               }
-              if (!members.exists(_.id == p.vec_id) &&
-                  // id-sorted insert keeps the cap MIN-ID (not
-                  // first-seen): a full cell admits a smaller id by
-                  // evicting its max
-                  (members.lengthCompare(cellCap) < 0 ||
-                    members.last.id > p.vec_id))
-                members = (members :+ CellMember(p.vec_id, p.v, p.nrm))
-                  .sortBy(_.id).take(cellCap)
               SemVerdict(p.vec_id, cell.toLong, nNear,
                 if (nNear > 0L) Some(maxCos) else None, keep = nNear == 0L)
             }
-            if (members.nonEmpty) {
-              state.update(members)
+            if (ids.nonEmpty) {
+              state.update(Cell(ids.toArray, nrms.toArray, vs.toArray))
               if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
             }
             out.iterator
