@@ -92,7 +92,12 @@ object ServeBench {
           .agg(count(lit(1)), max(col("vec_id"))).collect()
           .head.toSeq.map(_.asInstanceOf[Long].longValue).toArray
         val nApp = math.max(1L, (n * frac).toLong)
-        val appended = emb.filter(col("vec_id") < nApp)
+        // take the tail by RANK, not by an id-range filter: vec_ids
+        // need not be 0-based or contiguous (ScaleGen replicas are
+        // offset-sparse), and `vec_id < nApp` would under-select there,
+        // mislabeling the artifact's 'appended' figure. The nApp
+        // smallest ids are deterministic and exist on any corpus.
+        val appended = emb.orderBy(col("vec_id")).limit(nApp.toInt)
           .withColumn("vec_id", col("vec_id") + lit(maxId + 1L))
           .withColumn("embedding", zip_with(col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),

@@ -127,6 +127,12 @@ object ModelStore {
         coalesce(bit_xor(when(pmod(col("vec_id"), lit(997)) === 0,
           xxhash64(col("vec_id"), col("embedding")))), lit(0L)).as("h"))
       .collect().head
+    // an empty corpus leaves min/max NULL — getLong would NPE with no
+    // hint at the cause; refuse with the actual problem named
+    if (r.getLong(0) == 0L || r.isNullAt(1) || r.isNullAt(2))
+      throw new IllegalStateException(
+        s"corpusFingerprint: embeddings corpus at '$corpusDir' is empty — " +
+          "nothing to fingerprint (save/load needs a non-empty corpus)")
     Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
@@ -252,6 +258,13 @@ object ModelStore {
           xxhash64(col("vec_id"), col("embedding")))), lit(0L)).as("h"),
         count(lit(1)).as("total"))
       .collect().head
+    // an empty trained-id prefix (every vec_id > trainedMax, or an
+    // empty corpus) leaves min/max NULL — name the refusal instead of
+    // an opaque NPE from getLong
+    if (r.getLong(0) == 0L || r.isNullAt(1) || r.isNullAt(2))
+      throw new IllegalStateException(
+        s"prefixFingerprint: no vectors with vec_id <= $trainedMax in " +
+          s"'$corpusDir' — the trained prefix is absent from this corpus")
     (Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
       r.getLong(4))
   }

@@ -89,9 +89,12 @@ object MovingAverage {
     * windows. */
   def w1SlidingSma(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
+    // UTF-8 byte order, NOT Scala's default UTF-16 `.sorted`: the
+    // integer-code min must decode to the same string the fallback's
+    // (and the oracle's) min(string) picks — see Exact.utf8Order
     val dict = e.select(col("event_type")).filter(col("event_type").isNotNull)
       .distinct().limit(W1_TYPE_DICT_CAP + 1)
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0)).sorted(Exact.utf8Order).toSeq
     if (dict.length > W1_TYPE_DICT_CAP) w1PanesStringKeyed(e)
     else {
       val merged = w1Panes(

@@ -143,4 +143,26 @@ object Exact {
 
   /** floor-scale an already-identical double (e.g. a cosine) at 1e-6 */
   def floorE6(c: Column): Column = floor(c * 1000000L) / 1e6
+
+  /** Spark/DuckDB-compatible STRING order for driver-side model
+    * state: both engines compare strings as UTF-8 bytes, but Scala's
+    * `.sorted` compares UTF-16 code units — for supplementary-plane
+    * characters (surrogate pairs 0xD800-0xDFFF sort below 0xE000+ in
+    * UTF-16, above in UTF-8) the two orders DISAGREE, so a collected
+    * dictionary sorted with the default Ordering can assign integer
+    * codes whose min() decodes to a different string than the
+    * engines' min(string). Every driver-held string ranking that
+    * must agree with an engine-side ORDER BY goes through this. */
+  val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < n) {
+      r = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
 }

@@ -486,11 +486,16 @@ object TextOps {
     // WindowExec print its single-partition warning on every run,
     // burying real warnings in bench tails; driver-side enumeration of
     // a constant-bounded model table is warning-free and plan-free.
+    // the tie-break re-sort uses UTF-8 byte order (Exact.utf8Order) so
+    // driver-assigned ids agree with the engine-side ORDER BY that
+    // selected the top-CAP set (Scala's default string Ordering is
+    // UTF-16 code-unit order, which disagrees past the BMP)
     val top = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("wd")).limit(TOK2_CAP)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (wd, cnt) => (-cnt, wd) }
+      .sortBy { case (wd, cnt) => (-cnt, wd) }(
+        Ordering.Tuple2(Ordering.Long, Exact.utf8Order))
     val vocab = top.zipWithIndex
       .map { case ((wd, _), i) => (wd, i + 1L) }.toSeq.toDF("wd", "id")
     t.select(col("doc_id"), posexplode(col("w"))).withColumnRenamed("col", "wd")

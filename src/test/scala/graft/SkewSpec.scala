@@ -9,10 +9,14 @@ import graft.ops.Extended
   * in-process twin): a hot key holding ~20-30% of rows must not
   * one-task a shuffle stage.
   *  - aj1's equi-join must be AQE-skew-splittable ON ITS REAL PLAN —
-  *    the downstream (event_id, user_id, ts) grouping requires a
-  *    different distribution than the join key, so AQE is free to
-  *    split the hot user's partition (a groupBy on the join key
-  *    itself would pin the partitioning and forbid the split).
+  *    the downstream grouping is by the event PK (event_id) ALONE, a
+  *    distribution the join's user_id hash partitioning does NOT
+  *    satisfy, so AQE is free to split the hot user's partition. The
+  *    trap runs the other way: ADDING user_id to the grouping would
+  *    let hashpartitioning(user_id) satisfy it via the subset rule,
+  *    re-pin the join output, and forbid the skew split (the landed
+  *    fix is precisely grouping by event_id alone — user_id/ts ride
+  *    as min()).
   *  - rj2's prefix-sum must stay correct AND balanced under TIME
   *    skew: a same-instant burst collapses to ONE weighted window row
   *    (the pre-aggregate is pinned in the plan), and correctness at a
