@@ -54,6 +54,20 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" session-conf overrides (the Prof
+    // pattern) — how the two-level regime is forced for the sf10
+    // serve/append legs (graft.ivf.maxK below the corpus's desired K)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            System.err.println(s"[servebench] conf $k=$v")
+            spark.conf.set(k, v)
+          case _ =>
+            System.err.println(
+              s"[servebench] ignoring malformed SPARK_GRAFT_CONF segment '$kv'")
+        }
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
