@@ -25,7 +25,16 @@ object AsofJoinStrategy extends SparkStrategy {
   * Physical contract (EnsureRequirements supplies all of it):
   *  - both children hash-cluster on their keys (the only shuffles; at
   *    100 TB that is the same exchange cost as any keyed fact-fact
-  *    join, with AQE free to split skewed key ranges);
+  *    join). SKEW CAVEAT (measured round 11, sf10 20%-hot-key
+  *    fixture): AQE's OptimizeSkewedJoin matches only the built-in
+  *    SortMergeJoin/ShuffledHashJoin nodes — a CUSTOM exec is never
+  *    skew-split, so a hot key bounds this operator's wall time at
+  *    its key fraction (≈2× vs uniform at a 20% hot key; lowering the
+  *    skew thresholds does nothing here, while the same experiment
+  *    halves aj1's compositional form). On skew-prone corpora route
+  *    the as-of through the compositional plan (Extended.aj1), which
+  *    IS split-ready; this exec is the O(1)-memory fast path for
+  *    roughly-uniform keys.
   *  - left sorts by (keys, time), right by (keys, time, tieBreak).
   *
   * The merge advances a single right-side cursor monotonically — the
