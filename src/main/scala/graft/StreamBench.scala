@@ -91,7 +91,7 @@ object StreamBench {
 
     val legs =
       if (leg == "all")
-        Seq("dedup", "dedup4", "semdedup", "annserve", "annserve500")
+        Seq("dedup", "dedup4", "semdedup", "semdedup4", "annserve", "annserve500")
       else Seq(leg)
     val results = legs.map {
       case "dedup" => runDedup(spark, sfDir, s"$work/dedup")
@@ -99,6 +99,7 @@ object StreamBench {
       // spreads the per-trigger floor over 4× the documents
       case "dedup4" => runDedup(spark, sfDir, s"$work/dedup4", 4)
       case "semdedup" => runSemDedup(spark, sfDir, s"$work/semdedup")
+      case "semdedup4" => runSemDedup(spark, sfDir, s"$work/semdedup4", 4)
       case "annserve" => runAnnServe(spark, sfDir, s"$work/annserve", 125)
       // the amortization leg: the per-trigger floor (offset/WAL commits
       // + job machinery, ~0.25-0.3 s) is a property of micro-batching,
@@ -106,7 +107,7 @@ object StreamBench {
       // amortize it, so measure the SAME pipeline at 4× the batch size
       case "annserve500" => runAnnServe(spark, sfDir, s"$work/annserve500", 500)
       case other =>
-        sys.error(s"unknown leg '$other' (dedup|dedup4|semdedup|annserve|annserve500|all)")
+        sys.error(s"unknown leg '$other' (dedup|dedup4|semdedup|semdedup4|annserve|annserve500|all)")
     }
     // provider_mem_bytes is the RocksDB block-cache/memtable footprint
     // (BOUNDED by maxMemoryUsageMB above — a cache, not state);
@@ -243,7 +244,8 @@ object StreamBench {
       files, src, () => start(), () => out.get())
   }
 
-  private def runSemDedup(spark: SparkSession, sfDir: String, work: String): LegResult = {
+  private def runSemDedup(spark: SparkSession, sfDir: String, work: String,
+      mfpt: Int = 1): LegResult = {
     // offline model (untimed setup — the deployment trains this once)
     val centroids = Similarity.flatCentroids(spark, sfDir)
     val (files, src) = stage(
@@ -252,7 +254,7 @@ object StreamBench {
     val out = new java.util.concurrent.atomic.AtomicLong(0)
     def start() = SemanticDedupStream.verdicts(
       spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
-        .option("maxFilesPerTrigger", "1").parquet(src),
+        .option("maxFilesPerTrigger", mfpt.toString).parquet(src),
       centroids)
       .writeStream
       .option("checkpointLocation", s"$work/ckpt")
@@ -260,7 +262,8 @@ object StreamBench {
         out.addAndGet(b.count()); ()
       }
       .start()
-    protocol("semdedup", files, src, () => start(), () => out.get())
+    protocol(if (mfpt == 1) "semdedup" else s"semdedup$mfpt",
+      files, src, () => start(), () => out.get())
   }
 
   private def runAnnServe(spark: SparkSession, sfDir: String, work: String,
