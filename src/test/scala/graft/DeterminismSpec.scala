@@ -41,4 +41,27 @@ class DeterminismSpec extends AnyFunSuite {
       assert(a.nonEmpty, s"$name returned no rows")
     }
   }
+
+  test("Exact.utf8Order matches Spark's string comparison past the BMP") {
+    // the advisory case: a supplementary-plane string (surrogate pair,
+    // UTF-16 code units 0xD83D 0xDE00) vs a BMP string above 0xE000.
+    // Scala's default Ordering (UTF-16 code units) sorts the emoji
+    // FIRST; Spark/DuckDB compare UTF-8 bytes (0xF0... > 0xEE...) and
+    // sort it LAST. Driver-held model state (w1's type dictionary,
+    // tok2's vocabulary ids) must follow the engines.
+    val emoji = new String(Character.toChars(0x1F600)) // UTF-8 F0 9F 98 80
+    val bmp = "\uee00"         // private-use BMP, UTF-8 EE B8 80
+    assert(Ordering.String.lt(emoji, bmp),
+      "precondition: UTF-16 order puts the surrogate pair first")
+    assert(graft.ops.Exact.utf8Order.gt(emoji, bmp),
+      "utf8Order must put the supplementary-plane string last, like the engines")
+    // and it agrees with Spark's min(string) on the same pair
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val engineMin = Seq(emoji, bmp).toDF("s").agg(min(col("s"))).head.getString(0)
+    assert(Seq(emoji, bmp).min(graft.ops.Exact.utf8Order) == engineMin,
+      "driver-side utf8Order min must equal Spark's min(string)")
+    // prefix case: equal prefixes order by length in both systems
+    assert(graft.ops.Exact.utf8Order.lt("ab", "abc"))
+  }
 }
