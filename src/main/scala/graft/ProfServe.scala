@@ -16,7 +16,7 @@ import graft.ops.{ModelStore, Similarity}
   */
 object ProfServe {
   final case class JobRec(jobId: Int, start: Long, var end: Long = 0L,
-      var tasks: Int = 0, var taskTimeMs: Long = 0L)
+      var tasks: Int = 0, var stageWallMs: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -61,7 +61,8 @@ object ProfServe {
           .sortBy(-_.start).headOption
         rec.foreach { r =>
           r.tasks += si.numTasks
-          r.taskTimeMs += (for {
+          // stage wall (completion − submission), NOT summed task time
+          r.stageWallMs += (for {
             s <- si.submissionTime; c <- si.completionTime
           } yield c - s).getOrElse(0L)
         }
@@ -95,6 +96,11 @@ object ProfServe {
       val n = plan.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val derive = (tPlan - t0) / 1e9
+      // the listener bus is ASYNC: give late job/stage events time to
+      // land before reading the map (the bus's waitUntilEmpty is
+      // private[spark]; a bounded settle sleep is the profiling-grade
+      // substitute — reps are seconds, 200 ms cannot hide a rep's work)
+      Thread.sleep(200)
       val js = jobs.values().toArray(Array.empty[JobRec]).sortBy(_.start)
       val jobWall = js.map(j => math.max(0L, j.end - j.start)).sum / 1e3
       val tasks = js.map(_.tasks).sum
@@ -102,7 +108,7 @@ object ProfServe {
         f"jobs=${js.length} jobWall=$jobWall%.3f s tasks=$tasks rows=$n")
       js.foreach { j =>
         println(f"[profserve]   job${j.jobId} ${math.max(0L, j.end - j.start) / 1e3}%.3f s " +
-          s"tasks=${j.tasks} stageTimeMs=${j.taskTimeMs}")
+          s"tasks=${j.tasks} stageWallMs=${j.stageWallMs}")
       }
     }
     spark.stop()

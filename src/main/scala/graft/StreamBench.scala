@@ -45,11 +45,34 @@ object StreamBench {
   private final case class LegResult(
       leg: String, rows: Long, outRows: Long, wallS: Double,
       rowsPerS: Double, meanBatchS: Double, recoveryS: Double,
-      stateRows: Long, providerMemBytes: Long, rocksdbSstBytes: Long) {
+      stateRows: Long, providerMemBytes: Long, rocksdbSstBytes: Long,
+      ckptStateBytes: Long) {
     /** durable bytes per state row — the number that scales to 100 TB
       * (provider memory is a bounded cache, not state size) */
     def sstBytesPerRow: Double =
       if (stateRows == 0) 0.0 else rocksdbSstBytes.toDouble / stateRows
+    /** sst figure is a MAINTENANCE-THREAD snapshot — a leg that
+      * finishes before the first snapshot cut reports 0 with non-empty
+      * state, which is a timing artifact, not a size; emit null there
+      * so automated consumers cannot mistake it (advice r11) */
+    def sstIsStale: Boolean = rocksdbSstBytes == 0 && stateRows > 0
+    def ckptBytesPerRow: Double =
+      if (stateRows == 0) 0.0 else ckptStateBytes.toDouble / stateRows
+  }
+
+  /** recursive byte size of the checkpoint's state directory —
+    * changelogs + uploaded snapshots, i.e. the ACTUAL durable
+    * footprint a deployment pays for this state, counted from the
+    * files themselves so it can never read 0 for non-empty state
+    * (unlike the sst gauge, which waits on the maintenance thread) */
+  private def ckptStateBytes(ckptDir: String): Long = {
+    val root = Paths.get(ckptDir, "state")
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,6 +101,10 @@ object StreamBench {
       // batch — the production RocksDB deployment shape (snapshots
       // still happen, in the background maintenance thread)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // cut snapshots every 15 s instead of the 60 s default so the
+      // sst gauge has a chance to be fresh on legs longer than a
+      // snapshot interval (shorter legs report null — see sstIsStale)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       // bound the provider's block-cache/memtable memory so the
       // reported in-memory figure is a configured design property, not
       // an unbounded cache high-water mark (round-10's 262 MB read as
@@ -115,13 +142,23 @@ object StreamBench {
     // sst_bytes_per_row. Round 10 published the provider figure as
     // "state_mem_bytes" and it read as 3.5 KB/row of state; the
     // durable figure is ~400 B/row.
-    val js = results.map(r =>
+    val js = results.map { r =>
+      // a 0-byte sst gauge with non-empty state is a snapshot-timing
+      // artifact → null, never a misleading 0.0; ckpt_state_bytes (the
+      // changelog+snapshot file bytes) is the always-valid durable
+      // column
+      val sstCols =
+        if (r.sstIsStale) s""""rocksdb_sst_bytes":null,"sst_bytes_per_row":null,"""
+        else s""""rocksdb_sst_bytes":${r.rocksdbSstBytes},""" +
+          s""""sst_bytes_per_row":${f"${r.sstBytesPerRow}%.1f"},"""
       s"""{"leg":"${r.leg}","rows":${r.rows},"out_rows":${r.outRows},""" +
         s""""wall_s":${f"${r.wallS}%.2f"},"rows_per_s":${f"${r.rowsPerS}%.0f"},""" +
         s""""mean_batch_s":${f"${r.meanBatchS}%.3f"},"recovery_s":${f"${r.recoveryS}%.2f"},""" +
         s""""state_rows":${r.stateRows},"provider_mem_bytes":${r.providerMemBytes},""" +
-        s""""rocksdb_sst_bytes":${r.rocksdbSstBytes},""" +
-        s""""sst_bytes_per_row":${f"${r.sstBytesPerRow}%.1f"}}""").mkString("[", ",", "]")
+        sstCols +
+        s""""ckpt_state_bytes":${r.ckptStateBytes},""" +
+        s""""ckpt_bytes_per_row":${f"${r.ckptBytesPerRow}%.1f"}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"streambench":"$sfDir","legs":$js}""")
     spark.stop()
   }
@@ -187,7 +224,8 @@ object StreamBench {
   /** the shared protocol: 8 files → measure → stop → +1 file under a
     * NEW query (recovery) → +7 files → totals */
   private def protocol(leg: String, files: Seq[Path], src: String,
-      start: () => StreamingQuery, outRows: () => Long): LegResult = {
+      ckptDir: String, start: () => StreamingQuery,
+      outRows: () => Long): LegResult = {
     moveIn(files.take(8), src)
     val q1 = start()
     val (wall1, rows1, batch1) = try drain(q1) finally ()
@@ -216,11 +254,12 @@ object StreamBench {
     val wall = wall1 + recovery + wall2
     val res = LegResult(leg, total, outRows(), wall,
       total / math.max(wall, 1e-9), (batch1 + batch2) / 2, recovery,
-      sRows, sMem, sSst)
+      sRows, sMem, sSst, ckptStateBytes(ckptDir))
     println(f"[streambench] $leg TOTAL: ${res.rows} rows → ${res.outRows} out " +
       f"in ${res.wallS}%.2f s = ${res.rowsPerS}%.0f rows/s; " +
       s"final state rows=${res.stateRows} providerMem=${res.providerMemBytes} " +
-      f"sst=${res.rocksdbSstBytes} (${res.sstBytesPerRow}%.1f B/row)")
+      f"sst=${res.rocksdbSstBytes} (${res.sstBytesPerRow}%.1f B/row) " +
+      f"ckptState=${res.ckptStateBytes} (${res.ckptBytesPerRow}%.1f B/row)")
     res
   }
 
@@ -241,7 +280,7 @@ object StreamBench {
       }
       .start()
     protocol(if (mfpt == 1) "dedup" else s"dedup$mfpt",
-      files, src, () => start(), () => out.get())
+      files, src, s"$work/ckpt", () => start(), () => out.get())
   }
 
   private def runSemDedup(spark: SparkSession, sfDir: String, work: String,
@@ -263,7 +302,7 @@ object StreamBench {
       }
       .start()
     protocol(if (mfpt == 1) "semdedup" else s"semdedup$mfpt",
-      files, src, () => start(), () => out.get())
+      files, src, s"$work/ckpt", () => start(), () => out.get())
   }
 
   private def runAnnServe(spark: SparkSession, sfDir: String, work: String,
@@ -292,6 +331,6 @@ object StreamBench {
       out.addAndGet(hits.count()); ()
     }
     protocol(if (perFile == 125) "annserve" else s"annserve$perFile",
-      files, src, () => start(), () => out.get())
+      files, src, s"$work/ckpt", () => start(), () => out.get())
   }
 }

@@ -1703,20 +1703,31 @@ object Similarity {
     try sm.coded.unpersist(false) catch { case _: Throwable => () }
   }
 
+  /** per-key pin latches: concurrent pins of the SAME (corpus, confs)
+    * serialize here — so only one builds and persists — while pins of
+    * DIFFERENT corpora proceed in parallel and neither ever holds the
+    * global cache lock across a Spark job. Keys are (dir, conf)
+    * combos, a handful per process, so the map never needs eviction. */
+  private val servedPinLatches =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
   /** persist + register the coded corpus and its serve-time plan
-    * snapshot for a serving session. The whole build runs INSIDE the
-    * cache lock: when the hit test and the put were separate blocks,
-    * two concurrent serve() starts both persisted the corpus and the
-    * second put displaced the first WITHOUT the LRU eviction hook
-    * firing — a leaked MEMORY_AND_DISK corpus copy per race. Serving
-    * sessions pin once, so lock hold time is not a concern; a
-    * displaced entry (re-pin after a context restart) is unpersisted
-    * explicitly. */
-  private[graft] def pinServedCorpus(spark: SparkSession, dir: String): Unit =
-    servedCorpusCache.synchronized {
-      val key = ivfCacheKey(spark, dir)
-      val hit = Option(servedCorpusCache.get(key))
-        .exists(_.coded.sparkSession.sparkContext eq spark.sparkContext)
+    * snapshot for a serving session. The multi-second build (training
+    * fallback, coding scan, persist + count) runs OUTSIDE the cache
+    * lock — a concurrent served()/sim6Rank reader never blocks on a
+    * pin, and two sessions pinning different corpora do not serialize
+    * — but INSIDE a per-key latch, so two concurrent serve() starts of
+    * the same corpus cannot both persist (the round-10 race: the
+    * second put displaced the first without the LRU eviction hook
+    * firing — a leaked MEMORY_AND_DISK corpus copy). The put re-checks
+    * under the cache lock and unpersists any displaced entry (re-pin
+    * after a context restart). */
+  private[graft] def pinServedCorpus(spark: SparkSession, dir: String): Unit = {
+    val key = ivfCacheKey(spark, dir)
+    servedPinLatches.computeIfAbsent(key, _ => new AnyRef).synchronized {
+      val hit = servedCorpusCache.synchronized {
+        Option(servedCorpusCache.get(key))
+      }.exists(_.coded.sparkSession.sparkContext eq spark.sparkContext)
       if (!hit) {
         val model = ivfAssigned(spark, dir)
         val eSel = model.assigned.select(
@@ -1746,12 +1757,15 @@ object Similarity {
           (0 until PQ_S).map(s => col(s"cell$s")): _*)
         val raw = coded.select(col("vec_id"), col("v"), col("nrm"))
         val cents = topMatrix(spark, dir).map(_.map(_.toDouble).toSeq).toSeq
-        Option(servedCorpusCache.put(key,
-          ServedModel(model, coded, slim, raw, books, cents))).foreach { old =>
-          try old.coded.unpersist(false) catch { case _: Throwable => () }
+        servedCorpusCache.synchronized {
+          Option(servedCorpusCache.put(key,
+            ServedModel(model, coded, slim, raw, books, cents))).foreach { old =>
+            try old.coded.unpersist(false) catch { case _: Throwable => () }
+          }
         }
       }
     }
+  }
 
   /** the serving session's pinned snapshot, if one is registered for
     * this (corpus, confs) on this SparkContext */

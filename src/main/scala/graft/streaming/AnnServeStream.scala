@@ -84,9 +84,23 @@ object AnnServeStream {
         // DataFrame re-executes its source plan on EVERY action (the
         // old persist+isEmpty dance), and a LocalRelation feeds the
         // ranking's query side with zero scan tasks per downstream job.
-        val rows = batch.collect()
+        // The contract is ENFORCED, not assumed: limit(cap+1) bounds
+        // what the driver can ever hold, and a burst past the cap
+        // degrades to the distributed persist path instead of an OOM.
+        val cap = ss.conf.getOption("graft.serve.maxBatchRows")
+          .map(_.toInt).getOrElse(100000)
+        val rows = batch.limit(cap + 1).collect()
         // empty triggers happen (timer/startup batches) — skip them
-        if (rows.nonEmpty) {
+        if (rows.length > cap) {
+          // oversized batch (misconfigured source or a genuine burst):
+          // serve it distributed — slower per query, but bounded driver
+          // memory; the sink contract (consume within the call) makes
+          // the unpersist safe
+          val big = batch.persist()
+          try sink(batchId, Similarity.sim6ServeQueries(
+            ss, corpusDir, big, k, excludeSelf))
+          finally { big.unpersist(false); () }
+        } else if (rows.nonEmpty) {
           // ONE-partition RDD, not a LocalRelation: LocalTableScanExec
           // parallelizes to defaultParallelism, so each broadcast build
           // over the batch was a 32-task job for 125 rows

@@ -46,7 +46,15 @@ object DedupStream {
     * encoder (per-element boxing on every read AND rewrite of every
     * touched bucket, every batch) — primitive arrays ride
     * UnsafeArrayData's bulk copy and cut the dedup leg's addBatch time
-    * roughly in half at sf1. */
+    * roughly in half at sf1.
+    *
+    * STATE-FORMAT BREAK (round 11): this replaced `Seq[Member]`
+    * (array<struct>) as the stored state schema. Spark's
+    * StateSchemaCompatibilityChecker rejects a checkpoint written
+    * under the old layout — a pre-round-11 checkpoint must be
+    * DISCARDED (replay the source into a fresh checkpoint); there is
+    * no in-place migration. Recovery guarantees hold only across
+    * restarts on one state-schema generation. */
   final case class Bucket(ids: Array[Long], sigs: Array[Long])
   /** per-member view — [[CurationStream]]'s band-bucket state shape */
   final case class Member(id: Long, sig: Seq[Long])

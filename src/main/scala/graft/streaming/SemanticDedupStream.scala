@@ -77,7 +77,13 @@ object SemanticDedupStream {
     * encoder (per-element boxing on every touched cell's full rewrite,
     * every batch — ~127 members × 64 doubles each here) plus an
     * O(m log m) re-sort per arrival; arrays ride UnsafeArrayData's
-    * bulk copy and insert in place. */
+    * bulk copy and insert in place.
+    *
+    * STATE-FORMAT BREAK (round 11): this replaced `Seq[CellMember]`
+    * (array<struct>) as the stored state schema — a pre-round-11
+    * checkpoint fails Spark's StateSchemaCompatibilityChecker on
+    * restart and must be discarded (replay into a fresh checkpoint);
+    * see the identical note on [[graft.streaming.DedupStream.Bucket]]. */
   final case class Cell(ids: Array[Long], nrms: Array[Double],
       vs: Array[Double])
   final case class SemVerdict(vec_id: Long, cell: Long, n_near: Long,
