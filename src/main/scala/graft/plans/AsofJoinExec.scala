@@ -31,10 +31,12 @@ object AsofJoinStrategy extends SparkStrategy {
   *    skew-split, so a hot key bounds this operator's wall time at
   *    its key fraction (≈2× vs uniform at a 20% hot key; lowering the
   *    skew thresholds does nothing here, while the same experiment
-  *    halves aj1's compositional form). On skew-prone corpora route
-  *    the as-of through the compositional plan (Extended.aj1), which
-  *    IS split-ready; this exec is the O(1)-memory fast path for
-  *    roughly-uniform keys.
+  *    halves aj1's compositional form). Since round 12 that routing
+  *    is a MECHANISM, not a convention: [[AsofJoin.join]]'s default
+  *    `auto` dispatch probes both sides' sampled key frequency and
+  *    plans the compositional splittable form when a hot key is
+  *    detected — this exec is planned (and is the right plan) for
+  *    roughly-uniform keys, where it is the O(1)-memory fast path.
   *  - left sorts by (keys, time), right by (keys, time, tieBreak).
   *
   * The merge advances a single right-side cursor monotonically — the

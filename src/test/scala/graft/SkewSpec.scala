@@ -106,6 +106,70 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  /** a uniform twin of [[skewedDir]] — same schema, no hot key —
+    * large enough that the dispatch probe's sample clears its
+    * minSampleRows floor, so it measures the real distribution */
+  private def uniformDir(): String = {
+    val dir = Files.createTempDirectory("graft_uniform_").toString
+    spark.range(30000).select(
+      col("id").as("event_id"),
+      expr("timestamp'2024-01-14 00:00:00' + make_interval(0,0,0,0,0,0, id % 259200)")
+        .as("ts"),
+      pmod(col("id"), lit(500)).as("user_id"),
+      when(pmod(col("id"), lit(4)) === 0, lit("purchase"))
+        .otherwise(lit("view")).as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      lit("""{"k":1}""").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.range(2000).select(
+      col("id").as("o_orderkey"),
+      pmod(col("id"), lit(500)).as("o_custkey"),
+      (col("id") % 997).cast("double").as("o_totalprice"),
+      (to_date(lit("2024-01-10")) + (col("id") % 7).cast("int")).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("as-of DEFAULT dispatch on a hot-key corpus: splittable form planned, split engages, results ≡ exec") {
+    // the round-11 gap made a mechanism: NO manual routing here — aj2
+    // goes through AsofJoin.join's default `auto` dispatch, whose
+    // sampled probe must route the 30%-hot-key corpus to the
+    // compositional form AQE can skew-split (the custom exec is
+    // invisible to OptimizeSkewedJoin)
+    val dir = skewedDir()
+    withConfs(Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val auto = Extended.aj2AsofCustom(spark, dir)
+      val p = plan(auto)
+      // (a) dispatched away from the custom exec...
+      assert(!p.contains("AsofJoin"),
+        "auto dispatch must NOT plan the custom exec on a hot key:\n" + p)
+      // (b) ...to a plan whose hot join partition AQE actually splits
+      assert(p.contains("skew=true"),
+        "the dispatched plan's hot partition must AQE-split:\n" + p)
+      // (c) dispatch cannot change answers: forced-exec is the twin
+      val a = auto.collect().map(_.toString).sorted
+      val m = withConfs(Seq(graft.plans.AsofJoin.DispatchConf -> "merge")) {
+        Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
+      }
+      assert(a.length > 0 && a.sameElements(m),
+        s"dispatch drifted from exec: ${a.length} vs ${m.length} rows")
+    }
+  }
+
+  test("as-of DEFAULT dispatch on a uniform corpus: the O(1)-memory exec stays") {
+    val dir = uniformDir()
+    val p = plan(Extended.aj2AsofCustom(spark, dir))
+    assert(p.contains("AsofJoin"),
+      "uniform keys must keep the custom sort-merge exec:\n" + p)
+  }
+
   test("rj2 under time skew: same-instant burst collapses, results match rj1 exactly") {
     val dir = skewedDir()
     val p = plan(Extended.rj2RangeCount(spark, dir))
