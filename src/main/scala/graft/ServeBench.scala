@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
-import graft.ops.ModelStore
+import org.apache.spark.sql.functions.{bit_xor, broadcast, col, row_number, struct, xxhash64}
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{ModelStore, Similarity}
+import graft.functions.VectorFunctions.{dot, norm2}
 
 /** Measures the offline-train / online-serve split the model
   * lifecycle ([[graft.ops.ModelStore]]) exists for: `train` mode runs
@@ -25,8 +27,10 @@ import graft.ops.ModelStore
   *   runMain graft.ServeBench <sfDir> <modelDir> serve [q1,q2,...]
   *   runMain graft.ServeBench <baseDir> <grownDir> grow [frac]
   *   runMain graft.ServeBench <grownDir> <modelDir> append [q1,q2,...]
+  *   runMain graft.ServeBench <sfDir> <modelDir> recall [nq=N] [load=delta]
   * Output: one `[servebench]` line per step/query with seconds, plus a
-  * final JSON line for the artifact. */
+  * final JSON line for the artifact (recall mode adds
+  * recall_at_10/recall_at_50/nq/probes fields). */
 object ServeBench {
 
   private def consume(df: org.apache.spark.sql.DataFrame): Unit = {
@@ -71,6 +75,7 @@ object ServeBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var recallExtra = "" // recall mode's extra JSON fields
     def time[A](label: String)(body: => A): A = {
       System.gc(); Thread.sleep(200)
       val t0 = System.nanoTime()
@@ -134,11 +139,75 @@ object ServeBench {
           time(n) { consume(SparkEntry.queries(n)(spark, dir)) }
           graft.ops.Model.release()
         }
-      case other => sys.error(s"unknown mode '$other' (train|serve|grow|append)")
+      case "recall" =>
+        // ABSOLUTE answer quality of the IVF-PQ read path vs exact
+        // brute-force ground truth (the one quality claim the oracle
+        // gates cannot make: at driver SFs both engines compute the
+        // same IVF-PQ answer, which says nothing about how good that
+        // answer IS). Protocol: nq corpus vectors sampled by id hash,
+        // served through the SAME body every ANN consumer ranks with
+        // (sim6ServeQueries, excludeSelf — qids are corpus ids), and
+        // an exact top-k over the full corpus with the IDENTICAL
+        // scoring scalar sequence (floorE6'd cosine, ties on vec_id) —
+        // so recall measures PRUNING loss alone, never scoring drift.
+        // args(3+): key=value — nq=300 (queries), load=delta (delta-
+        // load a grown corpus against its base-trained model); regime
+        // and probe count ride SPARK_GRAFT_CONF (graft.ivf.maxK,
+        // graft.ivf.probes).
+        val kvArgs = args.drop(3).flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap
+        val nq = kvArgs.get("nq").map(_.toInt).getOrElse(300)
+        if (kvArgs.get("load").contains("delta"))
+          time("load_ivfpq_delta") { ModelStore.loadIvfPqDelta(spark, dir, modelDir) }
+        else
+          time("load_ivfpq") { ModelStore.loadIvfPq(spark, dir, modelDir) }
+        val ks = Seq(10, 50)
+        val kMax = ks.max
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.orderBy(xxhash64(col("vec_id"))).limit(nq)
+          .select(col("vec_id").as("qid"), col("v")).persist()
+        val nQ = q.count()
+        val approx = time("approx_topk") {
+          Similarity.sim6ServeQueries(spark, dir, q, kMax, excludeSelf = true)
+            .select(col("qid"), col("vec_id"), col("rank")).collect()
+        }
+        val exact = time("exact_topk") {
+          val qb = broadcast(q.select(col("qid"), col("v").as("qv"),
+            norm2(col("v")).as("qnrm")))
+          emb.withColumn("nrm", norm2(col("v")))
+            .join(qb, col("vec_id") =!= col("qid"))
+            .withColumn("cos", graft.ops.Exact.floorE6(
+              dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy(col("qid"))
+                .orderBy(col("cos").desc, col("vec_id"))))
+            .filter(col("rank") <= kMax)
+            .select(col("qid"), col("vec_id"), col("rank")).collect()
+        }
+        q.unpersist()
+        def lists(rows: Array[org.apache.spark.sql.Row], k: Int) =
+          rows.filter(_.getInt(2) <= k).groupBy(_.getLong(0))
+            .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+        val recalls = ks.map { k =>
+          val (a, e) = (lists(approx, k), lists(exact, k))
+          val per = e.map { case (qid, es) =>
+            a.getOrElse(qid, Set.empty).intersect(es).size.toDouble / k }
+          val r = if (per.isEmpty) 0.0 else per.sum / per.size
+          println(f"[servebench] recall@$k = $r%.4f over ${per.size} queries")
+          k -> r
+        }
+        val probes = spark.conf.getOption(Similarity.ProbesConf).getOrElse("4")
+        recallExtra = recalls.map { case (k, r) =>
+          s""""recall_at_$k":${f"$r%.4f"}""" }.mkString(",") +
+          s""","nq":$nQ,"probes":$probes"""
+      case other => sys.error(s"unknown mode '$other' (train|serve|grow|append|recall)")
     }
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"servebench":"$mode","sf":"$dir","times":$qs}""")
+    val extra = if (recallExtra.isEmpty) "" else s",$recallExtra"
+    println(s"""{"servebench":"$mode","sf":"$dir"$extra,"times":$qs}""")
     spark.stop()
   }
 }

@@ -133,8 +133,13 @@ object StreamBench {
       // not of the ranking — a serving deployment sizes its batches to
       // amortize it, so measure the SAME pipeline at 4× the batch size
       case "annserve500" => runAnnServe(spark, sfDir, s"$work/annserve500", 500)
+      // further operating-curve points (batch-size → q/s + batch
+      // latency frontier, SCALE.md): 1000 fits sf1's 20k vectors,
+      // 2000 needs sf10's corpus (stage() limits to 16·perFile rows)
+      case "annserve1000" => runAnnServe(spark, sfDir, s"$work/annserve1000", 1000)
+      case "annserve2000" => runAnnServe(spark, sfDir, s"$work/annserve2000", 2000)
       case other =>
-        sys.error(s"unknown leg '$other' (dedup|dedup4|semdedup|semdedup4|annserve|annserve500|all)")
+        sys.error(s"unknown leg '$other' (dedup|dedup4|semdedup|semdedup4|annserve|annserve500|annserve1000|annserve2000|all)")
     }
     // provider_mem_bytes is the RocksDB block-cache/memtable footprint
     // (BOUNDED by maxMemoryUsageMB above — a cache, not state);

@@ -287,7 +287,17 @@ object Similarity {
   }
 
   private val IVF_ITERS = 3
-  private val IVF_PROBES = 4 // clusters probed per query
+  private val IVF_PROBES = 4 // default clusters probed per query
+  /** probe-count override (`graft.ivf.probes`) — the recall/latency
+    * knob of every IVF read path (sim3/sim6/knn2/ir3/serve): more
+    * probed cells = more candidates = higher recall, linearly more ADC
+    * work. The DEFAULT (4) is baked into the DuckDB oracle SQL texts,
+    * so overriding forfeits the oracle twin exactly like
+    * [[TargetCellConf]] — a deployment tuning move, measured on the
+    * recall harness (ServeBench `recall`, SCALE.md). */
+  val ProbesConf = "graft.ivf.probes"
+  private def ivfProbes(spark: SparkSession): Int =
+    spark.conf.getOption(ProbesConf).map(_.toInt).getOrElse(IVF_PROBES)
   private[graft] val IVF_Q = 512 // integer grid: uq[i] = floor(u[i] * 512)
 
   /** The cell count K is CORPUS-PROPORTIONAL: K = ceil(trainN / target),
@@ -352,13 +362,13 @@ object Similarity {
     *    their centroid on both engines.
     * Final rerank is the floor-scaled exact cosine over the original
     * doubles, as in sim1. */
-  /** A query row's IVF_PROBES best cells, from its `dots` column:
+  /** A query row's `probes` best cells, from its `dots` column:
     * indices of the largest dots — sort (−dot, idx) structs
     * lexicographically, take the head slice. Shared by sim3 and sim6. */
-  private def probesCol(k: Int): Column = explode(expr(
+  private def probesCol(k: Int, probes: Int): Column = explode(expr(
     s"""transform(slice(array_sort(transform(sequence(0, ${k - 1}),
        |  i -> named_struct('d', -element_at(dots, CAST(i + 1 AS INT)), 'idx', i))),
-       |  1, $IVF_PROBES), s -> s.idx)""".stripMargin))
+       |  1, $probes), s -> s.idx)""".stripMargin))
 
   /** Adds an exploded `probe` column of candidate cell ids per query
     * row. Flat model: the IVF_PROBES best cells by the row's `dots`
@@ -369,15 +379,16 @@ object Similarity {
     * whose total population ≈ N·P²/(K1·K2), strictly finer pruning
     * than a maxK-capped flat model could reach. `vecCol` is the
     * unit-grid vector column (sim6 carries it renamed as qx). */
-  private def withProbes(model: IvfModel, df: DataFrame, vecCol: Column): DataFrame =
+  private def withProbes(model: IvfModel, df: DataFrame, vecCol: Column): DataFrame = {
+    val probes = ivfProbes(df.sparkSession)
     model.fine match {
-      case None => df.withColumn("probe", probesCol(model.k))
+      case None => df.withColumn("probe", probesCol(model.k, probes))
       case Some(f) =>
         val topFine = expr(
           s"""transform(slice(array_sort(transform(sequence(0, size(fdots) - 1),
              |  i -> named_struct('d', -element_at(fdots, CAST(i + 1 AS INT)), 'idx', i))),
-             |  1, $IVF_PROBES), s -> s.idx)""".stripMargin)
-        df.withColumn("p1", probesCol(f.coarseK))
+             |  1, $probes), s -> s.idx)""".stripMargin)
+        df.withColumn("p1", probesCol(f.coarseK, probes))
           .join(f.centroids.withColumnRenamed("cell1", "p1"), Seq("p1"), "left")
           .withColumn("fdots", call_function("matrix_dots", vecCol, col("mat")))
           .withColumn("p2",
@@ -385,6 +396,7 @@ object Similarity {
           .withColumn("probe", col("p1") * f.fineK + col("p2"))
           .drop("p1", "p2", "mat", "fdots")
     }
+  }
 
   def sim3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val model = ivfAssigned(spark, dir)
