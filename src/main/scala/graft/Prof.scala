@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 /** Scratch per-query profiler: times each named query `reps` times in
   * one JVM (run 1 = cold, the rest warm), printing plans on demand.
   * Not part of the driver contract.
-  * Usage: runMain graft.Prof <sfDir> <q1,q2,...> [explain|reps=N]
+  * Usage: runMain graft.Prof <sfDir> <q1,q2,...> [explain|finalplan|reps=N]
+  * (`explain` prints the pre-execution formatted plan; `finalplan`
+  * executes once more and prints the FINAL AQE plan — the only place
+  * runtime decisions like skew=true splits are visible)
   * One JVM per invocation IS the isolation: the sf10 artifact's
   * heavy-tail medians come from per-query `reps=4` invocations (cold +
   * median-of-3 warm) so no other query's GC/code-cache churn prices
@@ -18,6 +21,7 @@ object Prof {
     // both flags parse position-independently from the tail: a
     // positional args(2) check silently dropped "reps=4 explain"
     val explain = args.drop(2).contains("explain")
+    val finalPlan = args.drop(2).contains("finalplan")
     val reps = args.drop(2).collectFirst {
       case a if a.startsWith("reps=") => math.max(1, a.stripPrefix("reps=").toInt)
     }.getOrElse(2)
@@ -56,6 +60,18 @@ object Prof {
         val t0 = System.nanoTime()
         consume(fn(spark, dir))
         println(f"[prof] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.ops.Model.release()
+      }
+      if (finalPlan) {
+        // the consumed wrapper's executed plan contains the query's
+        // whole subtree with AQE's runtime choices materialized
+        val d = fn(spark, dir)
+        val c = d.select(xxhash64(struct(d.columns.map(col): _*)).as("h"))
+          .agg(bit_xor(col("h")))
+        c.collect()
+        println(s"[prof-finalplan] $n")
+        println(c.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head)
         graft.ops.Model.release()
       }
     }

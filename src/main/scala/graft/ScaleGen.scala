@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *    schema-dispatching `Tables.events` loader either way.
   *
   * Usage: `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`
+  * (optional flags: `uniquedocs`, `skew`, `only=t1,t2` — see below)
   *
   * A 4th argument `uniquedocs` switches the DOCUMENT replication to
   * grow UNIQUE content at FIXED replica-group size: every word of a
@@ -54,6 +55,15 @@ object ScaleGen {
     val flags = args.drop(3).toSet
     val uniqueDocs = flags("uniquedocs")
     val skew = flags("skew")
+    // only=events,orders — write just the named tables (fixture-
+    // targeted scale probes at factors where a full-corpus write
+    // would blow the disk budget, e.g. the factor-300 skew fixture
+    // that only the as-of/range join pairs read)
+    val only = flags.collectFirst {
+      case f if f.startsWith("only=") =>
+        f.stripPrefix("only=").split(",").toSet
+    }
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -78,11 +88,12 @@ object ScaleGen {
     // 4.6 s warm). 32 output files ≈ one row group per local core,
     // the shape a real corpus has anyway (100 TB is millions of files).
     def write(df: DataFrame, name: String): Unit =
-      df.drop("rep").repartition(32).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      if (wanted(name))
+        df.drop("rep").repartition(32).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     // fixed dimensions: straight copy
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if wanted(t))
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 

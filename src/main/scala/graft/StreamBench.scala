@@ -91,7 +91,11 @@ object StreamBench {
       // picks the shard count from projected state rows the same way
       // (state partitioning is fixed at first checkpoint — it is a
       // deliberate capacity decision, not a parallelism default).
-      .config("spark.sql.shuffle.partitions", "8")
+      // SPARK_GRAFT_STREAM_SHARDS overrides for the shard-sizing
+      // sweeps (state partitioning is fixed at first checkpoint, so
+      // the knob must be set before a leg's first run)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "8"))
       .config("spark.sql.files.maxPartitionBytes", "256k")
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.streaming.stateStore.providerClass",
