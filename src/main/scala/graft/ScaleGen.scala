@@ -54,7 +54,14 @@ object ScaleGen {
     val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
     val flags = args.drop(3).toSet
     val uniqueDocs = flags("uniquedocs")
-    val skew = flags("skew")
+    val skew = flags("skew") || flags.exists(_.startsWith("skewpct="))
+    // skewpct=NN: the hot key's share of all events (default 20) —
+    // the knob that finds WHERE the as-of exec's straggler bound
+    // actually bites (20% barely moves it at factor 300; the dispatch
+    // threshold is set from the measured crossing, SCALE.md round 12)
+    val skewPct = flags.collectFirst {
+      case f if f.startsWith("skewpct=") => f.stripPrefix("skewpct=").toInt
+    }.getOrElse(20)
     // only=events,orders — write just the named tables (fixture-
     // targeted scale probes at factors where a full-corpus write
     // would blow the disk budget, e.g. the factor-300 skew fixture
@@ -126,7 +133,7 @@ object ScaleGen {
     // pairs are reproducible.
     val evOut =
       if (skew) evReplicated.withColumn("user_id",
-        when(pmod(col("event_id"), lit(5)) === 0, lit(1L))
+        when(pmod(col("event_id"), lit(100)) < lit(skewPct), lit(1L))
           .otherwise(col("user_id")))
       else evReplicated
     write(evOut, "events")

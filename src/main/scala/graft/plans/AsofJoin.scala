@@ -40,20 +40,26 @@ case class AsofJoin(
 object AsofJoin {
 
   /** dispatch mode: `auto` (default — sampled skew probe picks the
-    * plan), `merge` (force [[AsofJoinExec]]), `expand` (force the
-    * compositional splittable form) */
+    * plan), `merge` (force plain [[AsofJoinExec]]), `salt` (force the
+    * hot-key-salted exec on EVERY key — the stress/test form), `expand`
+    * (force the compositional splittable form) */
   val DispatchConf = "graft.asof.dispatch"
   /** auto mode's sample fraction for the key-frequency probe; `0`
     * disables the probe (auto then behaves like `merge`) */
   val SampleFractionConf = "graft.asof.skew.sampleFraction"
-  /** auto mode's routing threshold: a single key holding at least this
-    * fraction of EITHER side's sampled rows routes to the splittable
-    * form */
+  /** auto mode's routing threshold: a key holding at least this
+    * fraction of EITHER side's sampled rows is treated as hot and
+    * salted across [[SaltsConf]] sub-partitions */
   val MaxKeyFractionConf = "graft.asof.skew.maxKeyFraction"
   /** a side whose sample is smaller than this is treated as not skewed
     * — a few dozen sampled rows make max/sum pure noise, and an input
     * that small cannot produce a straggler worth re-planning for */
   val MinSampleRowsConf = "graft.asof.skew.minSampleRows"
+  /** how many sub-partitions a hot key's left rows spread over (its
+    * right history is replicated into each); default = the session's
+    * default parallelism at plan time */
+  val SaltsConf = "graft.asof.skew.salts"
+  private val MaxHotKeys = 16 // isin() list bound; top-N by sampled count
 
   /** Column-name builder: resolves against the inputs' analyzed plans,
     * so the node enters the analyzer fully resolved. Key and time
@@ -63,84 +69,168 @@ object AsofJoin {
     * SKEW DISPATCH (the round-11 finding made a mechanism): the
     * sort-merge [[AsofJoinExec]] is the O(1)-memory fast path, but a
     * custom exec is INVISIBLE to AQE's OptimizeSkewedJoin — it matches
-    * only the built-in join nodes — so a hot key bounds the exec's
-    * wall time at that key's row fraction (measured at sf10: 2.0× under
-    * a 20% hot key, unchanged when skew thresholds drop, while the
-    * compositional form splits to 1.27×). Routing by documentation is
-    * not a mechanism, so `join()` now probes BOTH sides' sampled key
-    * frequency (one narrow union-scan at [[SampleFractionConf]],
-    * seeded, ~one key column read) and plans the compositional
-    * splittable form ([[expanded]]) when any key's sampled share
-    * reaches [[MaxKeyFractionConf]]. Both forms share one oracle and
-    * emit identical columns, so dispatch can never change results —
-    * only which straggler profile the plan has. Deployments that know
-    * their key distribution skip the probe with
-    * [[DispatchConf]]=merge|expand. */
+    * only the built-in join nodes — so a hot key serializes that key's
+    * whole merge into one task. Routing by documentation is not a
+    * mechanism, so `join()` (mode `auto`, the default) probes BOTH
+    * sides' sampled key frequency (one narrow side-tagged union scan
+    * at [[SampleFractionConf]], fixed seed) and, when hot keys emerge,
+    * plans the SALTED exec: a salt column becomes an extra join key —
+    * a hot key's LEFT rows spread round-robin over [[SaltsConf]]
+    * sub-partitions while its RIGHT history (one key's history — small
+    * by nature) is replicated into each, so every sub-partition runs
+    * the exact per-key merge on a time-slice of probes against the
+    * full history. Same O(1)-memory exec, no straggler, no expansion:
+    * measured on the factor-300 60%-hot-key fixture the salted exec
+    * runs at uniform speed while the plain exec pays the straggler
+    * (SCALE.md round 12). The compositional [[expanded]] form (AQE-
+    * splittable but SortAggregate-bound — its generic max_by buffers
+    * are struct-typed, which forfeits hash aggregation) remains as the
+    * forced `expand` mode. Every form shares one oracle and emits
+    * identical columns, so dispatch can never change results — only
+    * the straggler profile. Deployments that know their key
+    * distribution skip the probe with [[DispatchConf]]=merge|salt|expand. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[String] = Nil,
       leftOuter: Boolean = false): DataFrame = {
+    requireCompatible(left, right, leftKey, rightKey, leftTime, rightTime)
+    val spark = SparkSession.active
+    val mode = spark.conf.getOption(DispatchConf).getOrElse("auto")
+    mode match {
+      case "merge" =>
+        mergePlan(spark, left, right, leftKey, rightKey, leftTime,
+          rightTime, rightTieBreak, leftOuter)
+      case "expand" =>
+        expanded(left, right, leftKey, rightKey, leftTime, rightTime,
+          rightTieBreak, leftOuter)
+      case "salt" =>
+        salted(spark, left, right, leftKey, rightKey, leftTime, rightTime,
+          rightTieBreak, leftOuter, hotOnly = None)
+      case "auto" =>
+        val hot = sampledHotKeys(spark, left, leftKey, right, rightKey)
+        if (hot.isEmpty)
+          mergePlan(spark, left, right, leftKey, rightKey, leftTime,
+            rightTime, rightTieBreak, leftOuter)
+        else
+          salted(spark, left, right, leftKey, rightKey, leftTime, rightTime,
+            rightTieBreak, leftOuter, hotOnly = Some(hot))
+      case other => throw new IllegalArgumentException(
+        s"$DispatchConf must be auto|merge|salt|expand, got '$other'")
+    }
+  }
+
+  private def requireCompatible(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): Unit = {
+    val (lk, rk) = (resolve(left, leftKey), resolve(right, rightKey))
+    val (lt, rt) = (resolve(left, leftTime), resolve(right, rightTime))
+    require(lk.dataType == rk.dataType,
+      s"asof join: key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"asof join: time types differ: ${lt.dataType} vs ${rt.dataType}")
+  }
+
+  private def resolve(df: DataFrame, n: String): Attribute =
+    df.queryExecution.analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"asof join: no column '$n' in [${df.columns.mkString(", ")}]"))
+
+  /** the plain custom-exec plan on the given frames, keys possibly
+    * composite (the salted path adds its salt column to both sides) */
+  private def mergePlan(spark: SparkSession, left: DataFrame,
+      right: DataFrame, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String], leftOuter: Boolean,
+      extraLeftKeys: Seq[String] = Nil,
+      extraRightKeys: Seq[String] = Nil): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def res(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
-    val (lk, rk) = (res(lp, leftKey), res(rp, rightKey))
-    val (lt, rt) = (res(lp, leftTime), res(rp, rightTime))
-    require(lk.dataType == rk.dataType,
-      s"asof join: key types differ: ${lk.dataType} vs ${rk.dataType}")
-    require(lt.dataType == rt.dataType,
-      s"asof join: time types differ: ${lt.dataType} vs ${rt.dataType}")
-    val spark = SparkSession.active
-    val mode = spark.conf.getOption(DispatchConf).getOrElse("auto")
-    val useExpanded = mode match {
-      case "expand" => true
-      case "merge" => false
-      case "auto" =>
-        maxSampledKeyFraction(spark, left, leftKey, right, rightKey) >=
-          spark.conf.getOption(MaxKeyFractionConf).map(_.toDouble).getOrElse(0.1)
-      case other => throw new IllegalArgumentException(
-        s"$DispatchConf must be auto|merge|expand, got '$other'")
-    }
-    if (useExpanded)
-      expanded(left, right, leftKey, rightKey, leftTime, rightTime,
-        rightTieBreak, leftOuter)
-    else {
-      GraftExtensions.install(spark)
-      org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-        AsofJoin(lp, rp, Seq(lk), Seq(rk), lt, rt,
-          rightTieBreak.map(res(rp, _)), leftOuter))
-    }
+    GraftExtensions.install(spark)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      AsofJoin(lp, rp,
+        (leftKey +: extraLeftKeys).map(res(lp, _)),
+        (rightKey +: extraRightKeys).map(res(rp, _)),
+        res(lp, leftTime), res(rp, rightTime),
+        rightTieBreak.map(res(rp, _)), leftOuter))
   }
 
-  /** auto-dispatch probe: the largest single-key share of either
-    * side's sampled key column. One job — a union of the two key
-    * columns (side-tagged), fixed-seed sample, map-side-combined
-    * count, per-side max/sum. The scan reads ONE column per side with
-    * pushdown; at 100 TB that cost is real but bounded and paid once
-    * per plan build — callers that already know the answer set
-    * [[DispatchConf]] and never probe. Sampled 0 rows → 0.0 (merge). */
-  private def maxSampledKeyFraction(spark: SparkSession,
+  /** The hot-key-salted exec plan — in-exec skew mitigation in the
+    * composition layer: `salt` joins as an EXTRA key, so the exec's
+    * required clustering spreads a hot key's left rows over `salts`
+    * sub-partitions while `explode` replicates that key's right
+    * history into each (a single key's history is small by nature —
+    * the replication is `salts × |history|` rows, not a join
+    * expansion). Each sub-partition then runs the exact per-key merge
+    * on a time-slice of left rows against the FULL history, so
+    * results are bit-identical to the plain exec for ANY salt
+    * assignment — which is why the nondeterministic
+    * monotonically_increasing_id is a safe round-robin source.
+    * `hotOnly = None` salts every key (the forced stress form);
+    * `Some(keys)` salts just the probed hot keys and leaves cold keys
+    * on salt 0 (no replication for them at all). */
+  private def salted(spark: SparkSession, lhs: DataFrame, rhs: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String], leftOuter: Boolean,
+      hotOnly: Option[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val salts = spark.conf.getOption(SaltsConf).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val saltL = "__graft_asof_salt_l"
+    val saltR = "__graft_asof_salt_r"
+    def isHot(c: org.apache.spark.sql.Column) =
+      hotOnly.fold(lit(true))(ks => c.isin(ks: _*))
+    val l2 = lhs.withColumn(saltL,
+      when(isHot(col(leftKey)),
+        pmod(monotonically_increasing_id(), lit(salts.toLong)))
+        .otherwise(lit(0L)))
+    val r2 = rhs.withColumn(saltR, explode(
+      when(isHot(col(rightKey)), sequence(lit(0L), lit(salts - 1L)))
+        .otherwise(array(lit(0L)))))
+    mergePlan(spark, l2, r2, leftKey, rightKey, leftTime, rightTime,
+      rightTieBreak, leftOuter,
+      extraLeftKeys = Seq(saltL), extraRightKeys = Seq(saltR))
+      .drop(saltL, saltR)
+  }
+
+  /** auto-dispatch probe: the keys holding at least
+    * [[MaxKeyFractionConf]] of either side's sampled rows (top
+    * [[MaxHotKeys]] by sampled count — an isin() list, so it must stay
+    * small; anything past the top 16 is not "a hot key", it is a flat
+    * distribution). One job — a union of the two key columns
+    * (side-tagged), fixed-seed sample, map-side-combined count. The
+    * scan reads ONE column per side with pushdown; at 100 TB that cost
+    * is real but bounded and paid once per plan build — callers that
+    * already know the answer set [[DispatchConf]] and never probe.
+    * Sides whose sample is under [[MinSampleRowsConf]] report no hot
+    * keys (noise guard); null keys are never hot (they never match). */
+  private def sampledHotKeys(spark: SparkSession,
       lhs: DataFrame, leftKey: String,
-      rhs: DataFrame, rightKey: String): Double = {
+      rhs: DataFrame, rightKey: String): Seq[Any] = {
     val f = spark.conf.getOption(SampleFractionConf)
       .map(_.toDouble).getOrElse(0.05)
-    if (f <= 0) return 0.0
+    if (f <= 0) return Nil
     val minRows = spark.conf.getOption(MinSampleRowsConf)
       .map(_.toLong).getOrElse(1000L)
+    val thr = spark.conf.getOption(MaxKeyFractionConf)
+      .map(_.toDouble).getOrElse(0.1)
     import org.apache.spark.sql.functions._
+    val bySide = org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
     lhs.select(col(leftKey).as("k"), lit(0).as("side"))
       .unionAll(rhs.select(col(rightKey).as("k"), lit(1).as("side")))
       .sample(withReplacement = false, f, seed = 421)
       .groupBy(col("side"), col("k")).count()
-      .groupBy(col("side"))
-      .agg(when(sum(col("count")) >= minRows,
-        max(col("count")) / sum(col("count"))).otherwise(0.0).as("frac"))
-      .agg(max(col("frac")).as("mf"))
-      .collect().headOption.flatMap(r => Option(r.get(0)))
-      .fold(0.0)(_.asInstanceOf[Double])
+      .withColumn("tot", sum(col("count")).over(bySide))
+      .filter(col("k").isNotNull && col("tot") >= minRows &&
+        col("count") >= col("tot") * thr)
+      .orderBy(col("count").desc)
+      .select(col("k")).limit(MaxHotKeys)
+      .collect().map(_.get(0)).toSeq.distinct
   }
 
   /** The compositional as-of form — equi-join expansion ranked away by
@@ -172,12 +262,18 @@ object AsofJoin {
     // greatest-(time, tie-break) via one struct ordering: null fields
     // sort first (lose), matching the exec's ascending merge order
     val ord = struct((rightTime +: rightTieBreak).map(rc): _*)
-    // left columns are constant per rowId group — first() just carries
-    // them (any datatype) without a second join back
-    val aggs = lhs.columns.toSeq.map(n => first(col(n)).as(n)) ++
-      rNames.zip(rTmp).map { case (n, t) => max_by(col(t), ord).as(n) }
+    // ONE max_by carrying the whole right row as a struct value, not
+    // one max_by per right column: N struct-ordered max_by's paid N
+    // ordering comparisons per joined row and ran ~3× slower than this
+    // form on the factor-300 fixture. Left columns are constant per
+    // rowId group — first() just carries them (any datatype) without a
+    // second join back.
+    val packed = "__graft_asof_r"
+    val aggs = lhs.columns.toSeq.map(n => first(col(n)).as(n)) :+
+      max_by(struct(rTmp.map(col): _*), ord).as(packed)
     joined.groupBy(col(rowId))
       .agg(aggs.head, aggs.tail: _*)
-      .drop(rowId)
+      .select(lhs.columns.toSeq.map(col) ++
+        rNames.zip(rTmp).map { case (n, t) => col(packed).getField(t).as(n) }: _*)
   }
 }

@@ -17,9 +17,11 @@ class AsofJoinSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  /** both production forms — every semantic case must hold under each,
-    * or the auto dispatcher could change answers by re-planning */
-  private val Modes = Seq("merge", "expand")
+  /** all three physical forms — every semantic case must hold under
+    * each, or the auto dispatcher could change answers by re-planning
+    * (salt = the forced everything-salted stress form auto uses for
+    * probed hot keys) */
+  private val Modes = Seq("merge", "expand", "salt")
 
   private def lefts(rows: (Long, Long, String)*): DataFrame =
     rows.toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
@@ -108,6 +110,18 @@ class AsofJoinSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("AsofJoin"), p)
     assert(p.contains("max_by"), p) // the ranking aggregate, not a window sort
+  }
+
+  test("plan: the salted form keeps the exec, clustered on (key, salt)") {
+    val l = lefts((1L, 10L, "2024-01-05 00:00:00"))
+    val r = rights((10L, 1L, "2024-01-01 00:00:00", 7.0))
+    val df = join(l, r, "salt")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("AsofJoin"), p)
+    assert(p.contains("__graft_asof_salt_l"), p)
+    // salt columns must not leak into the output
+    assert(df.columns.sameElements(l.columns ++ r.columns), df.columns.mkString(","))
   }
 
   test("many left rows per key advance the single right cursor correctly (both forms)") {

@@ -130,44 +130,40 @@ class SkewSpec extends AnyFunSuite {
     dir
   }
 
-  test("as-of DEFAULT dispatch on a hot-key corpus: splittable form planned, split engages, results ≡ exec") {
+  test("as-of DEFAULT dispatch on a hot-key corpus: salted exec planned, hot key spreads, results ≡ exec") {
     // the round-11 gap made a mechanism: NO manual routing here — aj2
     // goes through AsofJoin.join's default `auto` dispatch, whose
-    // sampled probe must route the 30%-hot-key corpus to the
-    // compositional form AQE can skew-split (the custom exec is
-    // invisible to OptimizeSkewedJoin)
+    // sampled probe must detect the 30%-hot key and plan the SALTED
+    // exec (salt as an extra join key: the hot key's left rows spread
+    // across sub-partitions, its right history replicates into each —
+    // the straggler mitigation a custom exec cannot get from AQE,
+    // which only skew-splits built-in join nodes)
     val dir = skewedDir()
-    withConfs(Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
-      val auto = Extended.aj2AsofCustom(spark, dir)
-      val p = plan(auto)
-      // (a) dispatched away from the custom exec...
-      assert(!p.contains("AsofJoin"),
-        "auto dispatch must NOT plan the custom exec on a hot key:\n" + p)
-      // (b) ...to a plan whose hot join partition AQE actually splits
-      assert(p.contains("skew=true"),
-        "the dispatched plan's hot partition must AQE-split:\n" + p)
-      // (c) dispatch cannot change answers: forced-exec is the twin
-      val a = auto.collect().map(_.toString).sorted
-      val m = withConfs(Seq(graft.plans.AsofJoin.DispatchConf -> "merge")) {
-        Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
-      }
-      assert(a.length > 0 && a.sameElements(m),
-        s"dispatch drifted from exec: ${a.length} vs ${m.length} rows")
+    val auto = Extended.aj2AsofCustom(spark, dir)
+    val p = plan(auto)
+    // (a) still the O(1)-memory exec...
+    assert(p.contains("AsofJoin"),
+      "auto dispatch must keep the custom exec (salted):\n" + p)
+    // (b) ...but clustered on (key, salt), so the hot key cannot
+    // serialize into one task
+    assert(p.contains("__graft_asof_salt_l"),
+      "auto dispatch must salt the hot key:\n" + p)
+    // (c) dispatch cannot change answers: forced-plain-exec is the twin
+    val a = auto.collect().map(_.toString).sorted
+    val m = withConfs(Seq(graft.plans.AsofJoin.DispatchConf -> "merge")) {
+      Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
     }
+    assert(a.length > 0 && a.sameElements(m),
+      s"dispatch drifted from exec: ${a.length} vs ${m.length} rows")
   }
 
-  test("as-of DEFAULT dispatch on a uniform corpus: the O(1)-memory exec stays") {
+  test("as-of DEFAULT dispatch on a uniform corpus: the plain exec stays, unsalted") {
     val dir = uniformDir()
     val p = plan(Extended.aj2AsofCustom(spark, dir))
     assert(p.contains("AsofJoin"),
       "uniform keys must keep the custom sort-merge exec:\n" + p)
+    assert(!p.contains("__graft_asof_salt_l"),
+      "uniform keys must not pay salting:\n" + p)
   }
 
   test("rj2 under time skew: same-instant burst collapses, results match rj1 exactly") {
