@@ -59,7 +59,26 @@ object AsofJoin {
     * right history is replicated into each); default = the session's
     * default parallelism at plan time */
   val SaltsConf = "graft.asof.skew.salts"
+  /** inputs whose larger side is under this many bytes (optimizer
+    * stats) skip the probe entirely: a hot key in a table this small
+    * costs at most ~a second of straggle — less than the probe scan
+    * that would detect it. 64 MB default; the sf10 fixture (205 MB
+    * events) where the straggler measurably doubles the query still
+    * probes. */
+  val MinBytesConf = "graft.asof.skew.minBytes"
   private val MaxHotKeys = 16 // isin() list bound; top-N by sampled count
+
+  /** probe memo: (semantic plan hashes, keys, confs) → hot keys. A
+    * serving loop or a warm bench rep rebuilds the SAME plan every
+    * call and would re-pay the probe scan each time (measured: +1.4 s
+    * on sf10's 10M-row events per build). Staleness (same plan, new
+    * files underneath) only re-uses a salt DECISION — results are
+    * salt-invariant — so a bounded memo is safe. */
+  private val probeCache =
+    new java.util.LinkedHashMap[String, Seq[Any]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Any]]): Boolean = size() > 64
+    }
 
   /** Column-name builder: resolves against the inputs' analyzed plans,
     * so the node enters the analyzer fully resolved. Key and time
@@ -219,18 +238,32 @@ object AsofJoin {
       .map(_.toLong).getOrElse(1000L)
     val thr = spark.conf.getOption(MaxKeyFractionConf)
       .map(_.toDouble).getOrElse(0.1)
-    import org.apache.spark.sql.functions._
-    val bySide = org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
-    lhs.select(col(leftKey).as("k"), lit(0).as("side"))
-      .unionAll(rhs.select(col(rightKey).as("k"), lit(1).as("side")))
-      .sample(withReplacement = false, f, seed = 421)
-      .groupBy(col("side"), col("k")).count()
-      .withColumn("tot", sum(col("count")).over(bySide))
-      .filter(col("k").isNotNull && col("tot") >= minRows &&
-        col("count") >= col("tot") * thr)
-      .orderBy(col("count").desc)
-      .select(col("k")).limit(MaxHotKeys)
-      .collect().map(_.get(0)).toSeq.distinct
+    val minBytes = spark.conf.getOption(MinBytesConf)
+      .map(_.toLong).getOrElse(64L << 20)
+    // stats floor: both sides too small for a straggler to matter →
+    // the probe scan would cost more than the skew it guards against
+    val lStats = lhs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rStats = rhs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (lStats.max(rStats) < BigInt(minBytes)) return Nil
+    val memoKey = Seq(lhs.queryExecution.analyzed.semanticHash(),
+      rhs.queryExecution.analyzed.semanticHash(),
+      leftKey, rightKey, f, thr, minRows).mkString("|")
+    probeCache.synchronized(Option(probeCache.get(memoKey))).getOrElse {
+      import org.apache.spark.sql.functions._
+      val bySide = org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
+      val hot = lhs.select(col(leftKey).as("k"), lit(0).as("side"))
+        .unionAll(rhs.select(col(rightKey).as("k"), lit(1).as("side")))
+        .sample(withReplacement = false, f, seed = 421)
+        .groupBy(col("side"), col("k")).count()
+        .withColumn("tot", sum(col("count")).over(bySide))
+        .filter(col("k").isNotNull && col("tot") >= minRows &&
+          col("count") >= col("tot") * thr)
+        .orderBy(col("count").desc)
+        .select(col("k")).limit(MaxHotKeys)
+        .collect().map(_.get(0)).toSeq.distinct
+      probeCache.synchronized(probeCache.put(memoKey, hot))
+      hot
+    }
   }
 
   /** The compositional as-of form — equi-join expansion ranked away by

@@ -139,31 +139,50 @@ class SkewSpec extends AnyFunSuite {
     // the straggler mitigation a custom exec cannot get from AQE,
     // which only skew-splits built-in join nodes)
     val dir = skewedDir()
-    val auto = Extended.aj2AsofCustom(spark, dir)
-    val p = plan(auto)
-    // (a) still the O(1)-memory exec...
-    assert(p.contains("AsofJoin"),
-      "auto dispatch must keep the custom exec (salted):\n" + p)
-    // (b) ...but clustered on (key, salt), so the hot key cannot
-    // serialize into one task
-    assert(p.contains("__graft_asof_salt_l"),
-      "auto dispatch must salt the hot key:\n" + p)
-    // (c) dispatch cannot change answers: forced-plain-exec is the twin
-    val a = auto.collect().map(_.toString).sorted
-    val m = withConfs(Seq(graft.plans.AsofJoin.DispatchConf -> "merge")) {
-      Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
+    // the spec fixture is megabytes; drop the production stats floor
+    // (64 MB — below it the probe costs more than the skew it guards)
+    // so the probe actually runs and the MECHANISM is what's pinned
+    withConfs(Seq(graft.plans.AsofJoin.MinBytesConf -> "0")) {
+      val auto = Extended.aj2AsofCustom(spark, dir)
+      val p = plan(auto)
+      // (a) still the O(1)-memory exec...
+      assert(p.contains("AsofJoin"),
+        "auto dispatch must keep the custom exec (salted):\n" + p)
+      // (b) ...but clustered on (key, salt), so the hot key cannot
+      // serialize into one task
+      assert(p.contains("__graft_asof_salt_l"),
+        "auto dispatch must salt the hot key:\n" + p)
+      // (c) dispatch cannot change answers: forced-plain-exec is the twin
+      val a = auto.collect().map(_.toString).sorted
+      val m = withConfs(Seq(graft.plans.AsofJoin.DispatchConf -> "merge")) {
+        Extended.aj2AsofCustom(spark, dir).collect().map(_.toString).sorted
+      }
+      assert(a.length > 0 && a.sameElements(m),
+        s"dispatch drifted from exec: ${a.length} vs ${m.length} rows")
     }
-    assert(a.length > 0 && a.sameElements(m),
-      s"dispatch drifted from exec: ${a.length} vs ${m.length} rows")
   }
 
   test("as-of DEFAULT dispatch on a uniform corpus: the plain exec stays, unsalted") {
     val dir = uniformDir()
+    // floor dropped here too: this pins the probe's uniform verdict,
+    // not the size gate
+    withConfs(Seq(graft.plans.AsofJoin.MinBytesConf -> "0")) {
+      val p = plan(Extended.aj2AsofCustom(spark, dir))
+      assert(p.contains("AsofJoin"),
+        "uniform keys must keep the custom sort-merge exec:\n" + p)
+      assert(!p.contains("__graft_asof_salt_l"),
+        "uniform keys must not pay salting:\n" + p)
+    }
+  }
+
+  test("as-of dispatch stats floor: tiny inputs skip the probe and stay on the plain exec") {
+    // the same hot-key corpus UNDER the production floor: no probe,
+    // no salt — a hot key in a megabytes-sized table cannot straggle
+    // longer than the probe scan that would detect it
+    val dir = skewedDir()
     val p = plan(Extended.aj2AsofCustom(spark, dir))
-    assert(p.contains("AsofJoin"),
-      "uniform keys must keep the custom sort-merge exec:\n" + p)
-    assert(!p.contains("__graft_asof_salt_l"),
-      "uniform keys must not pay salting:\n" + p)
+    assert(p.contains("AsofJoin") && !p.contains("__graft_asof_salt_l"),
+      "sub-floor inputs must not pay the probe or the salt:\n" + p)
   }
 
   test("rj2 under time skew: same-instant burst collapses, results match rj1 exactly") {
