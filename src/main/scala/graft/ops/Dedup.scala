@@ -120,6 +120,13 @@ object Dedup {
       else array_except(col("arr"), typedLit(stop.toSeq))
     val shn = base.select(col("doc_id"), kept.as("arr"))
       .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
+    // quadratic-by-role: the shingle self-join expands Σ_s C(docs_s, 2)
+    // rows. The guard estimates that expansion mechanically (sampled,
+    // behind a 64 MB stats floor) instead of leaving the dd2 routing to
+    // documentation — cc1 consumes this pair stage and is covered here.
+    PairGuard.guardSelf("dd4_ngram_jaccard (pair stage; also feeds cc1)",
+      "dd2_minhash_lsh (banded LSH pairs; cc2_dedup_clusters_lsh for clusters)",
+      docs(spark, dir), shn, "s")
     val a = shn.as("a"); val b = shn.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -387,6 +394,11 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
+    // quadratic-by-role: the half-matrix join is C(N, 2) — one constant
+    // key makes the guard's Σ C(c_k, 2) estimator exactly that
+    PairGuard.guardSelf("dd5_embedding_cosine",
+      "dd7_semantic_dedup (IVF-bucketed) or sim6_ivfpq top-k",
+      Tables.embeddings(spark, dir), e.select(lit(0L).as("one")), "one")
     val a = e.as("a"); val b = e.as("b")
     // floor-scaled score (graft.ops.Exact): the raw cosines are
     // bit-identical across engines, and floor of identical doubles is

@@ -198,6 +198,14 @@ object Extended {
       .withColumn("bkt",
         explode(sequence(expr(s"s_us div $RJ_WINDOW_US"),
           expr(s"(e_us - 1) div $RJ_WINDOW_US"))))
+    // quadratic in time density by role (the output is the general
+    // pair-carrying join): within-bucket pairs grow with probes×markers
+    // per bucket. The guard prices that expansion mechanically —
+    // sampled Σ_bkt l·r behind the 64 MB floor — naming rj2 instead of
+    // leaving the routing to this scaladoc.
+    PairGuard.guardCross("rj1_range_join", "rj2_range_count (rank lookups)",
+      Tables.events(spark, dir),
+      probe.select(col("bkt")), marker.select(col("bkt")), "bkt")
     probe.join(marker,
         probe("bkt") === marker("bkt") &&
           col("t_us") >= col("s_us") && col("t_us") < col("e_us"))

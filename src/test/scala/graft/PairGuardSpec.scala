@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PairGuard
+
+/** The pair-expansion guard (ops/PairGuard.scala): the quadratic
+  * family's routing-as-a-mechanism. Pins (1) the estimator is EXACT at
+  * sampleFraction=1 for both the self-join (Σ C(c,2)) and two-sided
+  * (Σ l·r) forms, (2) `fail` refuses with the linear counterpart named
+  * BEFORE execution, (3) `warn` (the default) never changes results,
+  * (4) the stats floor skips small inputs entirely, and (5) the real
+  * call sites (dd4/dd5/rj1) stay green at test SF — where the floor
+  * keeps them probe-free. */
+class PairGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withConfs[A](confs: Seq[(String, String)])(body: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // keys: a×3, b×2, c×1 → self expansion C(3,2)+C(2,2)+C(1,2) = 3+1+0
+  private def selfDf = {
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("k")
+  }
+
+  test("self-join estimator is exact at sampleFraction=1") {
+    withConfs(Seq(
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "0")) {
+      PairGuard.guardSelf("pgspec_self_exact", "none", selfDf, selfDf, "k")
+      assert(PairGuard.lastEstimate("pgspec_self_exact").contains(4L))
+    }
+  }
+
+  test("two-sided estimator is exact at sampleFraction=1; nulls never pair") {
+    import spark.implicits._
+    // l: a×2, b×1, null×5  r: a×3, b×4 → 2·3 + 1·4 = 10
+    val l = (Seq("a", "a", "b") ++ Seq.fill(5)(null: String)).toDF("k")
+    val r = Seq("a", "a", "a", "b", "b", "b", "b").toDF("k")
+    withConfs(Seq(
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "0")) {
+      PairGuard.guardCross("pgspec_cross_exact", "none", l, l, r, "k")
+      assert(PairGuard.lastEstimate("pgspec_cross_exact").contains(10L))
+    }
+  }
+
+  test("fail mode refuses before execution and names the counterpart") {
+    withConfs(Seq(
+        PairGuard.GuardConf -> "fail",
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "2")) {
+      val e = intercept[IllegalStateException] {
+        PairGuard.guardSelf("pgspec_fail", "the_linear_counterpart",
+          selfDf, selfDf, "k")
+      }
+      assert(e.getMessage.contains("the_linear_counterpart"))
+      assert(e.getMessage.contains("pgspec_fail"))
+    }
+  }
+
+  test("stats floor skips the probe entirely") {
+    withConfs(Seq(
+        PairGuard.GuardConf -> "fail", // would throw if it probed
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> (1L << 40).toString,
+        PairGuard.MaxExpandRowsConf -> "0")) {
+      PairGuard.guardSelf("pgspec_floor", "none", selfDf, selfDf, "k")
+      assert(PairGuard.lastEstimate("pgspec_floor").isEmpty)
+    }
+  }
+
+  test("warn (default) and off both proceed; results unchanged at call sites") {
+    // the real quadratic queries at test SF: under the 64 MB floor they
+    // never probe, and their results are byte-identical to a guard-off
+    // run (the guard is advisory by construction — this pins it)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val dd5 = sorted(SparkEntry.queries("dd5_embedding_cosine")(spark, sf).collect())
+    val rj1 = sorted(SparkEntry.queries("rj1_range_join")(spark, sf).collect())
+    withConfs(Seq(PairGuard.GuardConf -> "off")) {
+      assert(sorted(SparkEntry.queries("dd5_embedding_cosine")(spark, sf)
+        .collect()) == dd5)
+      assert(sorted(SparkEntry.queries("rj1_range_join")(spark, sf)
+        .collect()) == rj1)
+    }
+  }
+
+  test("a forced probe on the real dd5 shape fires warn without failing") {
+    // drop the floor so the sf0.001 embeddings table actually probes:
+    // 30 vectors → C(30,2) = 435 > cap 10 → warn path runs end to end
+    withConfs(Seq(
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "10")) {
+      val out = SparkEntry.queries("dd5_embedding_cosine")(spark, sf)
+      assert(out.count() > 0)
+      val est = PairGuard.lastEstimate("dd5_embedding_cosine")
+      assert(est.nonEmpty && est.get > 10L)
+    }
+  }
+}
