@@ -143,7 +143,11 @@ object ScaleGen {
     // the round-2 ('a' + i % 26) cycled after 26 and made replicas r and
     // r+26 EXACT duplicates (precisely the quadratic dedup-pair
     // detonation the suffix exists to prevent; advice r2)
-    require(factor <= 676, s"replica suffix encoding supports <= 676 replicas, got $factor")
+    // only the document/embedding replica suffix needs the 676 cap —
+    // an only=events,orders run at factor 1000 (the decade fixture for
+    // the windowed/join family) must not die on a table it never writes
+    require(factor <= 676 || !wanted("documents"),
+      s"replica suffix encoding supports <= 676 replicas, got $factor")
     val repWord = typedLit((0 until factor).map(i =>
       "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar))
     val repTag = element_at(repWord, (col("rep") + 1).cast("int"))
