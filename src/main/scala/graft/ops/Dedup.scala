@@ -122,7 +122,7 @@ object Dedup {
       .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
     // quadratic-by-role: the shingle self-join expands Σ_s C(docs_s, 2)
     // rows. The guard estimates that expansion mechanically (sampled,
-    // behind a 64 MB stats floor) instead of leaving the dd2 routing to
+    // behind a 16 MB stats floor) instead of leaving the dd2 routing to
     // documentation — cc1 consumes this pair stage and is covered here.
     PairGuard.guardSelf("dd4_ngram_jaccard (pair stage; also feeds cc1)",
       "dd2_minhash_lsh (banded LSH pairs; cc2_dedup_clusters_lsh for clusters)",

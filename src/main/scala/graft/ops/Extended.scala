@@ -201,7 +201,7 @@ object Extended {
     // quadratic in time density by role (the output is the general
     // pair-carrying join): within-bucket pairs grow with probes×markers
     // per bucket. The guard prices that expansion mechanically —
-    // sampled Σ_bkt l·r behind the 64 MB floor — naming rj2 instead of
+    // sampled Σ_bkt l·r behind the 16 MB floor — naming rj2 instead of
     // leaving the routing to this scaladoc.
     PairGuard.guardCross("rj1_range_join", "rj2_range_count (rank lookups)",
       Tables.events(spark, dir),

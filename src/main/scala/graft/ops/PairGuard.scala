@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * from a sampled per-key frequency scan with the same cost bounds as
   * the as-of probe:
   *
-  *  - STATS FLOOR (`graft.pairs.minBytes`, 64 MB): inputs whose
+  *  - STATS FLOOR (`graft.pairs.minBytes`, 16 MB): inputs whose
   *    pre-expansion scan is smaller skip the probe entirely — a pair
   *    join over megabytes cannot hurt more than the probe that would
   *    measure it, so driver SFs pay exactly nothing;
@@ -56,7 +56,14 @@ object PairGuard {
     * unbiasedness note above); 1.0 makes the estimate exact */
   val SampleFractionConf = "graft.pairs.sampleFraction"
   /** pre-expansion inputs under this many bytes (optimizer stats)
-    * never probe */
+    * never probe. 16 MB — deliberately LOWER than the as-of probe's
+    * 64 MB floor, because a pair operator's damage is not proportional
+    * to its input bytes the way a join straggler's is: the sf10
+    * fixture's 57 MB documents table detonates dd4 to ~456 s (measured,
+    * guard=fail dry run with the old 64 MB floor silently skipping),
+    * while the probe on the same input is a single shingle scan. The
+    * driver's oracle SFs stay under 16 MB (sf1 documents = 5.9 MB), so
+    * the correctness gates still never probe. */
   val MinBytesConf = "graft.pairs.minBytes"
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.PairGuard")
@@ -118,7 +125,7 @@ object PairGuard {
       .map(_.toDouble).getOrElse(0.05)
     if (f <= 0) return
     val minBytes = spark.conf.getOption(MinBytesConf)
-      .map(_.toLong).getOrElse(64L << 20)
+      .map(_.toLong).getOrElse(16L << 20)
     if (floorOn.queryExecution.optimizedPlan.stats.sizeInBytes <
         BigInt(minBytes)) return
     val cap = spark.conf.getOption(MaxExpandRowsConf)
