@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *    schema-dispatching `Tables.events` loader either way.
   *
   * Usage: `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`
-  * (optional flags: `uniquedocs`, `skew`, `only=t1,t2` — see below)
+  * (optional flags: `uniquedocs`, `dupcap=K`, `skew`, `only=t1,t2` —
+  * see below)
   *
   * A 4th argument `uniquedocs` switches the DOCUMENT replication to
   * grow UNIQUE content at FIXED replica-group size: every word of a
@@ -139,40 +140,75 @@ object ScaleGen {
     write(evOut, "events")
 
     // documents: replica suffix word keeps replicas near-dup, not exact.
-    // Base-26 TWO-letter encoding — unique per replica up to 676, where
-    // the round-2 ('a' + i % 26) cycled after 26 and made replicas r and
-    // r+26 EXACT duplicates (precisely the quadratic dedup-pair
-    // detonation the suffix exists to prevent; advice r2)
-    // only the document/embedding replica suffix needs the 676 cap —
-    // an only=events,orders run at factor 1000 (the decade fixture for
-    // the windowed/join family) must not die on a table it never writes
-    require(factor <= 676 || !wanted("documents"),
-      s"replica suffix encoding supports <= 676 replicas, got $factor")
+    // Base-26 letter encoding — the round-2 ('a' + i % 26) cycled after
+    // 26 and made replicas r and r+26 EXACT duplicates (precisely the
+    // quadratic dedup-pair detonation the suffix exists to prevent;
+    // advice r2). Two letters to 676, a third past that (17576 cap) —
+    // factor-1000 document fixtures exist since the dupcap mode below.
+    // Only the DOCUMENT replica tag needs this cap (embeddings perturb
+    // numerically, no suffix) — an only=events,orders run at factor
+    // 1000 (the decade fixture for the windowed/join family) must not
+    // die on a table it never writes.
+    require(factor <= 17576 || !wanted("documents"),
+      s"replica tag encoding supports <= 17576 replicas, got $factor")
     val repWord = typedLit((0 until factor).map(i =>
-      "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar))
+      if (factor <= 676) "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+      else "" + ('a' + i / 676).toChar + ('a' + (i / 26) % 26).toChar +
+        ('a' + i % 26).toChar))
     val repTag = element_at(repWord, (col("rep") + 1).cast("int"))
+    // dupcap=K: BOUNDED dup-group growth — the realistic-duplication
+    // fixture (advice r12 #2). The default near-dup suffix grows every
+    // source dup group by `factor`, so emitted pair sets grow
+    // C(factor·g, 2) per group: 100× pair output for 10× data, a shape
+    // no real crawl has. With dupcap=K, replicas r < K stay near-dups
+    // of their source (groups grow to K and STOP — the sf1 level for
+    // K=10) and replicas r >= K take the per-word unique tag (new
+    // unique volume), so past factor K the corpus grows linearly with
+    // dup-group sizes FIXED — the fixture that lets the banded family
+    // (dd2/dd3/cc2/cur2) prove its scan path (sub)linear at the decade.
+    val dupCap = flags.collectFirst {
+      case f if f.startsWith("dupcap=") => f.stripPrefix("dupcap=").toInt
+    }
+    def uniqueText = array_join(transform(split(col("text"), " "),
+      w => concat(w, lit("q"), repTag)), " ")
+    def nearDupText = concat(col("text"), lit(" xq"), repTag)
     val suffixed =
       if (uniqueDocs)
         // fixed-replica-group mode: tag EVERY word, so replica text
         // shares no shingles with its source (corpus charset [a-z ]
         // is preserved; within-replica planted near-dups stay near-dup
         // because both members carry the same tag)
-        when(col("rep") === 0, col("text"))
-          .otherwise(array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("q"), repTag)), " "))
-      else
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" xq"), repTag))
+        when(col("rep") === 0, col("text")).otherwise(uniqueText)
+      else dupCap match {
+        case Some(k) =>
+          when(col("rep") === 0, col("text"))
+            .when(col("rep") < k, nearDupText)
+            .otherwise(uniqueText)
+        case None =>
+          when(col("rep") === 0, col("text")).otherwise(nearDupText)
+      }
     write(replicate(Tables.documents(spark, srcDir))
       .withColumn("doc_id", off("doc_id"))
       .withColumn("text", suffixed), "documents")
 
-    // embeddings: deterministic tiny perturbation off replica 0
+    // embeddings: deterministic tiny perturbation off replica 0. TWO
+    // mod-prime terms: the rep contribution of each term is constant
+    // across components (the i-term is shared), so a single mod-17
+    // term made replicas r and r+17 EXACT duplicates — fatal for the
+    // factor-1000 ANN fixture (2M vectors, ~58 exact copies each, ties
+    // everywhere). With moduli 17 and 59 the perturbation pattern
+    // repeats only at lcm(17, 59) = 1003 > the decade factor. (Changes
+    // sf1/sf10 embedding fixtures vs r12 by ≤ 0.009 per component —
+    // recall legs re-measure against exact brute force on the SAME
+    // fixture, so the comparison stays self-consistent.)
     val perturbed = when(col("rep") === 0, col("embedding"))
       .otherwise(zip_with(col("embedding"),
         sequence(lit(0), size(col("embedding")) - 1),
-        (x, i) => (x + (pmod(col("vec_id") * 31 + i * 7 + col("rep") * 13, lit(17)) - 8)
-          .cast("float") * lit(0.002f)).cast("float")))
+        (x, i) => (x
+          + (pmod(col("vec_id") * 31 + i * 7 + col("rep") * 13, lit(17)) - 8)
+            .cast("float") * lit(0.002f)
+          + (pmod(col("vec_id") * 17 + i * 11 + col("rep") * 31, lit(59)) - 29)
+            .cast("float") * lit(0.0003f)).cast("float")))
     write(replicate(Tables.embeddings(spark, srcDir))
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", perturbed), "embeddings")

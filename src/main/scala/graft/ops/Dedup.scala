@@ -169,8 +169,14 @@ object Dedup {
     * Shared by dd2 (corpus self-join) and dc2 (benchmark-contamination
     * join); both sides of either join shuffle only the 16-byte
     * (band, bkey) and the signature, never text. */
-  private[ops] def rkBanded(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
+  private[ops] def rkBanded(spark: SparkSession, dir: String): DataFrame =
+    rkBandedOf(spark, docs(spark, dir))
+
+  /** [[rkBanded]] over an arbitrary documents frame — the seam the
+    * pair guard's sampled probe uses (signatures for a 5% doc sample
+    * cost 5% of the signature scan). */
+  private[ops] def rkBandedOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
+    val sh = docsDf
       .select(col("doc_id"), explode(rkShingleArr(spark)).as("s"))
     // signature via the MinHashSketch TypedImperativeAggregate: one
     // expression with a primitive-array buffer (vs 32 generated min()
@@ -209,6 +215,19 @@ object Dedup {
     * oracle-checked, not rows-only. */
   def dd2MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val banded = rkBanded(spark, dir)
+    // banded-candidate guard: the scan is linear but the bucket join
+    // expands Σ_b C(|bucket b|, 2) candidate rows — on a boilerplate-
+    // heavy corpus (dense buckets) that is the same detonation class
+    // the declared quadratics price. The probe samples DOCS (not bucket
+    // rows) so it pays 5% of the signature scan; bucket key = band
+    // (0..7) packed above the 40-bit band fold.
+    PairGuard.guardSelfOf(
+      "dd2_minhash_lsh (banded candidate stage; cc2 consumes these pairs)",
+      "cur2_curation_neardup (bucket-capped anchors, graft.curation.bucketCap) " +
+        "or dd7_semantic_dedup (IVF-bucketed)",
+      docs(spark, dir), docs(spark, dir), "bk")(d =>
+      rkBandedOf(spark, d)
+        .select((col("band").cast("long") * lit(1L << 41) + col("bkey")).as("bk")))
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -315,25 +334,20 @@ object Dedup {
     * contribute identical ±1 vectors, so merged counts produce
     * identical votes. */
   def dd3SimHash(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(spark)
-    // collapse to (doc, word-hash, count) first — the vocabulary is far
-    // smaller than the token stream — then fold the 63 weighted bit
-    // votes in one SimHashSketch aggregate (primitive long[63] buffer;
-    // replaces 63 generated sum(CASE…) columns and their JIT cost)
-    val counted = docs(spark, dir)
-      .select(col("doc_id"), explode(words).as("w"))
-      .select(col("doc_id"), call_function("rk_word_hash", col("w")).as("h40"))
-      .groupBy(col("doc_id"), col("h40")).agg(count(lit(1)).as("cnt"))
-    val sim = counted
-      .withColumn("g1", affineMix(col("h40"), H1a, H1b))
-      .withColumn("g2", affineMix(col("h40"), H2a, H2b))
-      .withColumn("h63",
-        (col("g1") % 2147483648L) * 4294967296L + (col("g2") % 4294967296L))
-      .groupBy(col("doc_id"))
-      .agg(call_function("simhash_sketch", col("h63"), col("cnt")).as("simhash"))
-    val chunked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(expr(s"transform(sequence(0, ${CHUNKS - 1}), i -> shiftright(simhash, i * 7) & 127)")))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val chunked = dd3ChunkedOf(spark, docs(spark, dir))
+    // same banded-candidate guard as dd2: the chunk join probes
+    // Σ C(|bucket|, 2) candidate pairs (the Hamming verify inside the
+    // join condition bounds the OUTPUT, not the probe work) — a
+    // low-entropy corpus packs whole clusters into one 7-bit chunk
+    // bucket. Probe samples docs; bucket key = chunk (0..8) packed
+    // above the 7-bit chunk value.
+    PairGuard.guardSelfOf(
+      "dd3_simhash (banded candidate stage)",
+      "dd7_semantic_dedup (IVF-bucketed) or " +
+        "cur2_curation_neardup (bucket-capped anchors)",
+      docs(spark, dir), docs(spark, dir), "bk")(d =>
+      dd3ChunkedOf(spark, d)
+        .select((col("chunk").cast("long") * 128L + col("ckey")).as("bk")))
     val l = chunked.as("l"); val r = chunked.as("r")
     // verify the Hamming threshold INSIDE the join condition: candidates
     // failing it die during the join probe, so only true near-dups (a
@@ -345,6 +359,34 @@ object Dedup {
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .dropDuplicates("da", "db")
+  }
+
+  /** dd3's signature + chunk-banding pipeline over an arbitrary
+    * documents frame — `(doc_id, simhash, chunk, ckey)`, one row per
+    * (doc, chunk). Split out so the pair guard's sampled probe builds
+    * chunk keys for a doc sample at sample cost.
+    *
+    * Collapses to (doc, word-hash, count) first — the vocabulary is
+    * far smaller than the token stream — then folds the 63 weighted
+    * bit votes in one SimHashSketch aggregate (primitive long[63]
+    * buffer; replaces 63 generated sum(CASE…) columns and their JIT
+    * cost). */
+  private def dd3ChunkedOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val counted = docsDf
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), call_function("rk_word_hash", col("w")).as("h40"))
+      .groupBy(col("doc_id"), col("h40")).agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("g1", affineMix(col("h40"), H1a, H1b))
+      .withColumn("g2", affineMix(col("h40"), H2a, H2b))
+      .withColumn("h63",
+        (col("g1") % 2147483648L) * 4294967296L + (col("g2") % 4294967296L))
+      .groupBy(col("doc_id"))
+      .agg(call_function("simhash_sketch", col("h63"), col("cnt")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(s"transform(sequence(0, ${CHUNKS - 1}), i -> shiftright(simhash, i * 7) & 127)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
   }
 
   /** DuckDB mirror of [[affineMix]] over SQL fragment `x`. */

@@ -207,6 +207,43 @@ object MovingAverage {
        |       window_data_count, real_count, filled_count
        |FROM agg""".stripMargin
 
+  /** explicit pane-shuffle width override (int). Unset (default) =
+    * derive from the scan's optimizer stats. */
+  private[graft] val PaneWidthConf = "graft.panes.width"
+  /** stats bytes one pane-shuffle task should own — sized so a task's
+    * pane-merge hash map stays in executor memory with the default
+    * 4-window explode on top (the decade probe's spill started near
+    * 12M merge rows/task ≈ 350 MB of scan bytes behind them) */
+  private[graft] val PaneTargetBytesConf = "graft.panes.targetBytes"
+  private val DefaultPaneTargetBytes = 64L << 20
+
+  /** Stats-derived hopping-pane shuffle width: scan stats bytes /
+    * target bytes, floored at the session's shuffle width (never
+    * NARROWER than the deployment asked for) and clamped at 4096
+    * (past which task-launch overhead beats spill risk on any
+    * executor profile this engine targets — a 100 TB input arrives
+    * pre-partitioned by source files anyway). Conf-overridable
+    * ([[PaneWidthConf]]); pure plan-time arithmetic on already-cached
+    * optimizer stats, nothing executes. */
+  private[graft] def paneShuffleWidth(e: DataFrame): Int = {
+    val spark = e.sparkSession
+    val conf = spark.conf.getOption(PaneWidthConf).map { v =>
+      try v.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$PaneWidthConf must be an int, got '$v'")
+      }
+    }
+    conf.getOrElse {
+      val target = spark.conf.getOption(PaneTargetBytesConf).map(_.toLong)
+        .getOrElse(DefaultPaneTargetBytes)
+      val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+      val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val byStats = (bytes / BigInt(math.max(1L, target))).min(BigInt(4096)).toInt
+      math.max(base, byStats)
+    }
+  }
+
   /** W2/V2: hopping window, incremental aggregation, derived window
     * bounds `[start, start+size)` (`ma_agg.py:144,154-155`) — no
     * completeness gate, every window emits.
@@ -221,16 +258,46 @@ object MovingAverage {
     * Merge correctness is the A9 additive protocol. */
   def w2Hopping(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-    val panes = e
-      .groupBy(window(col("ts"), "1 hour").as("pane"), col("user_id"))
+    // pane-shuffle width DERIVED from the scan's stats, not left to
+    // whatever spark.sql.shuffle.partitions the deployment happens to
+    // pin: the sf100e decade probe (SCALE.md round 12) measured this
+    // exact plan spilling at ~12M pane-merge rows/partition when the
+    // conf lagged the data 10× (247 s → 101 s at 32 → 128). Dispatch:
+    //  - width ≤ session conf (every driver SF): the round-12 shape —
+    //    pane partials map-side combine, exchanges at the conf width
+    //    (grouping key is now the scalar epoch-hour floor instead of
+    //    the window() struct; same panes, cheaper key);
+    //  - width > conf (data outgrew the conf): hash-repartition the
+    //    raw rows at the derived width on exactly the grouping keys —
+    //    the aggregates' required distribution is satisfied, so BOTH
+    //    exchanges carry the derived width and no extra shuffle
+    //    appears. This trades the map-side pane combine for width; on
+    //    event streams at real sparsity (the decade fixture: ~1 event
+    //    per (user, hour) pane, so panes ≈ events and ×4 exploded
+    //    panes DOMINATE the shuffle volume) the combine saves nothing
+    //    while the width is the difference between spilling and not.
+    //    A deployment with DENSE panes (many events per pane) can
+    //    force the combine shape back with graft.panes.width=<conf>.
+    // `ps` is the epoch-hour floor `window(ts, "1 hour").start`
+    // computes (session tz is UTC repo-wide; Tables.events enforces
+    // it); both shapes produce identical rows (W2WidthSpec pins it).
+    val width = paneShuffleWidth(e)
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = width > sessionParts
+    val paned = e.withColumn("ps", date_trunc("hour", col("ts")))
+    val panes = (if (wide) paned.repartition(width, col("ps"), col("user_id"))
+                 else paned)
+      .groupBy(col("ps"), col("user_id"))
       .agg(
         coalesce(sum(when(col("k") =!= 0, Exact.cents(col("value")))), lit(0L)).as("p_cents"),
         count(when(col("k") =!= 0, lit(1))).as("p_cnt"),
         count(lit(1)).as("p_n"))
-    panes
+    val exploded = panes
       .select(col("user_id"), col("p_cents"), col("p_cnt"), col("p_n"),
         explode(expr(
-          "transform(sequence(0, 3), i -> pane.start - i * INTERVAL 1 HOUR)")).as("ws"))
+          "transform(sequence(0, 3), i -> ps - i * INTERVAL 1 HOUR)")).as("ws"))
+    (if (wide) exploded.repartition(width, col("ws"), col("user_id"))
+     else exploded)
       .groupBy(col("ws"), col("user_id"))
       .agg(
         sum(col("p_cents")).as("s_cents"),

@@ -82,7 +82,7 @@ class PairGuardSpec extends AnyFunSuite {
   }
 
   test("warn (default) and off both proceed; results unchanged at call sites") {
-    // the real quadratic queries at test SF: under the 64 MB floor they
+    // the real quadratic queries at test SF: under the 16 MB floor they
     // never probe, and their results are byte-identical to a guard-off
     // run (the guard is advisory by construction — this pins it)
     def sorted(rows: Array[org.apache.spark.sql.Row]) =
@@ -94,6 +94,81 @@ class PairGuardSpec extends AnyFunSuite {
         .collect()) == dd5)
       assert(sorted(SparkEntry.queries("rj1_range_join")(spark, sf)
         .collect()) == rj1)
+    }
+  }
+
+  test("derived-key (banded) estimator is exact at sampleFraction=1") {
+    import spark.implicits._
+    // base rows fan out to 2 "bands" each; bucket = (band, k): per
+    // band, a×2 and b×1 → Σ C(c,2) = 2 bands × (C(2,2)+C(1,2)) = 2
+    val base = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "id")
+    withConfs(Seq(
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "0")) {
+      PairGuard.guardSelfOf("pgspec_banded_exact", "none", base, base, "bk") {
+        d => d.select(explode(typedLit(Seq(0, 1))).as("band"), col("k"))
+          .select(concat_ws(":", col("band"), col("k")).as("bk"))
+      }
+      assert(PairGuard.lastEstimate("pgspec_banded_exact").contains(2L))
+    }
+  }
+
+  test("dd2/dd3 banded call sites probe when forced; results unchanged") {
+    // force the probe (floor 0, f=1) on the real sf0.001 corpus: both
+    // banded operators must price their candidate expansion, and the
+    // guard must stay advisory (identical results vs guard=off)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val offDd2 = withConfs(Seq(PairGuard.GuardConf -> "off")) {
+      sorted(SparkEntry.queries("dd2_minhash_lsh")(spark, sf).collect())
+    }
+    val offDd3 = withConfs(Seq(PairGuard.GuardConf -> "off")) {
+      sorted(SparkEntry.queries("dd3_simhash")(spark, sf).collect())
+    }
+    withConfs(Seq(
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "1")) {
+      assert(sorted(SparkEntry.queries("dd2_minhash_lsh")(spark, sf)
+        .collect()) == offDd2)
+      assert(sorted(SparkEntry.queries("dd3_simhash")(spark, sf)
+        .collect()) == offDd3)
+      val dd2Est = PairGuard.lastEstimate(
+        "dd2_minhash_lsh (banded candidate stage; cc2 consumes these pairs)")
+      val dd3Est = PairGuard.lastEstimate("dd3_simhash (banded candidate stage)")
+      // the corpus plants near-dups, so both candidate sets are non-empty
+      assert(dd2Est.nonEmpty && dd2Est.get > 0L, s"dd2 estimate: $dd2Est")
+      assert(dd3Est.nonEmpty && dd3Est.get > 0L, s"dd3 estimate: $dd3Est")
+    }
+  }
+
+  test("fail mode refuses the banded dd3 shape naming the counterpart") {
+    withConfs(Seq(
+        PairGuard.GuardConf -> "fail",
+        PairGuard.SampleFractionConf -> "1.0",
+        PairGuard.MinBytesConf -> "0",
+        PairGuard.MaxExpandRowsConf -> "1")) {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("dd3_simhash")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("dd7_semantic_dedup"), e.getMessage)
+    }
+  }
+
+  test("conf validation names the key: bad fraction, malformed floor") {
+    withConfs(Seq(PairGuard.SampleFractionConf -> "1.5",
+        PairGuard.MinBytesConf -> "0")) {
+      val e = intercept[IllegalArgumentException] {
+        PairGuard.guardSelf("pgspec_badf", "none", selfDf, selfDf, "k")
+      }
+      assert(e.getMessage.contains(PairGuard.SampleFractionConf), e.getMessage)
+    }
+    withConfs(Seq(PairGuard.MinBytesConf -> "lots")) {
+      val e = intercept[IllegalArgumentException] {
+        PairGuard.guardSelf("pgspec_badfloor", "none", selfDf, selfDf, "k")
+      }
+      assert(e.getMessage.contains(PairGuard.MinBytesConf), e.getMessage)
     }
   }
 

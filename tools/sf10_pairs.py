@@ -44,21 +44,25 @@ def parse_prof(path: Path):
         rs.sort()
         cold = rs[0][1]
         warms = [t for _, t in rs[1:]]
-        out[name] = (cold, statistics.median(warms) if warms else None)
+        out[name] = (cold, statistics.median(warms) if warms else None, warms)
     return out
 
 
 def main():
     artifact_path, log_dir = sys.argv[1], Path(sys.argv[2])
     art = json.loads(Path(artifact_path).read_text())
-    cold_iso, warm_iso = {}, {}
+    cold_iso, warm_iso, warm_iso_detail = {}, {}, {}
     for log in sorted(log_dir.glob("*.log")):
-        for name, (cold, warm) in parse_prof(log).items():
+        for name, (cold, warm, warms) in parse_prof(log).items():
             cold_iso[name] = cold
             if warm is not None:
                 warm_iso[name] = warm
+                # raw reps, so band-vs-regression adjudication reads off
+                # the artifact instead of fresh re-runs (advice r12 #6)
+                warm_iso_detail[name] = warms
     art["cold_isolated"] = cold_iso
     art["warm_isolated"] = warm_iso
+    art["warm_isolated_reps_detail"] = warm_iso_detail
     art["warm_isolated_reps"] = 3
     # authoritative warm column: isolated medians displace in-sweep
     # values (idempotent — the original in-sweep number is preserved in
