@@ -210,12 +210,17 @@ object MovingAverage {
   /** explicit pane-shuffle width override (int). Unset (default) =
     * derive from the scan's optimizer stats. */
   private[graft] val PaneWidthConf = "graft.panes.width"
-  /** stats bytes one pane-shuffle task should own — sized so a task's
-    * pane-merge hash map stays in executor memory with the default
-    * 4-window explode on top (the decade probe's spill started near
-    * 12M merge rows/task ≈ 350 MB of scan bytes behind them) */
+  /** stats bytes one pane-shuffle task should own — sized from the
+    * measured spill boundary, with the ×4 hopping explode priced in:
+    * the merge exchange carries ~4 rows per scanned event at real
+    * event sparsity (~1 event per pane), the decade probe spilled near
+    * 12M merge rows/task, and scan stats ≈ 25 B/event on this schema —
+    * so 16 MB of scan bytes ≈ 2.6M merge rows/task, a ~4× safety
+    * margin. Measured at sf100e (SCALE.md round 13): 64 MB derived
+    * width 38 → 120 s warm; 16 MB derives ~150, in the 128-width
+    * regime the round-12 probe measured at 101 s. */
   private[graft] val PaneTargetBytesConf = "graft.panes.targetBytes"
-  private val DefaultPaneTargetBytes = 64L << 20
+  private val DefaultPaneTargetBytes = 16L << 20
 
   /** Stats-derived hopping-pane shuffle width: scan stats bytes /
     * target bytes, floored at the session's shuffle width (never
