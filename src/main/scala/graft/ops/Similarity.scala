@@ -1622,13 +1622,33 @@ object Similarity {
   def sim6IvfPqTopK(spark: SparkSession, dir: String): DataFrame =
     sim6TopK(spark, dir, NQ, K)
 
+  /** rerank-shortlist multiplier override (`graft.ivf.rerank`) — the
+    * SECOND recall/latency knob of the IVF-PQ read path, orthogonal to
+    * [[ProbesConf]]: more probes ADD candidates, a bigger shortlist
+    * lets more of them survive the ADC cut into the exact rerank. The
+    * knob that matters when 4-bit ADC cannot ORDER the candidates —
+    * on a corpus dense with near-ties (the decade fixture: ~1000
+    * near-replicas per source vector, cosine margins ≪ quantization
+    * error) raising probes alone LOWERS recall (more ADC-noise
+    * candidates displace true neighbors from a fixed shortlist,
+    * measured: 0.73 → 0.63 recall@50 from probes 4 → 16 at 2M
+    * vectors) while raising the shortlist recovers it (SCALE.md round
+    * 13). The DEFAULT (10) is baked into the DuckDB oracle SQL, so
+    * overriding forfeits the oracle twin exactly like [[ProbesConf]]. */
+  val RerankConf = "graft.ivf.rerank"
+  private val RERANK_MULT = 10
+
   /** ADC shortlist size scales with the requested list length (10×k
     * floor-ed at the classic PQ_RERANK): a fixed 50-candidate
     * shortlist feeding a top-20 rerank is only 2.5× the output and
     * measured recall@20 0.47 at sf0.001 — at 10× it recovers the
     * shortlist-to-output ratio sim6's own k=5 search has. `k=K` keeps
-    * the historical 50, so sim6_ivfpq hashes are unchanged. */
-  private def sim6Rerank(k: Int): Int = math.max(PQ_RERANK, 10 * k)
+    * the historical 50, so sim6_ivfpq hashes are unchanged. The
+    * no-arg form is the ORACLE's (always the default multiplier);
+    * the session form reads [[RerankConf]]. */
+  private def sim6Rerank(k: Int): Int = math.max(PQ_RERANK, RERANK_MULT * k)
+  private def sim6Rerank(spark: SparkSession, k: Int): Int = math.max(PQ_RERANK,
+    spark.conf.getOption(RerankConf).map(_.toInt).getOrElse(RERANK_MULT) * k)
 
   /** [[sim6IvfPqTopK]] parameterized on (queries, list length) so the
     * consumers that need a DENSE RANKING AT SCALE — knn2's neighbor
@@ -1844,7 +1864,7 @@ object Similarity {
       .join(broadcast(q), joinCond)
       .withColumn("ip", ip.cast("long"))
       .withColumn("arank", row_number().over(wIp))
-      .filter(col("arank") <= sim6Rerank(k))
+      .filter(col("arank") <= sim6Rerank(spark, k))
       .select(col("qid"), col("vec_id"))
       .join(broadcast(qVec), "qid")
     // exact rerank: fetch raw vectors for the shortlist only (the

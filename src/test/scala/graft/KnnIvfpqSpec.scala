@@ -60,4 +60,35 @@ class KnnIvfpqSpec extends AnyFunSuite {
     // is a deterministic 7/10
     assert(agree >= 6, s"knn2 agrees with knn1 on only $agree/10 queries")
   }
+
+  test("graft.ivf.rerank: default == unset (oracle twin intact), wider only improves") {
+    // the rerank knob (SCALE.md round 13: the decade corpus where ADC
+    // cannot order near-ties needs shortlist, not probes) follows the
+    // probes contract — the DEFAULT multiplier is what the oracle
+    // bakes, so rerank=10 must be byte-identical to unset; a WIDER
+    // shortlist feeds the exact rerank a SUPERSET of candidates, so
+    // per query the exact-cosine mass of the final top-k can only
+    // hold or rise (a displaced row is displaced by a strictly better
+    // one — this is exactly why the knob recovers recall at 2M
+    // vectors where raising probes lowers it)
+    def run(conf: Option[String]) = {
+      conf.foreach(v => spark.conf.set(Similarity.RerankConf, v))
+      try Similarity.sim6IvfPqTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      finally spark.conf.unset(Similarity.RerankConf)
+    }
+    val unset = run(None)
+    assert(run(Some("10")).toSeq.sorted == unset.toSeq.sorted)
+    val wide = run(Some("40"))
+    def mass(rows: Array[(Long, Long, Double)]) =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val (mNarrow, mWide) = (mass(unset), mass(wide))
+    assert(mNarrow.keySet == mWide.keySet)
+    mNarrow.foreach { case (qid, m) =>
+      assert(mWide(qid) >= m - 1e-9,
+        s"qid $qid: wider shortlist lost cosine mass ($m -> ${mWide(qid)})")
+    }
+    // and it genuinely engages on this corpus: at least one query improves
+    assert(mNarrow.exists { case (qid, m) => mWide(qid) > m + 1e-9 })
+  }
 }
