@@ -371,22 +371,28 @@ object Dedup {
     * bit votes in one SimHashSketch aggregate (primitive long[63]
     * buffer; replaces 63 generated sum(CASE…) columns and their JIT
     * cost). */
-  private def dd3ChunkedOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
+  private def dd3ChunkedOf(spark: SparkSession, docsDf: DataFrame): DataFrame =
+    dd3SigOf(spark, docsDf)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(s"transform(sequence(0, ${CHUNKS - 1}), i -> shiftright(simhash, i * 7) & 127)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+
+  /** The `(doc_id, simhash)` signature stage shared by dd3's chunk
+    * banding and dd12's block-combination index — the fingerprints are
+    * identical by construction, so the two operators differ ONLY in
+    * how they index the Hamming ball. */
+  private def dd3SigOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val counted = docsDf
+    docsDf
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"), call_function("rk_word_hash", col("w")).as("h40"))
       .groupBy(col("doc_id"), col("h40")).agg(count(lit(1)).as("cnt"))
-    counted
       .withColumn("g1", affineMix(col("h40"), H1a, H1b))
       .withColumn("g2", affineMix(col("h40"), H2a, H2b))
       .withColumn("h63",
         (col("g1") % 2147483648L) * 4294967296L + (col("g2") % 4294967296L))
       .groupBy(col("doc_id"))
       .agg(call_function("simhash_sketch", col("h63"), col("cnt")).as("simhash"))
-      .select(col("doc_id"), col("simhash"),
-        posexplode(expr(s"transform(sequence(0, ${CHUNKS - 1}), i -> shiftright(simhash, i * 7) & 127)")))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
   }
 
   /** DuckDB mirror of [[affineMix]] over SQL fragment `x`. */
@@ -397,9 +403,11 @@ object Dedup {
     s"xor($s2, $s2 >> 20)"
   }
 
-  private val dd3Oracle: String = {
+  /** DuckDB CTE chain ending in `sim(doc_id, simhash)` — the oracle
+    * mirror of [[dd3SigOf]], shared by dd3's and dd12's oracles. */
+  private val dd3SimCtes: String = {
     val wordFold = RkLsh.wordSql.replace("\n", " ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |tok AS (SELECT doc_id, unnest(w) AS wd FROM toks),
        |wcnt AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS cnt
        |         FROM tok GROUP BY doc_id, wd),
@@ -416,7 +424,11 @@ object Dedup {
        |          CAST(coalesce(sum(CASE WHEN vote > 0
        |            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END), 0) AS BIGINT)
        |            AS simhash
-       |        FROM bits GROUP BY 1),
+       |        FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  private val dd3Oracle: String = {
+    s"""WITH $dd3SimCtes,
        |ch AS (SELECT doc_id, simhash, c.c AS chunk,
        |         (simhash >> CAST(c.c * 7 AS INT)) & 127 AS ckey
        |       FROM sim CROSS JOIN range(0, $CHUNKS) c(c))
@@ -425,6 +437,95 @@ object Dedup {
        |FROM ch l JOIN ch r
        |  ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= $HAMMING_MAX""".stripMargin
+  }
+
+  // dd12: block-combination SimHash index (the design of Manku/Jain/
+  // Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
+  // 6 blocks of the 63-bit fingerprint (11,11,11,10,10,10 bits low to
+  // high), keyed on every 3-block combination: C(6,3) = 20 tables.
+  private val D12_HAMMING = 3
+  private val D12_LENS = Vector(11, 11, 11, 10, 10, 10)
+  private val D12_OFFS = D12_LENS.scanLeft(0)(_ + _).init // 0,11,22,33,43,53
+  private[ops] val D12_COMBOS: Seq[Seq[Int]] =
+    (0 until D12_LENS.length).combinations(D12_LENS.length / 2).toSeq
+
+  /** DD12 — SimHash near-dup pairs AT SCALE (radius 3). dd3's 9×7-bit
+    * chunk index has 1152 distinct buckets TOTAL, so past ~1e5 docs the
+    * buckets saturate and the candidate set grows quadratically in
+    * corpus size regardless of duplication — measured at the round-13
+    * decade probe (est ×88 per ×10 docs), intrinsic to
+    * radius-8-over-63-bits, and until now answered only by routing to
+    * dd2/dd7. This operator is the in-family fix: key each fingerprint
+    * on every 3-block combination of 6 blocks. By pigeonhole, ≤3
+    * flipped bits touch ≤3 blocks, leaving ≥3 blocks intact — so some
+    * 3-block key survives untouched and every pair within Hamming
+    * distance 3 collides in ≥1 of the 20 tables (the exact-Hamming
+    * verify inside the join keeps precision exact). Key width is 31-33
+    * bits → ~2×10⁹ buckets PER table: the key space scales past any
+    * corpus this engine will see, so bucket occupancy — and with it the
+    * candidate count — is driven by real near-duplication, not by index
+    * saturation. The cost of the wider key is a narrower radius (3 vs
+    * dd3's 8) and a 20×-per-doc (vs 9×) index row expansion — radius 3
+    * over 64 bits is the operating point the WWW'07 paper ran at
+    * web scale (8B docs). Same fingerprints as dd3 ([[dd3SigOf]]), so
+    * dd12 ≡ dd3 filtered to hamming ≤ 3 — which is exactly what
+    * DedupSimilaritySpec pins. Reference scope note: the reference app
+    * (faust_app/ma_agg.py) has no dedup surface; this family exists
+    * for the training-data-pipeline brief. */
+  def dd12SimHashScale(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = dd12BlocksOf(spark, docs(spark, dir))
+    // same Σ C(|bucket|, 2) candidate probe as dd2/dd3 — the index
+    // cannot saturate, but a genuinely replica-dense corpus still
+    // packs clusters into single (t, bkey) buckets
+    PairGuard.guardSelfOf(
+      "dd12_simhash_scale (block-combination candidate stage)",
+      "dd7_semantic_dedup (IVF-bucketed) or " +
+        "cur2_curation_neardup (bucket-capped anchors)",
+      docs(spark, dir), docs(spark, dir), "bk")(d =>
+      dd12BlocksOf(spark, d)
+        .select((col("t").cast("long") * (1L << 34) + col("bkey")).as("bk")))
+    val l = keyed.as("l"); val r = keyed.as("r")
+    l.join(r, col("l.t") === col("r.t") && col("l.bkey") === col("r.bkey") &&
+        col("l.doc_id") < col("r.doc_id") &&
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= D12_HAMMING)
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .dropDuplicates("da", "db")
+  }
+
+  /** `(doc_id, simhash, t, bkey)` — one row per (doc, 3-block
+    * combination); `bkey` packs the 3 block values low-block-last.
+    * Constant-shift arithmetic only, so the whole index stage stays
+    * inside whole-stage codegen. */
+  private def dd12BlocksOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
+    def blk(i: Int): Column =
+      shiftright(col("simhash"), D12_OFFS(i))
+        .bitwiseAND(lit((1L << D12_LENS(i)) - 1))
+    val keyCols = D12_COMBOS.map(c =>
+      c.foldLeft(lit(0L): Column)((acc, i) =>
+        shiftleft(acc, D12_LENS(i)).bitwiseOR(blk(i))))
+    dd3SigOf(spark, docsDf)
+      .select(col("doc_id"), col("simhash"), posexplode(array(keyCols: _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bkey")
+  }
+
+  private val dd12Oracle: String = {
+    val comboRows = D12_COMBOS.zipWithIndex.map { case (c, t) =>
+      s"($t, ${D12_OFFS(c(0))}, ${D12_LENS(c(0))}, ${D12_OFFS(c(1))}, " +
+        s"${D12_LENS(c(1))}, ${D12_OFFS(c(2))}, ${D12_LENS(c(2))})"
+    }.mkString(", ")
+    s"""WITH $dd3SimCtes,
+       |combos(t, o1, l1, o2, l2, o3, l3) AS (VALUES $comboRows),
+       |ch AS (SELECT doc_id, simhash, t,
+       |         ((((simhash >> o1) & ((CAST(1 AS BIGINT) << l1) - 1)) << (l2 + l3))
+       |        | (((simhash >> o2) & ((CAST(1 AS BIGINT) << l2) - 1)) << l3)
+       |        |  ((simhash >> o3) & ((CAST(1 AS BIGINT) << l3) - 1))) AS bkey
+       |       FROM sim CROSS JOIN combos)
+       |SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+       |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |FROM ch l JOIN ch r
+       |  ON l.t = r.t AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $D12_HAMMING""".stripMargin
   }
 
   /** DD5 — embedding-cosine near-dup pairs (exact, threshold 0.45):
@@ -859,6 +960,7 @@ object Dedup {
     Q("dd1_exact_dedup", dd1Exact, Some(dd1Oracle)),
     Q("dd2_minhash_lsh", dd2MinHashLsh, Some(dd2Oracle)),
     Q("dd3_simhash", dd3SimHash, Some(dd3Oracle)),
+    Q("dd12_simhash_scale", dd12SimHashScale, Some(dd12Oracle)),
     Q("dd4_ngram_jaccard", dd4NgramJaccard, Some(dd4Oracle)),
     Q("dd5_embedding_cosine", dd5EmbeddingCosine, Some(dd5Oracle)),
     Q("dd6_chunk_dedup", dd6ChunkDedup, Some(dd6Oracle)),

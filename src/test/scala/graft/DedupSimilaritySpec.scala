@@ -35,6 +35,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(missed.isEmpty, s"simhash missed strongest near-dups: $missed")
   }
 
+  test("dd12 block-combination index = dd3 pairs at hamming <= 3, exactly") {
+    // dd3's 9-chunk banding is COMPLETE over Hamming <= 8 by pigeonhole,
+    // so its output filtered to <= 3 is the exact ground-truth radius-3
+    // pair set; dd12 must reproduce it bit for bit (same fingerprints,
+    // different index) — completeness AND precision in one equality.
+    val viaDd3 = Dedup.dd3SimHash(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3)
+      .select("da", "db", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val d12 = Dedup.dd12SimHashScale(spark, sf)
+      .select("da", "db", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaDd3.nonEmpty, "fixture should contain hamming<=3 pairs")
+    assert(d12 == viaDd3,
+      s"extra=${d12 -- viaDd3} missing=${viaDd3 -- d12}")
+  }
+
+  test("dd12 pigeonhole: every <=3-bit flip shares a 3-block key (independent re-impl, 2000 trials)") {
+    // independent plain-Scala packing (not Dedup's column expressions):
+    // a disagreement here would catch a block-layout bug in either side
+    val lens = Vector(11, 11, 11, 10, 10, 10)
+    val offs = lens.scanLeft(0)(_ + _).init
+    val combos = (0 until 6).combinations(3).toSeq
+    def keys(h: Long): Set[(Int, Long)] = combos.zipWithIndex.map { case (c, t) =>
+      (t, c.foldLeft(0L)((acc, i) =>
+        (acc << lens(i)) | ((h >>> offs(i)) & ((1L << lens(i)) - 1))))
+    }.toSet
+    val rnd = new scala.util.Random(4213)
+    (0 until 2000).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 63) - 1)
+      val flips = 1 + rnd.nextInt(3)
+      val g = (0 until flips).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(63)))
+      assert((keys(h) & keys(g)).nonEmpty,
+        f"hamming<=3 pair shares no block key: $h%016x vs $g%016x")
+    }
+  }
+
   test("sim2 lsh-ann achieves >=60% recall@5 of sim1 brute force") {
     val brute = Similarity.sim1BruteTopK(spark, sf)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

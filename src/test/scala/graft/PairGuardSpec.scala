@@ -126,6 +126,9 @@ class PairGuardSpec extends AnyFunSuite {
     val offDd3 = withConfs(Seq(PairGuard.GuardConf -> "off")) {
       sorted(SparkEntry.queries("dd3_simhash")(spark, sf).collect())
     }
+    val offDd12 = withConfs(Seq(PairGuard.GuardConf -> "off")) {
+      sorted(SparkEntry.queries("dd12_simhash_scale")(spark, sf).collect())
+    }
     withConfs(Seq(
         PairGuard.SampleFractionConf -> "1.0",
         PairGuard.MinBytesConf -> "0",
@@ -134,12 +137,23 @@ class PairGuardSpec extends AnyFunSuite {
         .collect()) == offDd2)
       assert(sorted(SparkEntry.queries("dd3_simhash")(spark, sf)
         .collect()) == offDd3)
+      assert(sorted(SparkEntry.queries("dd12_simhash_scale")(spark, sf)
+        .collect()) == offDd12)
       val dd2Est = PairGuard.lastEstimate(
         "dd2_minhash_lsh (banded candidate stage; cc2 consumes these pairs)")
       val dd3Est = PairGuard.lastEstimate("dd3_simhash (banded candidate stage)")
-      // the corpus plants near-dups, so both candidate sets are non-empty
+      val dd12Est = PairGuard.lastEstimate(
+        "dd12_simhash_scale (block-combination candidate stage)")
+      // the corpus plants near-dups, so all candidate sets are non-empty
       assert(dd2Est.nonEmpty && dd2Est.get > 0L, s"dd2 estimate: $dd2Est")
       assert(dd3Est.nonEmpty && dd3Est.get > 0L, s"dd3 estimate: $dd3Est")
+      assert(dd12Est.nonEmpty && dd12Est.get > 0L, s"dd12 estimate: $dd12Est")
+      // the wide-key index never merges distinct fingerprints into one
+      // bucket, so dd12's candidate expansion is bounded by dd3's (the
+      // 7-bit chunks are a strictly coarser partition of the same docs
+      // per table; 20 tables vs 9 cannot make up an 1152-bucket space)
+      assert(dd12Est.get <= dd3Est.get * 3,
+        s"dd12=$dd12Est should not exceed dd3=$dd3Est materially")
     }
   }
 
