@@ -343,8 +343,8 @@ object Dedup {
     // above the 7-bit chunk value.
     PairGuard.guardSelfOf(
       "dd3_simhash (banded candidate stage)",
-      "dd7_semantic_dedup (IVF-bucketed) or " +
-        "cur2_curation_neardup (bucket-capped anchors)",
+      "dd12_simhash_scale (same fingerprints, radius 3, saturation-free " +
+        "index) or dd7_semantic_dedup (IVF-bucketed)",
       docs(spark, dir), docs(spark, dir), "bk")(d =>
       dd3ChunkedOf(spark, d)
         .select((col("chunk").cast("long") * 128L + col("ckey")).as("bk")))

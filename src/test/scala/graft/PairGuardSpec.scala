@@ -166,6 +166,9 @@ class PairGuardSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException] {
         SparkEntry.queries("dd3_simhash")(spark, sf).collect()
       }
+      // the refusal routes in-family first: dd12 keeps SimHash semantics
+      // (same fingerprints, radius 3) on a saturation-free index
+      assert(e.getMessage.contains("dd12_simhash_scale"), e.getMessage)
       assert(e.getMessage.contains("dd7_semantic_dedup"), e.getMessage)
     }
   }
