@@ -348,7 +348,15 @@ object Dedup {
       docs(spark, dir), docs(spark, dir), "bk")(d =>
       dd3ChunkedOf(spark, d)
         .select((col("chunk").cast("long") * 128L + col("ckey")).as("bk")))
-    val l = chunked.as("l"); val r = chunked.as("r")
+    // MERGE hint: dd3's chunk key space is 1152 buckets BY CONSTRUCTION,
+    // so past ~1e5 docs every key is a dense duplicate — a broadcast-hash
+    // probe walks a bucket-sized collision chain per row (measured: the
+    // AQE-picked BHJ at sf1 runs 26 s warm where the merge join runs
+    // 4.0 s — sorted runs advance linearly over dense keys). There is no
+    // corpus size where hash beats merge here except ones too small to
+    // matter, so the hint is unconditional.
+    val merged = chunked.hint("MERGE")
+    val l = merged.as("l"); val r = merged.as("r")
     // verify the Hamming threshold INSIDE the join condition: candidates
     // failing it die during the join probe, so only true near-dups (a
     // tiny set) ever reach the dedup shuffle — without this, a
@@ -380,19 +388,38 @@ object Dedup {
   /** The `(doc_id, simhash)` signature stage shared by dd3's chunk
     * banding and dd12's block-combination index — the fingerprints are
     * identical by construction, so the two operators differ ONLY in
-    * how they index the Hamming ball. */
+    * how they index the Hamming ball.
+    *
+    * Votes are per word INSTANCE (weight 1), not per distinct word
+    * (weight = count): integer vote sums are order- and
+    * grouping-invariant, so the fingerprints are bit-identical — but
+    * the instance form needs NO (doc, word-hash) pre-count shuffle.
+    * The count-collapse form this replaced shuffled one ~36-byte row
+    * per distinct (doc, word) — ~40 GB at the 30M-doc fixture, the
+    * single largest disk term in the whole plan (measured killing the
+    * 65 GB box, SCALE.md round-13 boundary) — for almost no row
+    * reduction, since natural text rarely repeats words within a doc.
+    * Here the partial sketch aggregates directly on the SCAN
+    * partitions: docs are contiguous in parquet, so the map side
+    * emits ~one 504-byte long[63] buffer per doc and the only
+    * signature shuffle is those buffers keyed by doc_id. A further
+    * subtlety the old form hid: past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 keys!) the sketch aggregate falls back to
+    * SORT-based aggregation — on a corpus-wide shuffle partition that
+    * sort spills the token stream to disk; on a 64 MB scan partition
+    * it sorts a few hundred thousand rows in memory. */
   private def dd3SigOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     docsDf
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"), call_function("rk_word_hash", col("w")).as("h40"))
-      .groupBy(col("doc_id"), col("h40")).agg(count(lit(1)).as("cnt"))
       .withColumn("g1", affineMix(col("h40"), H1a, H1b))
       .withColumn("g2", affineMix(col("h40"), H2a, H2b))
       .withColumn("h63",
         (col("g1") % 2147483648L) * 4294967296L + (col("g2") % 4294967296L))
       .groupBy(col("doc_id"))
-      .agg(call_function("simhash_sketch", col("h63"), col("cnt")).as("simhash"))
+      .agg(call_function("simhash_sketch", col("h63"), lit(1L)).as("simhash"))
   }
 
   /** DuckDB mirror of [[affineMix]] over SQL fragment `x`. */
@@ -449,6 +476,51 @@ object Dedup {
   private[ops] val D12_COMBOS: Seq[Seq[Int]] =
     (0 until D12_LENS.length).combinations(D12_LENS.length / 2).toSeq
 
+  /** Pre-index scan bytes past which dd12's self-join hints
+    * SHUFFLE_HASH instead of letting the planner sort-merge. The
+    * candidate probe needs NO ordering, so SortMergeJoin's two sorts of
+    * the 20-rows-per-doc index are pure waste — and their SPILL, not
+    * the shuffle itself, is what exhausts local disk first: measured at
+    * the 30M-doc fixture (4.3 GB scan), stock SMJ died on a 65 GB disk
+    * budget where the hash join finished in 393 s warm (SCALE.md
+    * round-13 boundary table). Under the floor the planner keeps its
+    * choice (broadcast at oracle SFs — the exploded index is tiny). */
+  val D12HashJoinMinBytesConf = "graft.simhash.hashJoinMinBytes"
+  /** Scan bytes per join task for the stats-derived join width (the w2
+    * pane-width discipline): a ShuffledHashJoin build map cannot spill,
+    * so its per-partition row count must track the data, not a stale
+    * `spark.sql.shuffle.partitions` — at the 30M-doc fixture the
+    * session's 32 partitions put ~19M index rows (~1 GB map) in every
+    * build task and the join aborts ("not enough memory to build hash
+    * map"), while 128+ partitions run it comfortably. 16 MB of
+    * pre-index scan bytes per task ≈ ~2M index rows ≈ ~100 MB build
+    * map. Floor at the session conf, clamp 4096;
+    * `graft.simhash.joinWidth` overrides. */
+  val D12JoinTargetBytesConf = "graft.simhash.joinTargetBytes"
+  val D12JoinWidthConf = "graft.simhash.joinWidth"
+
+  /** Stats-derived width for dd12's candidate join (only used past the
+    * SHUFFLE_HASH floor). Exposed for the spec to pin the arithmetic. */
+  private[graft] def d12JoinWidth(spark: SparkSession, scanBytes: BigInt): Int = {
+    def parsed(conf: String): Option[Long] =
+      spark.conf.getOption(conf).map { v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$conf must be numeric, got '$v'")
+        }
+      }
+    parsed(D12JoinWidthConf).map(_.toInt).getOrElse {
+      val target = parsed(D12JoinTargetBytesConf).getOrElse(16L << 20)
+      val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // clamp in BigInt space — a huge scan must saturate to 4096, not
+      // overflow toInt
+      val derived = ((scanBytes / BigInt(math.max(1L, target))) + 1)
+        .min(BigInt(4096)).toInt
+      math.min(4096, math.max(session, derived))
+    }
+  }
+
   /** DD12 — SimHash near-dup pairs AT SCALE (radius 3). dd3's 9×7-bit
     * chunk index has 1152 distinct buckets TOTAL, so past ~1e5 docs the
     * buckets saturate and the candidate set grows quadratically in
@@ -484,7 +556,28 @@ object Dedup {
       docs(spark, dir), docs(spark, dir), "bk")(d =>
       dd12BlocksOf(spark, d)
         .select((col("t").cast("long") * (1L << 34) + col("bkey")).as("bk")))
-    val l = keyed.as("l"); val r = keyed.as("r")
+    // stats-driven join-strategy dispatch (the AsofJoin discipline):
+    // past the floor, hint the sort-free hash join — see the conf doc
+    val minBytes = spark.conf.getOption(D12HashJoinMinBytesConf)
+      .map { v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$D12HashJoinMinBytesConf must be numeric bytes, got '$v'")
+        }
+      }.getOrElse(256L << 20)
+    val scanBytes =
+      docs(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val hinted =
+      if (scanBytes >= BigInt(minBytes))
+        // the explicit repartition pins the join width (AQE never
+        // coalesces a user repartition) and, being on exactly the join
+        // keys, is THE join exchange — reused for both sides, so the
+        // width costs no extra shuffle
+        keyed.repartition(d12JoinWidth(spark, scanBytes),
+          col("t"), col("bkey")).hint("SHUFFLE_HASH")
+      else keyed
+    val l = hinted.as("l"); val r = hinted.as("r")
     l.join(r, col("l.t") === col("r.t") && col("l.bkey") === col("r.bkey") &&
         col("l.doc_id") < col("r.doc_id") &&
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= D12_HAMMING)

@@ -225,6 +225,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("dd12: past the stats floor the candidate join is a sort-free hash join, results unchanged") {
+    // the candidate probe needs no ordering — SortMergeJoin's sorts of
+    // the 20-rows-per-doc index are the disk-spill term the measured
+    // 30M-doc boundary died on (SCALE.md round 13); past the floor the
+    // plan must be a ShuffledHashJoin, and results must be identical
+    val default = Dedup.dd12SimHashScale(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(Dedup.D12HashJoinMinBytesConf, "0")
+    spark.conf.set(Dedup.D12JoinWidthConf, "7")
+    try {
+      val df = Dedup.dd12SimHashScale(spark, sf)
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      // the pinned width IS the join exchange (no second shuffle for it)
+      assert(p.contains(", 7)"), p)
+      assert(df.collect().map(_.toString).sorted.toSeq == default)
+    } finally {
+      spark.conf.unset(Dedup.D12HashJoinMinBytesConf)
+      spark.conf.unset(Dedup.D12JoinWidthConf)
+    }
+    // width arithmetic: floor at the session conf, scale with scan
+    // bytes over the per-task target, clamp 4096 (the w2 discipline)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Dedup.d12JoinWidth(spark, BigInt(1)) == session)
+    val big = BigInt(16L << 20) * (session + 50)
+    assert(Dedup.d12JoinWidth(spark, big) == session + 51)
+    assert(Dedup.d12JoinWidth(spark, BigInt(Long.MaxValue)) == 4096)
+  }
+
   test("rj2: range count runs on rank lookups — no pair join at all") {
     val p = plan(graft.ops.Extended.rj2RangeCount(spark, sf))
     // rj1's pair stream is quadratic in time density; the count form
