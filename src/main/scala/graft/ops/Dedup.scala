@@ -482,8 +482,8 @@ object Dedup {
     * the 20-rows-per-doc index are pure waste — and their SPILL, not
     * the shuffle itself, is what exhausts local disk first: measured at
     * the 30M-doc fixture (4.3 GB scan), stock SMJ died on a 65 GB disk
-    * budget where the hash join finished in 393 s warm (SCALE.md
-    * round-13 boundary table). Under the floor the planner keeps its
+    * budget where the hash join finishes in 126.8 s warm (SCALE.md
+    * round-13 decade arc). Under the floor the planner keeps its
     * choice (broadcast at oracle SFs — the exploded index is tiny). */
   val D12HashJoinMinBytesConf = "graft.simhash.hashJoinMinBytes"
   /** Scan bytes per join task for the stats-derived join width (the w2
