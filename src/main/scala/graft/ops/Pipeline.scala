@@ -732,6 +732,96 @@ object Pipeline {
        |       d.doc_id IS NULL AS kept
        |FROM win2 w LEFT JOIN drop2 d ON w.doc_id = d.doc_id""".stripMargin
 
+  private val DSIR_B = 4096 // hashed-feature buckets (fixed-size model by construction)
+  private val DSIR_TARGET = "src0" // target-domain exemplar source
+
+  /** DSIR1 — data selection via hashed n-gram importance weights (the
+    * DSIR move, Xie et al. NeurIPS'23): score every raw-pool document
+    * by how target-like its hashed-bigram feature distribution is,
+    * where "target" is a curated exemplar domain (source `src0` stands
+    * in; in production: Wikipedia/books next to a web crawl). Per
+    * feature bucket b the weight is the Laplace-smoothed probability
+    * RATIO p_target(b)/p_source(b); a document's score is the sum of
+    * its features' weights, and it is kept when the per-feature
+    * average favors the target model. The published method sums LOG
+    * ratios and samples by Gumbel-top-k; logs are not engine-neutral
+    * (no two libm's agree to the last ulp), so this variant keeps the
+    * ratio itself in EXACT left-to-right BIGINT arithmetic — same
+    * per-bucket evidence, threshold rule instead of a stochastic
+    * sample, byte-reproducible across engines (the smp1/mix1 property).
+    *
+    * Features are DISTINCT word-bigram RK hashes per document
+    * ([[graft.functions.RkShingleHashes]], the dd2 construction — so
+    * the oracle replays the VALUES) folded onto DSIR_B buckets: the
+    * binary-hashed-feature variant (within-doc repetition counts once),
+    * which also bounds a single doc's score contribution by its length.
+    *
+    * Overflow envelope: counts enter as `(c+1)·1e9 DIV (n+B)` — exact
+    * for per-bucket counts to ~9.2e9, i.e. ~4e13 total bigrams at
+    * uniform occupancy (≫ this fixture's reach; past it, drop the e9
+    * scale a decade — the conf-free choice here keeps the test-SF
+    * arithmetic maximally precise).
+    *
+    * Scale shape (100 TB): two bucket-keyed aggregates (map-side
+    * partials; ≤ DSIR_B rows out each — the weight table is FIXED-SIZE
+    * model state by construction, tok2's class, so it broadcasts via
+    * `guardedBroadcastKnown`), then one narrow explode→broadcast-join→
+    * per-doc re-aggregate — the single doc-keyed shuffle carries one
+    * partial row per (task, doc). The corpus is scanned twice (train
+    * pass, score pass), never globally sorted or pair-joined. */
+  def dsir1ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val feats = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(transform(call_function("rk_shingle_hashes", words, lit(2)),
+          x => pmod(x, lit(DSIR_B.toLong)))).as("b"))
+      .withColumn("tgt", col("source") === DSIR_TARGET)
+    val cnt = feats.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cs"))
+    val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
+    val wts = cnt.crossJoin(broadcast(tot))
+      .withColumn("w_e6", expr(
+        s"""((((ct + 1) * 1000000000) DIV (nt + $DSIR_B)) * 1000000)
+           | DIV greatest(((cs + 1) * 1000000000) DIV (ns + $DSIR_B), 1)""".stripMargin
+          .replace("\n", " ")))
+      .select(col("b"), col("w_e6"))
+    feats.filter(!col("tgt"))
+      .join(Model.guardedBroadcastKnown(wts, DSIR_B.toLong), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("w_e6")).as("score_e6"))
+      .withColumn("avg_w_e6", expr("score_e6 DIV n_feat"))
+      .withColumn("keep", col("avg_w_e6") >= 1000000L)
+  }
+
+  private val dsir1Oracle: String = {
+    val wordFold = graft.functions.RkLsh.wordSql.replace("\n", " ")
+    val mul = graft.functions.RkLsh.MUL
+    val m40 = graft.functions.RkLsh.M40
+    s"""WITH toksd AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |whd AS (SELECT doc_id, source, list_transform(w, wd -> $wordFold) AS hs,
+       |          len(w) AS nw FROM toksd),
+       |shd0 AS (SELECT doc_id, source, unnest(list_transform(range(0, greatest(nw - 2, 0) + 1),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 2]),
+       |                  (a, x) -> (a * $mul + x) % $m40))) AS s FROM whd),
+       |shdd AS (SELECT DISTINCT doc_id, source, s FROM shd0),
+       |f AS (SELECT doc_id, source, s % $DSIR_B AS b,
+       |        source = '$DSIR_TARGET' AS tgt FROM shdd),
+       |cnt AS (SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cs
+       |        FROM f GROUP BY b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM cnt),
+       |wt AS (SELECT b, ((((ct + 1) * 1000000000) // (nt + $DSIR_B)) * 1000000)
+       |             // greatest(((cs + 1) * 1000000000) // (ns + $DSIR_B), 1) AS w_e6
+       |       FROM cnt CROSS JOIN tot)
+       |SELECT doc_id, source, n_feat, score_e6, avg_w_e6, avg_w_e6 >= 1000000 AS keep
+       |FROM (SELECT f.doc_id, f.source AS source, CAST(count(*) AS BIGINT) AS n_feat,
+       |        CAST(sum(w_e6) AS BIGINT) AS score_e6,
+       |        CAST(sum(w_e6) AS BIGINT) // count(*) AS avg_w_e6
+       |      FROM f JOIN wt USING (b) WHERE NOT tgt
+       |      GROUP BY f.doc_id, f.source)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("smp1_hash_sample", smp1HashSample, Some(smp1Oracle)),
     Q("smp2_stratified", smp2Stratified, Some(smp2Oracle)),
@@ -746,5 +836,6 @@ object Pipeline {
     Q("cur1_curation_e2e", cur1CurationE2e, Some(cur1Oracle)),
     Q("cur2_curation_neardup", cur2CurationNearDup, Some(cur2Oracle)),
     Q("src1_source_prior", src1SourcePrior, Some(src1Oracle)),
-    Q("mix1_mixture_sample", mix1MixtureSample, Some(mix1Oracle)))
+    Q("mix1_mixture_sample", mix1MixtureSample, Some(mix1Oracle)),
+    Q("dsir1_importance_weights", dsir1ImportanceWeights, Some(dsir1Oracle)))
 }

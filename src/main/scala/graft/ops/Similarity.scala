@@ -2022,6 +2022,171 @@ object Similarity {
 
   private val sim6Oracle: String = sim6OracleFor(NQ, K)
 
+  /** CLS1 — nearest-centroid (Rocchio) classification: assign every
+    * vector to the label whose centroid it is closest to by cosine, and
+    * report the prediction against the vector's own label — the CHEAP
+    * weak-labeling tier below knn1/knn2 (one dot per class per vector
+    * instead of a neighbor search; the classify-10-billion-docs pass a
+    * curation pipeline runs when even ANN per-item is too expensive).
+    *
+    * Arithmetic is emb1's engine-neutral recipe end to end: unit
+    * vectors floor-scale onto the 512 integer grid, per-label centroid
+    * SUMS come from one `vector_sum_long` sketch per label (exact,
+    * order-free), and cos(u, centroid) is computed against the raw sum
+    * (cosine is scale-invariant — the count never divides). Argmax ties
+    * break to the SMALLEST label: the centroid matrix rides
+    * label-ascending and `array_position` returns the first maximum,
+    * mirrored by the oracle's `ORDER BY cos DESC, clabel`.
+    *
+    * Scale shape (100 TB): training is ONE label-keyed sketch aggregate
+    * (map-side partials; label cardinality is schema-bounded model
+    * state, the categorical-dictionary class — NOT corpus-sized), and
+    * the trained centroids ship as a plan literal through the
+    * O(1)-plan-size codegen'd [[graft.functions.MatrixDots]], so
+    * classification is ONE narrow pass — zero join, zero shuffle
+    * (spec-pinned no-Exchange in the scoring plan). Contrast knn1,
+    * whose per-item cost is a corpus-wide neighbor ranking. */
+  def cls1CentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
+      .select(col("vec_id"), col("label"), col("uq"))
+    val ctr = e.groupBy(col("label"))
+      .agg(call_function("vector_sum_long", col("uq")).as("sn"))
+      .select(col("label"), col("sn.s").as("sl"))
+      .collect().sortBy(_.getInt(0))
+    val labels: Seq[Int] = ctr.map(_.getInt(0)).toSeq
+    val lmat: Seq[Seq[Double]] = ctr.map(_.getSeq[Long](1).map(_.toDouble).toSeq).toSeq
+    // norms replicate DoubleDot's left-to-right accumulation exactly, so
+    // the driver-held values are bit-identical to what norm2(sld) (and
+    // DuckDB's sqrt(list_dot_product(sld, sld))) would compute
+    val lnrm: Seq[Double] = lmat.map { s =>
+      var acc = 0.0; s.foreach(d => acc += d * d); math.sqrt(acc)
+    }
+    e.withColumn("uqd", transform(col("uq"), x => x.cast("double")))
+      .withColumn("unrm", norm2(col("uqd")))
+      .withColumn("cs", zip_with(
+        call_function("matrix_dots", col("uqd"), typedLit(lmat)),
+        typedLit(lnrm),
+        (d, ln) => graft.ops.Exact.floorE6(d / (col("unrm") * ln))))
+      .withColumn("max_cos", array_max(col("cs")))
+      .withColumn("pred_label", element_at(typedLit(labels),
+        array_position(col("cs"), col("max_cos")).cast("int")))
+      .select(col("vec_id"), col("label"), col("pred_label"), col("max_cos"),
+        (col("label") === col("pred_label")).as("correct"))
+  }
+
+  private val cls1Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label,
+       |        list_transform(v, x -> CAST(floor(x / sqrt(list_dot_product(v, v)) * $EMB_Q) AS BIGINT)) AS uq
+       |      FROM e),
+       |d AS (SELECT label, g.i AS dim, sum(uq[CAST(g.i AS INT)]) AS s
+       |      FROM n CROSS JOIN range(1, 65) g(i) GROUP BY 1, 2),
+       |ctr AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS sld FROM d GROUP BY label),
+       |sc AS (SELECT n.vec_id, n.label AS label, ctr.label AS clabel,
+       |         floor(list_dot_product(list_transform(uq, x -> CAST(x AS DOUBLE)), sld)
+       |           / (sqrt(list_dot_product(list_transform(uq, x -> CAST(x AS DOUBLE)),
+       |                                    list_transform(uq, x -> CAST(x AS DOUBLE))))
+       |              * sqrt(list_dot_product(sld, sld))) * 1000000) / 1000000 AS cos
+       |       FROM n CROSS JOIN ctr)
+       |SELECT vec_id, label, pred_label, max_cos, label = pred_label AS correct
+       |FROM (SELECT vec_id, label, clabel AS pred_label, cos AS max_cos,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+       |      FROM sc) WHERE rn = 1""".stripMargin
+
+  private val HN_K = 5 // hard negatives mined per anchor
+  private val HN_SHORT = 25 // hn2's ANN shortlist per anchor (≥ HN_K negatives with 10 labels)
+
+  /** HN1 — contrastive hard-negative mining, exact tier: for each
+    * anchor vector (vec_id < NQ, the bounded query-set convention), the
+    * HN_K highest-cosine vectors whose label DIFFERS from the anchor's —
+    * the "closest wrong answers" an embedding-model trainer pairs with
+    * each anchor so the contrastive loss has gradient (easy random
+    * negatives teach nothing; InfoNCE/triplet training lives on hard
+    * ones).
+    *
+    * Shape is sim1's: the anchor side is bounded and BROADCASTS (with
+    * its labels riding along), the corpus never shuffles before
+    * ranking, and ranking shuffles only (qid, candidate, score) tuples.
+    * The label-mismatch predicate rides the broadcast join, so
+    * same-label candidates are dropped at the scan, not post-ranked. */
+  def hn1HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("anchor_label"))
+      .withColumn("cos", graft.ops.Exact.floorE6(
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= HN_K)
+      .select(col("qid"), col("anchor_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos"), col("rank"))
+  }
+
+  private val hn1Oracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, label AS anchor_label, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |scored AS (
+       |  SELECT q.qid, q.anchor_label, e.vec_id, e.label AS neg_label,
+       |         floor(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) *
+       |                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) * 1000000) / 1000000 AS cos
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.qid AND e.label <> q.anchor_label)
+       |SELECT qid, anchor_label, vec_id AS neg_id, neg_label, cos, rank FROM (
+       |  SELECT qid, anchor_label, vec_id, neg_label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $HN_K""".stripMargin
+
+  /** HN2 — hn1's mining over the SIM6 IVF-PQ tier: the production form
+    * at 100 TB, where an exact per-anchor corpus scan is the
+    * scale-killer. Each anchor takes its HN_SHORT-deep ANN shortlist
+    * (probed-cells-only candidates, compressed-domain ADC scan, exact
+    * rerank — sim6TopK verbatim, so the model is trained once and
+    * shared with sim6/knn2/ir3), labels join on (the shortlist is
+    * bounded NQ·HN_SHORT model-side state, so it BROADCASTS onto the
+    * label column — the corpus never shuffles for the label check),
+    * same-label entries drop, and the top HN_K survivors per anchor are
+    * the mined negatives. Shortlist depth is the recall knob: with L
+    * labels roughly (L-1)/L of the shortlist survives the filter, so
+    * HN_SHORT = 5·HN_K leaves ~4.5× headroom here. Fully oracle-checked
+    * — the oracle nests sim6's complete two-trainer replay as its
+    * shortlist CTE (knn2's pattern). */
+  def hn2HardNegativesIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val anchors = lab.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("label").as("anchor_label"))
+    val short = sim6TopK(spark, dir, NQ, HN_SHORT)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .join(broadcast(anchors), "qid")
+    val neg = lab.join(broadcast(short), "vec_id")
+      .filter(col("label") =!= col("anchor_label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    neg.withColumn("rank", row_number().over(w)).filter(col("rank") <= HN_K)
+      .select(col("qid"), col("anchor_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos"), col("rank"))
+  }
+
+  private lazy val hn2Oracle: String =
+    s"""WITH lab AS (SELECT vec_id, label FROM embeddings),
+       |neg AS (
+       |  SELECT r.qid, a.label AS anchor_label, r.vec_id, l.label AS neg_label, r.cos
+       |  FROM (${sim6OracleFor(NQ, HN_SHORT)}) r
+       |  JOIN lab a ON a.vec_id = r.qid
+       |  JOIN lab l ON l.vec_id = r.vec_id
+       |  WHERE l.label <> a.label)
+       |SELECT qid, anchor_label, vec_id AS neg_id, neg_label, cos, rank FROM (
+       |  SELECT qid, anchor_label, vec_id, neg_label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM neg) WHERE rank <= $HN_K""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pq1_product_quantize", pq1ProductQuantize, Some(pq1Oracle)),
     Q("sim5_pq_adc", sim5PqAdcTopK, Some(sim5Oracle)),
@@ -2038,5 +2203,8 @@ object Similarity {
     Q("qt1_embedding_quantize", qt1Quantize, Some(qt1Oracle)),
     Q("rp1_random_projection", rp1RandomProjection, Some(rp1Oracle)),
     Q("dc3_semantic_decontaminate", dc3SemanticDecontaminate, Some(dc3Oracle)),
-    Q("dd7_semantic_dedup", dd7SemanticDedup, Some(dd7Oracle)))
+    Q("dd7_semantic_dedup", dd7SemanticDedup, Some(dd7Oracle)),
+    Q("cls1_centroid_classify", cls1CentroidClassify, Some(cls1Oracle)),
+    Q("hn1_hard_negatives", hn1HardNegatives, Some(hn1Oracle)),
+    Q("hn2_hard_negatives_ivfpq", hn2HardNegativesIvfpq, Some(hn2Oracle)))
 }
