@@ -2046,37 +2046,62 @@ object Similarity {
     * classification is ONE narrow pass — zero join, zero shuffle
     * (spec-pinned no-Exchange in the scoring plan). Contrast knn1,
     * whose per-item cost is a corpus-wide neighbor ranking. */
-  def cls1CentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** Trained nearest-centroid model: labels ascending, each label's
+    * grid-sum centroid row (exact integer sums as doubles), and the
+    * centroid norms in DoubleDot's left-to-right accumulation order —
+    * bit-identical to what `norm2(sld)` (and DuckDB's
+    * `sqrt(list_dot_product(sld, sld))`) would compute. */
+  private[graft] case class CentroidModel(labels: Seq[Int],
+      lmat: Seq[Seq[Double]], lnrm: Seq[Double])
+
+  /** cls1's TRAINING half: one label-keyed `vector_sum_long` sketch
+    * aggregate (map-side partials; label cardinality is schema-bounded
+    * model state) collected to the driver. */
+  private[graft] def cls1Train(spark: SparkSession, dir: String): CentroidModel = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val ctr = Tables.embeddings(spark, dir)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
-      .select(col("vec_id"), col("label"), col("uq"))
-    val ctr = e.groupBy(col("label"))
+      .groupBy(col("label"))
       .agg(call_function("vector_sum_long", col("uq")).as("sn"))
       .select(col("label"), col("sn.s").as("sl"))
       .collect().sortBy(_.getInt(0))
-    val labels: Seq[Int] = ctr.map(_.getInt(0)).toSeq
     val lmat: Seq[Seq[Double]] = ctr.map(_.getSeq[Long](1).map(_.toDouble).toSeq).toSeq
-    // norms replicate DoubleDot's left-to-right accumulation exactly, so
-    // the driver-held values are bit-identical to what norm2(sld) (and
-    // DuckDB's sqrt(list_dot_product(sld, sld))) would compute
     val lnrm: Seq[Double] = lmat.map { s =>
       var acc = 0.0; s.foreach(d => acc += d * d); math.sqrt(acc)
     }
-    e.withColumn("uqd", transform(col("uq"), x => x.cast("double")))
+    CentroidModel(ctr.map(_.getInt(0)).toSeq, lmat, lnrm)
+  }
+
+  /** cls1's SCORING half over a (vec_id, label, v: array<double>)
+    * relation: a PURE narrow projection — the model rides as plan
+    * literals through the codegen'd MatrixDots, so the same code
+    * classifies a batch corpus and a live stream
+    * ([[graft.streaming.ClassifyStream]] delegates here verbatim; the
+    * streaming spec's equality assertion IS this polymorphism). */
+  private[graft] def cls1Classify(e: DataFrame, m: CentroidModel): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    e.withColumn("nrm", norm2(col("v")))
+      .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
+      .withColumn("uqd", transform(col("uq"), x => x.cast("double")))
       .withColumn("unrm", norm2(col("uqd")))
       .withColumn("cs", zip_with(
-        call_function("matrix_dots", col("uqd"), typedLit(lmat)),
-        typedLit(lnrm),
+        call_function("matrix_dots", col("uqd"), typedLit(m.lmat)),
+        typedLit(m.lnrm),
         (d, ln) => graft.ops.Exact.floorE6(d / (col("unrm") * ln))))
       .withColumn("max_cos", array_max(col("cs")))
-      .withColumn("pred_label", element_at(typedLit(labels),
+      .withColumn("pred_label", element_at(typedLit(m.labels),
         array_position(col("cs"), col("max_cos")).cast("int")))
       .select(col("vec_id"), col("label"), col("pred_label"), col("max_cos"),
         (col("label") === col("pred_label")).as("correct"))
   }
+
+  def cls1CentroidClassify(spark: SparkSession, dir: String): DataFrame =
+    cls1Classify(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")),
+      cls1Train(spark, dir))
 
   private val cls1Oracle: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
