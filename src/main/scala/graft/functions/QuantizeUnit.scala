@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * this is a per-row cost on EVERY vector of the corpus (the sim3/dd7
   * training and assignment input).
   *
+  * STANDING RULE (paid for three times before it was written down —
+  * dc4's Bloom probe in r8, dsir1's bucket fold and cls1's quantize
+  * chain in r13, the latter measured ASCENDING 18→107 s/rep at 2M
+  * vectors from interpreted-eval GC pressure): a per-element lambda
+  * on a hot column does not belong in `transform`/`aggregate`/
+  * `zip_with`. Move the scalar work AFTER an `explode` (plain
+  * expressions stay in codegen), use a plain `Cast` for elementwise
+  * casts, or write the codegen Expression — this file is the
+  * template.
+  *
   * The scalar sequence is IDENTICAL to the HOF form and the DuckDB
   * oracle's `list_transform(v, x -> floor((x / nrm) * q))`: the norm is
   * a strict left-to-right dot (same order as [[DoubleDot]] /

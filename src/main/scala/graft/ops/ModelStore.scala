@@ -31,7 +31,8 @@ import graft.Tables
   *
   * A model is only valid for the exact training conditions, so
   * `ivf_meta` records the sizing confs ([[Similarity.TargetCellConf]],
-  * [[Similarity.MaxKConf]]) and a corpus fingerprint (the embedding
+  * [[Similarity.MaxKConf]], [[Similarity.FlatMaxKConf]]) and a corpus
+  * fingerprint (the embedding
   * count) at SAVE time, and [[loadIvfPq]] fails loudly when the
   * serving session's confs or corpus differ — a model trained under
   * forced sizing confs cannot be silently served under defaults (or
@@ -106,9 +107,10 @@ object ModelStore {
     val fp = corpusFingerprint(spark, corpusDir)
     Seq((confOr(spark, Similarity.TargetCellConf),
         confOr(spark, Similarity.MaxKConf),
+        confOr(spark, Similarity.FlatMaxKConf),
         fp.n, regime, k1, k2, fp.minId, fp.maxId, fp.sampleHash))
-      .toDF("target_cell", "max_k", "n_vecs", "regime", "k1", "k2",
-        "min_id", "max_id", "sample_hash")
+      .toDF("target_cell", "max_k", "flat_max_k", "n_vecs", "regime",
+        "k1", "k2", "min_id", "max_id", "sample_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/ivf_meta")
   }
 
@@ -236,13 +238,20 @@ object ModelStore {
   private def checkConfs(spark: SparkSession, modelDir: String,
       meta: org.apache.spark.sql.Row, who: String): Unit = {
     val (tc, mk) = (meta.getAs[String]("target_cell"), meta.getAs[String]("max_k"))
-    val (curTc, curMk) = (confOr(spark, Similarity.TargetCellConf),
-      confOr(spark, Similarity.MaxKConf))
-    if (tc != curTc || mk != curMk) throw new IllegalStateException(
-      s"$who: model at $modelDir was trained under sizing confs " +
-        s"(targetCell='$tc', maxK='$mk') but the serving session has " +
-        s"('$curTc', '$curMk') — serving would differ from in-process " +
-        "training; set the confs to match, or retrain")
+    // models saved before the flat-cost threshold existed dispatched on
+    // maxK alone — their effective flat cap IS the recorded max_k
+    val fmk = if (meta.schema.fieldNames.contains("flat_max_k"))
+      meta.getAs[String]("flat_max_k") else mk
+    val (curTc, curMk, curFmk) = (confOr(spark, Similarity.TargetCellConf),
+      confOr(spark, Similarity.MaxKConf),
+      confOr(spark, Similarity.FlatMaxKConf))
+    if (tc != curTc || mk != curMk || fmk != curFmk)
+      throw new IllegalStateException(
+        s"$who: model at $modelDir was trained under sizing confs " +
+          s"(targetCell='$tc', maxK='$mk', flatMaxK='$fmk') but the " +
+          s"serving session has ('$curTc', '$curMk', '$curFmk') — " +
+          "serving would differ from in-process training; set the " +
+          "confs to match, or retrain")
   }
 
   /** one-scan append check: the fingerprint of the corpus restricted

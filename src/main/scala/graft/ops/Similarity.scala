@@ -309,10 +309,12 @@ object Similarity {
     * DuckDB oracle derives K from the SAME train count with the SAME
     * integer formula (defaults baked into the SQL text), so the query
     * stays hash-checkable at every SF — overriding the confs is a
-    * deployment move that forfeits only the oracle twin. The cap bounds
-    * driver/model state (maxK × 64 longs ≈ 32 MB at the default) — at a
-    * corpus big enough that the desired K exceeds it, the trainer goes
-    * HIERARCHICAL automatically: a flat coarse quantizer of ≤ maxK
+    * deployment move that forfeits only the oracle twin. The maxK cap
+    * bounds driver/model state (maxK × 64 longs ≈ 32 MB at the
+    * default); the [[FlatMaxKConf]] cap bounds per-scan assignment
+    * COST — at a corpus big enough that the desired K exceeds either,
+    * the trainer goes HIERARCHICAL automatically: a flat coarse
+    * quantizer of ≤ maxK
     * driver-held centroids, then per-coarse-cell fine sub-centroids
     * kept as a DISTRIBUTED table (never collected), so cell population
     * stays ≈ 4·target and driver/model state stays ≤ maxK rows at any
@@ -320,16 +322,39 @@ object Similarity {
     * See [[twoLevelAssigned]]. */
   val TargetCellConf = "graft.ivf.targetCell"
   val MaxKConf = "graft.ivf.maxK"
+
+  /** The flat→two-level dispatch threshold — a COST bound, distinct
+    * from [[MaxKConf]]'s driver-STATE bound. Flat assignment prices
+    * every corpus row at K 64-dim dots per scan, so its per-scan work
+    * is N·K ∝ N²/target at defaults — quadratic in the corpus — while
+    * two-level prices it at K1+K2 ≈ 2√K. Dispatching on maxK alone
+    * (the pre-round-13 rule) left a measured quadratic valley between
+    * the last comfortable flat corpus and maxK·target: at 2M vectors
+    * (desired K = 15 625, well under the 65 536 state cap) the flat
+    * trainer ran 28 min and EVERY warm consumer re-paid a ~14 min
+    * 2M×15 625-dot assignment scan per invocation, where the two-level
+    * regime measures ~50 s / ~15 s on the same corpus (SCALE.md round
+    * 13). The default (2048) keeps flat — the oracle-replayed regime —
+    * through every driver SF and this repo's sf1/sf10 fixtures
+    * (desired 157/1563), and is ≈1.3× the per-row work of the measured
+    * 13.6 s sf10 point at worst. Like the sizing confs, the value is
+    * part of the model identity: it keys the registry and is recorded
+    * and checked by [[graft.ops.ModelStore]]. */
+  val FlatMaxKConf = "graft.ivf.flatMaxK"
   private val DefaultTargetCell = 32L
   private val DefaultMaxK = 65536L
+  private val DefaultFlatMaxK = 2048L
 
-  /** (desired uncapped cell count = ceil(trainN/target), maxK). */
-  private def ivfParams(spark: SparkSession, trainN: Long): (Long, Long) = {
+  /** (desired uncapped cell count = ceil(trainN/target),
+    * flat-regime cap = min(flatMaxK, maxK), maxK). */
+  private def ivfParams(spark: SparkSession, trainN: Long): (Long, Long, Long) = {
     val target = spark.conf.getOption(TargetCellConf).map(_.toLong)
       .getOrElse(DefaultTargetCell)
     val maxK = spark.conf.getOption(MaxKConf).map(_.toLong)
       .getOrElse(DefaultMaxK)
-    (math.max(1L, (trainN + target - 1) / target), maxK)
+    val flatCap = math.min(maxK, spark.conf.getOption(FlatMaxKConf)
+      .map(_.toLong).getOrElse(DefaultFlatMaxK))
+    (math.max(1L, (trainN + target - 1) / target), flatCap, maxK)
   }
 
   /** SIM3 — IVF (inverted-file) ANN: k-means partitions the corpus into
@@ -474,7 +499,8 @@ object Similarity {
 
   private def ivfCacheKey(spark: SparkSession, dir: String): String =
     s"$dir|${spark.conf.getOption(TargetCellConf).getOrElse("")}" +
-      s"|${spark.conf.getOption(MaxKConf).getOrElse("")}"
+      s"|${spark.conf.getOption(MaxKConf).getOrElse("")}" +
+      s"|${spark.conf.getOption(FlatMaxKConf).getOrElse("")}"
 
   /** The persistable parts of a trained IVF quantizer — either
     * regime. Flat: the driver-held centroid matrix. Two-level: the
@@ -606,9 +632,9 @@ object Similarity {
         val train = e.filter(pmod(col("vec_id"), lit(4)) === 0)
           .select(col("vec_id"), col("uq"))
         train.cache()
-        val (desired, maxK) = ivfParams(spark, train.count())
+        val (desired, flatCap, maxK) = ivfParams(spark, train.count())
 
-        if (desired <= maxK) {
+        if (desired <= flatCap) {
           val k = desired.toInt
           val centroids = lloydFlat(train, k)
           // training is done: release the cached sample (the downstream
@@ -627,7 +653,7 @@ object Similarity {
     * SemDeDup deployment shape trains the quantizer offline over a
     * corpus snapshot and assigns online. Identical sample prep, params
     * and Lloyd loop as [[ivfAssigned]]'s flat branch (K clamped to
-    * maxK), so for any corpus where the flat path engages this IS
+    * the flat cap), so for any corpus where the flat path engages this IS
     * dd7's model — which is what lets StreamingSemanticDedupSpec
     * assert streaming ≡ batch dd7 exactly. */
   private[graft] def flatCentroids(spark: SparkSession, dir: String): Array[Seq[Long]] = {
@@ -642,12 +668,13 @@ object Similarity {
           .select(col("vec_id"), col("uq"))
         train.cache()
         try {
-          val (desired, maxK) = ivfParams(spark, train.count())
-          val centroids = lloydFlat(train, math.min(desired, maxK).toInt)
-          // registry-share ONLY in the flat regime: past maxK this
-          // clamped model is NOT what ivfAssigned would train (it goes
-          // two-level), so registering it would poison the shared key
-          if (desired <= maxK) ivfCache.synchronized {
+          val (desired, flatCap, _) = ivfParams(spark, train.count())
+          val centroids = lloydFlat(train, math.min(desired, flatCap).toInt)
+          // registry-share ONLY in the flat regime: past the flat cap
+          // this clamped model is NOT what ivfAssigned would train (it
+          // goes two-level), so registering it would poison the shared
+          // key
+          if (desired <= flatCap) ivfCache.synchronized {
             ivfCache.put(key, FlatTrained(desired.toInt, centroids)); ()
           }
           centroids
@@ -715,10 +742,12 @@ object Similarity {
         transform(x.getField("c"), y => y.cast("double"))).as("mat"))
 
   /** The TWO-LEVEL (coarse+fine) trainer — engages when the corpus-
-    * proportional cell count exceeds maxK, the point where a flat
-    * driver-held model would either blow driver memory or let cells
+    * proportional cell count exceeds min(flatMaxK, maxK): past maxK a
+    * flat driver-held model would blow driver memory or let cells
     * resume growing with the corpus (the measured failure mode the
-    * K∝N fix removed at smaller scales). Level 1 is [[lloydFlat]] with
+    * K∝N fix removed at smaller scales); past flatMaxK its per-scan
+    * N·K assignment cost detonates first (the measured 2M-vector
+    * quadratic valley — see [[FlatMaxKConf]]). Level 1 is [[lloydFlat]] with
     * K1 = min(maxK, ceil(√desired)) driver-held centroids; level 2
     * trains ≤ K2 = ceil(desired/K1) sub-centroids INSIDE each coarse
     * cell with the same integer-grid Lloyd arithmetic, but the fine
@@ -736,8 +765,9 @@ object Similarity {
     * combined id is cell1·K2 + cell2.
     *
     * Not oracle-twinned: with default confs this path engages at
-    * trainN > maxK·target ≈ 2M sampled vectors — far past every
-    * driver SF — and forcing it on via the confs forfeits the oracle
+    * trainN > flatMaxK·target = 65 536 sampled vectors (≈ 262k corpus
+    * vectors) — still past every driver SF and this repo's sf1/sf10
+    * fixtures — and forcing it on via the confs forfeits the oracle
     * by declaration (see [[TargetCellConf]]). Correctness is spec'd
     * instead (TwoLevelIvfSpec): structural invariants + sim3/dd7
     * output contracts with the confs forced low. */
@@ -2061,8 +2091,10 @@ object Similarity {
     graft.functions.GraftFunctions.registerAll(spark)
     val ctr = Tables.embeddings(spark, dir)
       .select(col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-      .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
+      // codegen'd quantization (QuantizeUnit — identical scalar sequence
+      // to the HOF transform chain, which evaluates interpreted and was
+      // measured ASCENDING 18→107 s/rep at 2M vectors from GC pressure)
+      .withColumn("uq", call_function("quantize_unit", col("v"), lit(EMB_Q)))
       .groupBy(col("label"))
       .agg(call_function("vector_sum_long", col("uq")).as("sn"))
       .select(col("label"), col("sn.s").as("sl"))
@@ -2082,9 +2114,10 @@ object Similarity {
     * streaming spec's equality assertion IS this polymorphism). */
   private[graft] def cls1Classify(e: DataFrame, m: CentroidModel): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    e.withColumn("nrm", norm2(col("v")))
-      .withColumn("uq", transform(col("v"), x => floor(x / col("nrm") * EMB_Q)))
-      .withColumn("uqd", transform(col("uq"), x => x.cast("double")))
+    e.withColumn("uq", call_function("quantize_unit", col("v"), lit(EMB_Q)))
+      // array<long> → array<double> as a plain Cast (codegen'd), not a
+      // per-element transform() lambda (interpreted)
+      .withColumn("uqd", col("uq").cast("array<double>"))
       .withColumn("unrm", norm2(col("uqd")))
       .withColumn("cs", zip_with(
         call_function("matrix_dots", col("uqd"), typedLit(m.lmat)),

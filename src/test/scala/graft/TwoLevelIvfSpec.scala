@@ -4,14 +4,18 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Similarity
 
-/** The two-level (coarse+fine) IVF trainer engages only when the
-  * corpus-proportional cell count exceeds graft.ivf.maxK — never at
-  * driver SFs with default confs (the oracle pins the flat path
-  * there). Its correctness surface is this spec: force the confs low
-  * on sf0.001 so the hierarchy engages, then pin the structural
-  * invariants (cell id space, driver-state bound, finer-than-flat
-  * partitioning) and the downstream contracts (sim3 output shape +
-  * recall, dd7 verdict consistency).
+/** The two-level (coarse+fine) IVF trainer engages when the
+  * corpus-proportional cell count exceeds min(graft.ivf.flatMaxK,
+  * graft.ivf.maxK) — never at driver SFs with default confs (the
+  * oracle pins the flat path there). Its correctness surface is this
+  * spec: force the confs low on sf0.001 so the hierarchy engages,
+  * then pin the structural invariants (cell id space, driver-state
+  * bound, finer-than-flat partitioning) and the downstream contracts
+  * (sim3 output shape + recall, dd7 verdict consistency). The
+  * flat-cost threshold is round 13's: dispatching on maxK alone left
+  * flat assignment costing N·K dots per scan through the measured
+  * 2M-vector valley (SCALE.md), so the COST cap dispatches to the
+  * hierarchy with maxK (the driver-STATE cap) untouched.
   */
 class TwoLevelIvfSpec extends AnyFunSuite {
   import TestSpark._
@@ -69,6 +73,35 @@ class TwoLevelIvfSpec extends AnyFunSuite {
         .values.map(_.values.sum).map(n => n * n).sum
       assert(sumSq < coarseSumSq,
         s"fine split did not reduce pair cost: $sumSq vs coarse $coarseSumSq")
+    }
+  }
+
+  test("the flat-COST cap dispatches to two-level with maxK untouched, under its own registry key") {
+    val costConfs = Seq(
+      Similarity.TargetCellConf -> "4",
+      Similarity.FlatMaxKConf -> "4")
+    val saved = costConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    costConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // trainN = 125, target = 4 -> desired = 32; maxK stays at its
+      // 65536 default (driver state is nowhere near the bound) but the
+      // per-scan COST cap (4) forces the hierarchy: K1 = ceil(sqrt(32))
+      // = 6, K2 = ceil(32/6) = 6
+      val model = Similarity.ivfAssigned(spark, sf)
+      val fine = model.fine.getOrElse(fail(
+        "flat-cost cap did not dispatch to the two-level trainer"))
+      assert(fine.coarseK == 6 && fine.fineK == 6 && model.k == 36)
+      // the conf is part of the model identity: the registry must not
+      // hand this hierarchical model to a default-conf caller (whose
+      // oracle replays the flat trainer)
+      spark.conf.unset(Similarity.FlatMaxKConf)
+      spark.conf.unset(Similarity.TargetCellConf)
+      val flat = Similarity.ivfAssigned(spark, sf)
+      assert(flat.fine.isEmpty && flat.k == 4,
+        s"registry leaked the cost-capped model: k=${flat.k}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
