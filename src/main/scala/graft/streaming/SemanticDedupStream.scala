@@ -19,9 +19,17 @@ import graft.ops.Similarity
   * Deployment shape (the SemDeDup reality at 100 TB): the k-means
   * quantizer is trained OFFLINE over a corpus snapshot
   * ([[Similarity.flatCentroids]] — the identical integer-grid Lloyd
-  * loop as batch dd7, so the model is dd7's model) and shipped to
+  * loop as batch dd7, so the model IS dd7's model for any corpus in
+  * the flat regime, i.e. desired cells ≤ min(flatMaxK, maxK); past
+  * that boundary batch dd7 goes hierarchical while this closure-held
+  * model clamps at the flat cap — a COARSER partition (more members
+  * per cell, so more candidate comparisons per arrival; the two
+  * models' cell boundaries differ, so verdicts past the boundary are
+  * approximate-equivalent, not row-identical — the documented trade
+  * for keeping the online assignment a closure-local argmax with no
+  * per-arrival join) and shipped to
   * executors inside the plan's serialized closure (K×64 doubles — a
-  * few MB at the maxK cap, the same argument as the batch MatrixDots
+  * few MB at the flat cap, the same argument as the batch MatrixDots
   * reference object). Online, each arrival is:
   *  - a NARROW map: norm + integer-grid quantize + argmax cell against
   *    the closure-held centroid matrix — zero shuffle, the streaming
