@@ -22,6 +22,11 @@ object Prof {
     // positional args(2) check silently dropped "reps=4 explain"
     val explain = args.drop(2).contains("explain")
     val finalPlan = args.drop(2).contains("finalplan")
+    // `keep`: release model/pinned tables only AFTER a query's last rep
+    // (Bench's warm-median semantics — reps 2..n serve from what rep 1
+    // registered) instead of per-rep. Default stays per-rep: each rep
+    // is then a full fresh-state measurement.
+    val keep = args.drop(2).contains("keep")
     val reps = args.drop(2).collectFirst {
       case a if a.startsWith("reps=") => math.max(1, a.stripPrefix("reps=").toInt)
     }.getOrElse(2)
@@ -60,8 +65,9 @@ object Prof {
         val t0 = System.nanoTime()
         consume(fn(spark, dir))
         println(f"[prof] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        graft.ops.Model.release()
+        if (!keep) graft.ops.Model.release()
       }
+      if (keep) graft.ops.Model.release()
       if (finalPlan) {
         // the consumed wrapper's executed plan contains the query's
         // whole subtree with AQE's runtime choices materialized

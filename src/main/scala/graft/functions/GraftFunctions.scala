@@ -10,6 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   * (`call_function`) and plain SQL text:
   *
   *  - `double_dot(array<double>, array<double>)` — codegen'd dot product
+  *  - `long_match_count(array<bigint>, array<bigint>)` — codegen'd count
+  *    of equal positions (MinHash signature match)
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
   *    (engine-neutral affine perms over mod-2^40 inputs, see [[RkLsh]])
   *  - `simhash_sketch(bigint, bigint)` — weighted 63-bit SimHash
@@ -170,6 +172,11 @@ object GraftFunctions {
       arity("rk_lsh_signatures", 3)(exprs)
       RkLshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
         foldableInt("rk_lsh_signatures", exprs(1)), foldableInt("rk_lsh_signatures", exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("long_match_count", exprs => {
+      arity("long_match_count", 2)(exprs)
+      LongMatchCount(Cast(exprs(0), ArrayType(LongType)),
+        Cast(exprs(1), ArrayType(LongType)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("topn_by_key", exprs => {
       arity("topn_by_key", 3)(exprs)

@@ -195,11 +195,16 @@ object Dedup {
   }
 
   /** signature-estimated Jaccard: matching permutations / NUM_PERM,
-    * truncating (graft.ops.Exact) like every compared ratio */
+    * truncating (graft.ops.Exact) like every compared ratio. The match
+    * count is the codegen'd `long_match_count` expression — the
+    * zip_with+aggregate HOF pair it replaces ran interpreted on every
+    * candidate PAIR (measured ~5.6 µs/pair: 8.2 s of cur2's 25 s at
+    * sf1), the exact tax double_dot already removed from the cosine
+    * family (optimization r13; guide §"eliminate non-codegen
+    * expressions in the hot path"). */
   private[ops] def estJaccard(siga: Column, sigb: Column): Column =
     Exact.intRatio(
-      aggregate(zip_with(siga, sigb, (a, b) => when(a === b, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x),
+      call_function("long_match_count", siga, sigb),
       lit(NUM_PERM.toLong))
 
   /** DD2 — MinHash + LSH candidate pairs. Per doc: 32 min-hashes (one

