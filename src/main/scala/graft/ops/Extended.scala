@@ -266,12 +266,25 @@ object Extended {
       .select(col("t_us"), col("w_event"),
         lit(0L).as("marker_id"), lit(0).as("side"))
     val markers = base.filter(col("event_type") === "purchase")
-    val qStart = markers.select(col("t_us"), lit(0L).as("w_event"),
-      col("event_id").as("marker_id"), lit(0).as("side"))
-    val qEnd = markers.select((col("t_us") + RJ_WINDOW_US).as("t_us"),
-      lit(0L).as("w_event"), col("event_id").as("marker_id"), lit(1).as("side"))
-    val pts = eventPts.union(qStart).union(qEnd)
-      .withColumn("bkt", expr(s"t_us div $sub"))
+    // both query points of a marker from ONE events pass (optimization
+    // r13): the previous union of two marker projections re-planned the
+    // filtered scan twice; exploding a 2-array of structs emits (s, e)
+    // from a single scan
+    val qPts = markers.select(explode(array(
+        struct(col("t_us"),
+          lit(0L).as("w_event"), col("event_id").as("marker_id"),
+          lit(0).as("side")),
+        struct((col("t_us") + RJ_WINDOW_US).as("t_us"),
+          lit(0L).as("w_event"), col("event_id").as("marker_id"),
+          lit(1).as("side")))).as("s"))
+      .select(col("s.t_us").as("t_us"), col("s.w_event").as("w_event"),
+        col("s.marker_id").as("marker_id"), col("s.side").as("side"))
+    // pin: phase 2's per-bucket totals are their own ACTION over pts —
+    // unpinned, that action re-paid the event aggregation and the
+    // marker scan before the ranked pass paid them again (optimization
+    // r13; one narrow persisted point set vs two full events passes)
+    val pts = Model.pin(eventPts.union(qPts)
+      .withColumn("bkt", expr(s"t_us div $sub")))
     // phase 1: within-bucket running event weight; query points order
     // before events at the same t (w_event ASC: 0 < any count), so a
     // query point's running sum is the strictly-less count inside its
@@ -689,17 +702,26 @@ object Extended {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("is_grid"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the per-hour event count rides a SECOND window over the SAME
+    // unioned stream instead of a separate groupBy + left join
+    // (optimization r13): HashPartitioning(user_id) from the fill
+    // window satisfies ClusteredDistribution(user_id, hour), so this
+    // adds only a local re-sort — no exchange — while the join form
+    // paid a third events scan, its aggregation exchange, and the
+    // (user_id, ts) join exchange. A grid row's ts IS its hour, so
+    // counting is_grid=0 rows in its (user_id, hour) frame is exactly
+    // the hour's event count (0 when the hour is empty — sum of the
+    // grid row's own 0 indicator, matching the join form's coalesce).
+    val wh = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
     val filled = unioned
       .withColumn("value_filled", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("n_events",
+        sum(lit(1L) - col("is_grid")).over(wh))
       .filter(col("is_grid") === 1)
-    val hourCounts = ev
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
-      .agg(count(lit(1)).as("n_events"))
-    filled.join(hourCounts, Seq("user_id", "ts"), "left")
-      .select(col("user_id"),
-        date_format(col("ts"), SEC).as("grid_ts"),
-        col("value_filled"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    filled.select(col("user_id"),
+      date_format(col("ts"), SEC).as("grid_ts"),
+      col("value_filled"),
+      col("n_events"))
   }
 
   private val gap1Oracle: String =

@@ -34,6 +34,18 @@ object Graph {
     e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
 
+  /** both orientations of every edge in ONE pass: a
+    * `e.union(e.select(v, u))` re-plans `e` as two subtrees (and their
+    * exchanges don't reuse when column pruning differs between the
+    * copies); exploding a 2-array of structs emits both rows from a
+    * single scan (optimization r13 — shuffle-count audit of the CC
+    * rounds). */
+  private def bothWays(e: DataFrame, a: String, b: String): DataFrame =
+    e.select(explode(array(
+        struct(col(a).as("u"), col(b).as("v")),
+        struct(col(b).as("u"), col(a).as("v")))).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"))
+
   /** per-node neighborhood minimum as partial-agg + join-back — the
     * skew-safe form (see object scaladoc); `private[graft]` so
     * GraphSpec can plan-assert the hub case on a single round */
@@ -41,24 +53,42 @@ object Graph {
     e.join(e.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
 
   /** large-star: every node links its LARGER neighbors to its
-    * neighborhood minimum (cuts long chains in half each round) */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
-    val nb = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    withNbrMin(nb)
+    * neighborhood minimum (cuts long chains in half each round).
+    *
+    * The output is BAG-semantics (no trailing distinct — optimization
+    * r13): every consumer is duplicate-insensitive ([[smallStar]]'s
+    * neighborhood MIN, whose join-back dups wash out in its final
+    * distinct), rows never grow (exactly one of an edge's two
+    * orientations passes `v > u`, so |output| ≤ |input| with or
+    * without the dedup), and dropping the distinct removes one full
+    * (u,v) shuffle+aggregate from every CC round. Rows are always
+    * strictly `u > v` — canonical orientation by construction
+    * (m ≤ node < v). */
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    withNbrMin(bothWays(e, "u", "v"))
       .withColumn("m", least(col("m"), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
-  }
 
   /** small-star: every node links its smaller neighbors (and itself) to
-    * its smallest neighbor (flattens local trees into stars) */
-  private[graft] def smallStar(e: DataFrame): DataFrame = {
-    val withM = withNbrMin(canon(e))
-    withM.select(col("v").as("u"), col("m").as("v"))
-      .union(withM.select(col("u"), col("m").as("v")))
+    * its smallest neighbor (flattens local trees into stars).
+    *
+    * PRECONDITION (optimization r13): input must be canonically
+    * oriented (`u > v`, no self-loops) — true of [[largeStar]]'s output
+    * by construction and of [[connectedComponents]]' canon'd seed. The
+    * previous `canon(e)` here re-sorted and re-deduped an
+    * already-canonical edge list: one redundant full shuffle per round.
+    * Duplicate input rows are fine (min is dup-insensitive; the final
+    * distinct dedupes the join-back). The two output orientations come
+    * from one [[bothWays]]-style explode rather than a union that
+    * would re-plan the nbr-min JOIN twice. */
+  private[graft] def smallStar(e: DataFrame): DataFrame =
+    withNbrMin(e)
+      .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-  }
 
   /** order-independent edge-set fingerprint: one row to the driver */
   private def checksum(e: DataFrame): (Long, Long) = {
