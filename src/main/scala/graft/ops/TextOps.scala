@@ -296,7 +296,10 @@ object TextOps {
     val t = docs(spark, dir).withColumn("w", words)
     val uni = t.select(explode(col("w")).as("wd"))
     val ucnt = uni.groupBy(col("wd")).agg(count(lit(1)).as("c"))
-    val n = uni.agg(count(lit(1)).as("nt"))
+    // total token count from the vocab model, not a second corpus pass
+    // (optimization r13): Σ c over the persisted ucnt table is the same
+    // nt the separate uni.count() job re-scanned every document for
+    val n = ucnt.agg(sum(col("c")).as("nt"))
     val bg = t.filter(size(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => struct(
@@ -306,10 +309,12 @@ object TextOps {
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
     val fits = Model.fits(ucnt)
     def maybe(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    pc.join(maybe(ucnt.select(col("wd").as("x"), col("c").as("cx"))), "x")
+    // support filter BEFORE the joins (optimization r13): it reads only
+    // pc's own count, so filtering first shrinks both join inputs
+    pc.filter(col("cxy") >= COOC_MIN_SUPPORT)
+      .join(maybe(ucnt.select(col("wd").as("x"), col("c").as("cx"))), "x")
       .join(maybe(ucnt.select(col("wd").as("y"), col("c").as("cy"))), "y")
       .crossJoin(broadcast(n))
-      .filter(col("cxy") >= COOC_MIN_SUPPORT)
       // cxy·nt < 2^53 and the ÷cx ÷cy ·1e6 chain is evaluated in the
       // same order as the oracle — identical doubles, unambiguous floor
       .withColumn("lift", floor(col("cxy").cast("double") * col("nt")
@@ -406,10 +411,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val t = docs(spark, dir).withColumn("w", words)
-    val vc = t.select(explode(col("w")).as("wd"))
+    // pinned (optimization r13): the word-count table feeds BOTH the
+    // offset collect below and the vocab build — unpinned, each ran its
+    // own full corpus unigram pass; pinned, the offset collect is the
+    // one materialization and the vocab build reads the cache
+    val vc = Model.pin(t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
       .withColumn("sub",
-        when(col("cnt") <= TOK_TAIL, ascii(col("wd"))).otherwise(lit(-1)))
+        when(col("cnt") <= TOK_TAIL, ascii(col("wd"))).otherwise(lit(-1))))
     var acc = 0L
     val offRows = vc.groupBy(col("cnt"), col("sub")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -996,10 +1005,19 @@ object TextOps {
     val pc = pr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cp"))
     val uc = t.select(explode(col("w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
-    pr.join(Model.guardedBroadcast(pc), Seq("l", "r"))
-      .join(Model.guardedBroadcast(uc), col("l") === col("wd"))
-      .select(col("doc_id"),
+    // ONE scored-pair model instead of two separate broadcasts
+    // (optimization r13): the score depends only on (l, r), so the
+    // bigram and unigram tables join MODEL-side (distinct pairs ×
+    // vocab — tiny next to the corpus stream) and the corpus-sized
+    // probe stream pays one hash probe per row instead of two. Past
+    // the broadcast guard's threshold this also halves the probe
+    // stream's shuffle joins (one instead of two), and only one model
+    // table is persisted/counted instead of two.
+    val psc = pc.join(uc, col("l") === col("wd"))
+      .select(col("l"), col("r"),
         floor(col("cp") * lit(1000000L) / col("cu")).as("s"))
+    pr.join(Model.guardedBroadcast(psc), Seq("l", "r"))
+      .select(col("doc_id"), col("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         floor(sum(col("s")) / count(lit(1))).as("lm_score_e6"))
