@@ -12,6 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `double_dot(array<double>, array<double>)` — codegen'd dot product
   *  - `long_match_count(array<bigint>, array<bigint>)` — codegen'd count
   *    of equal positions (MinHash signature match)
+  *  - `count_in(array<string>, array<string>)` — codegen'd membership
+  *    hit count (stopword/marker/top-vocab scoring)
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
   *    (engine-neutral affine perms over mod-2^40 inputs, see [[RkLsh]])
   *  - `simhash_sketch(bigint, bigint)` — weighted 63-bit SimHash
@@ -172,6 +174,11 @@ object GraftFunctions {
       arity("rk_lsh_signatures", 3)(exprs)
       RkLshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
         foldableInt("rk_lsh_signatures", exprs(1)), foldableInt("rk_lsh_signatures", exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("count_in", exprs => {
+      arity("count_in", 2)(exprs)
+      CountIn(Cast(exprs(0), ArrayType(org.apache.spark.sql.types.StringType)),
+        Cast(exprs(1), ArrayType(org.apache.spark.sql.types.StringType)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("long_match_count", exprs => {
       arity("long_match_count", 2)(exprs)

@@ -593,8 +593,9 @@ object Pipeline {
   private[graft] def curGate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.registerAll(spark)
+    // codegen'd count_in, not size(filter(isin)) — see TextOps.hits
     def hitsIn(m: Seq[String]): Column =
-      size(filter(words, w => w.isin(m.map(x => x: Any): _*)))
+      call_function("count_in", words, typedLit(m))
     docs
       .filter(col("doc_id") >= BENCH_DOCS) // the bench stand-in set is never training data
       .withColumn("n_tokens", size(words).cast("long"))

@@ -22,8 +22,10 @@ object TextOps {
   private val words: Column = split(col("text"), " ")
 
   /** marker-stopword hit count for one language */
+  // codegen'd count_in, not size(filter(isin)) — the HOF filter ran
+  // its lambda interpreted per token × marker (optimization r13)
   private def hits(markers: Seq[String]): Column =
-    size(filter(words, w => w.isin(markers.map(x => x: Any): _*)))
+    call_function("count_in", words, typedLit(markers))
 
   private val enM = Seq("the", "and", "of", "to", "in")
   private val esM = Seq("el", "la", "de", "los", "que")
@@ -32,7 +34,8 @@ object TextOps {
 
   /** TA1 — language ID by n-gram/stopword scoring with a deterministic
     * priority tie-break (en > es > de > fr > und). */
-  def ta1LangId(spark: SparkSession, dir: String): DataFrame =
+  def ta1LangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // count_in
     docs(spark, dir)
       .withColumn("s_en", hits(enM)).withColumn("s_es", hits(esM))
       .withColumn("s_de", hits(deM)).withColumn("s_fr", hits(frM))
@@ -42,6 +45,7 @@ object TextOps {
           .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
           .when(col("s_de") >= col("s_fr"), "de")
           .otherwise("fr").as("lang_pred"))
+  }
 
   private def duckHits(l: String): String =
     s"len(list_filter(string_split(text, ' '), x -> list_contains($l, x)))"
@@ -64,7 +68,8 @@ object TextOps {
 
   /** TA2 — quality scoring: length stats, mean word length, stopword
     * ratio, composite score in [0,1]. */
-  def ta2Quality(spark: SparkSession, dir: String): DataFrame =
+  def ta2Quality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // count_in
     docs(spark, dir)
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("sum_word_len",
@@ -80,6 +85,7 @@ object TextOps {
         // least(n/100,1)·(1−stop/n) = least(n,100)·(n−stop) / (100·n)
         Exact.intRatio(least(col("n_words"), lit(100L)) * (col("n_words") - col("stop_hits")),
           lit(100L) * col("n_words")).as("quality_score"))
+  }
 
   private val ta2Oracle =
     s"""WITH t AS (
@@ -251,6 +257,7 @@ object TextOps {
     * never joined row-to-row against the vocabulary. Entirely lazy:
     * no driver-side collect anywhere. */
   def ta6CommonRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // count_in
     val top = docs(spark, dir).select(explode(words).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("wd")).limit(VOCAB_TOPK)
@@ -259,8 +266,9 @@ object TextOps {
       .crossJoin(broadcast(top))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), x => array_contains(col("tl"), x)))
-          .cast("long").as("common_hits"))
+        // count_in replaces filter(x => array_contains(tl, x)): 64
+        // interpreted comparisons per token → one codegen'd loop
+        call_function("count_in", col("w"), col("tl")).as("common_hits"))
       .withColumn("common_ratio", Exact.intRatio(col("common_hits"), col("n_tokens")))
   }
 
