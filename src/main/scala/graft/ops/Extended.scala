@@ -620,11 +620,14 @@ object Extended {
       transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    val counts = Tables.documents(spark, dir)
+    // pinned (optimization r13): the bigram-count table feeds both the
+    // sketch aggregate and the exact top-100 probe — unpinned, each ran
+    // its own full corpus bigram pass
+    val counts = graft.ops.Model.pin(Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
       .select(explode(bigrams).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h40", call_function("rk_word_hash", col("wd")))
+      .withColumn("h40", call_function("rk_word_hash", col("wd"))))
     def buckets(c: DataFrame, keep: org.apache.spark.sql.Column*): DataFrame =
       c.select(keep :+ explode(array((0 until CM_D).map(d =>
           struct(lit(d).as("d"), pmod(cmMix(d, col("h40")), lit(CM_W.toLong)).as("bkt"))): _*))
