@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *    of equal positions (MinHash signature match)
   *  - `count_in(array<string>, array<string>)` — codegen'd membership
   *    hit count (stopword/marker/top-vocab scoring)
+  *  - `word_pairs(array<string>, mode)` — codegen'd adjacent word
+  *    pairs (0 ordered structs, 1 canonical structs, 2 joined strings)
   *  - `minhash_sketch(bigint)` — 32-permutation MinHash signature sketch
   *    (engine-neutral affine perms over mod-2^40 inputs, see [[RkLsh]])
   *  - `simhash_sketch(bigint, bigint)` — weighted 63-bit SimHash
@@ -174,6 +176,11 @@ object GraftFunctions {
       arity("rk_lsh_signatures", 3)(exprs)
       RkLshSignatures(Cast(exprs(0), ArrayType(DoubleType)),
         foldableInt("rk_lsh_signatures", exprs(1)), foldableInt("rk_lsh_signatures", exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_pairs", exprs => {
+      arity("word_pairs", 2)(exprs)
+      WordPairs(Cast(exprs(0), ArrayType(org.apache.spark.sql.types.StringType)),
+        foldableInt("word_pairs", exprs(1)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("count_in", exprs => {
       arity("count_in", 2)(exprs)

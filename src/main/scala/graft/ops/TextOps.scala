@@ -180,11 +180,11 @@ object TextOps {
     * measured 24 s for ng1 at sf1 vs ~2 s materialized; the qt1 lesson
     * again). Multiple non-cheap references keep CollapseProject from
     * re-inlining the split. */
+  // word_pairs(w, 2): codegen'd bigram strings — the former
+  // when/transform/concat_ws chain ran interpreted per token
+  // (optimization r13); n<2 → empty array is built into the expression
   private val bigramsW: Column =
-    when(size(col("w")) >= 2,
-      transform(sequence(lit(0), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-      .otherwise(array().cast("array<string>"))
+    call_function("word_pairs", col("w"), lit(2))
 
   /** NG1 — corpus-wide n-gram vocabulary heavy hitters: count every
     * word-bigram occurrence, keep the top 100 by (count desc, ngram) —
@@ -193,7 +193,8 @@ object TextOps {
     * shuffle carries one (ngram, partial_count) row per map task, not
     * the token stream) → TakeOrderedAndProject (each partition ships
     * only its own top-100 to the driver — never a global sort). */
-  def ng1NgramTopk(spark: SparkSession, dir: String): DataFrame =
+  def ng1NgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // word_pairs
     docs(spark, dir)
       .withColumn("w", words)
       .select(explode(bigramsW).as("ngram"))
@@ -201,6 +202,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(100)
+  }
 
   private val ng1Oracle =
     """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -216,7 +218,8 @@ object TextOps {
     * is high"): fraction of word and bigram occurrences that are
     * repeats of an earlier occurrence in the same document. Pure narrow
     * map — per-row array ops, zero shuffle, codegen'd. */
-  def rep1Repetition(spark: SparkSession, dir: String): DataFrame =
+  def rep1Repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // word_pairs
     docs(spark, dir)
       .withColumn("w", words)
       .withColumn("nw", size(col("w")).cast("long"))
@@ -226,6 +229,7 @@ object TextOps {
           col("nw")).as("dup_word_ratio"),
         Exact.intRatio(size(col("ng")) - size(array_distinct(col("ng"))),
           greatest(size(col("ng")), lit(1)).cast("long")).as("dup_bigram_ratio"))
+  }
 
   private val rep1Oracle =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -301,6 +305,7 @@ object TextOps {
     * instead of an OOM); the 1-row total stays a hinted broadcast, and
     * the top-K is TakeOrdered — never a global sort. */
   def cooc1PairLift(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // word_pairs
     val t = docs(spark, dir).withColumn("w", words)
     val uni = t.select(explode(col("w")).as("wd"))
     val ucnt = uni.groupBy(col("wd")).agg(count(lit(1)).as("c"))
@@ -308,11 +313,11 @@ object TextOps {
     // (optimization r13): Σ c over the persisted ucnt table is the same
     // nt the separate uni.count() job re-scanned every document for
     val n = ucnt.agg(sum(col("c")).as("nt"))
+    // word_pairs(w, 1): codegen'd canonical bigram pass — the
+    // transform-of-sequence form ran least/greatest interpreted per
+    // token (optimization r13)
     val bg = t.filter(size(col("w")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => struct(
-          least(element_at(col("w"), i), element_at(col("w"), i + 1)).as("x"),
-          greatest(element_at(col("w"), i), element_at(col("w"), i + 1)).as("y")))).as("u"))
+      .select(explode(call_function("word_pairs", col("w"), lit(1))).as("u"))
     val pc = bg.select(col("u.x").as("x"), col("u.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
     val fits = Model.fits(ucnt)
@@ -1004,11 +1009,12 @@ object TextOps {
     * qt1/ng1/rep1.) One doc-keyed re-aggregate (narrow 2-long rows,
     * map-side partials) rebuilds the per-document mean. */
   def lm1BigramCoherence(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val t = docs(spark, dir).withColumn("w", words).filter(size(col("w")) >= 2)
-    val pr = t.select(col("doc_id"), explode(zip_with(
-      slice(col("w"), lit(1), size(col("w")) - 1),
-      slice(col("w"), lit(2), size(col("w")) - 1),
-      (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+    // word_pairs(w, 0): codegen'd bigram pass — the zip_with-of-slices
+    // form ran its struct lambda interpreted per token (optimization r13)
+    val pr = t.select(col("doc_id"),
+        explode(call_function("word_pairs", col("w"), lit(0))).as("p"))
       .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
     val pc = pr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cp"))
     val uc = t.select(explode(col("w")).as("wd"))
