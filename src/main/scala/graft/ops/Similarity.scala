@@ -940,8 +940,14 @@ object Similarity {
     * from the same train count, so the whole pipeline — training
     * included — hash-checks at every SF. */
   def dd7SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val a = ivfAssigned(spark, dir).assigned
-      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    // pinned (optimization r13): the registry caches the MODEL
+    // (centroids), not the assignment — and this query references the
+    // assigned corpus three times (both pair-join sides + the final
+    // keep join), so each reference re-paid quantize_unit + the K×DIM
+    // cell-assignment dots over every corpus row. One assignment pass,
+    // two cache reads.
+    val a = graft.ops.Model.pin(ivfAssigned(spark, dir).assigned
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm")))
     val dups = a.select(col("cell"), col("vec_id").as("da"),
         col("v").as("va"), col("nrm").as("na"))
       .join(a.select(col("cell"), col("vec_id").as("db"),
